@@ -1,0 +1,135 @@
+package graft.extract
+
+import graft.html.HtmlDom
+import graft.html.HtmlDom.Element
+import graft.model.{Extracted, JDate}
+import graft.text.{JalaliDate, PyText}
+
+/** The extraction operator — transliteration of the reference's
+  * `HTMLParser.parse` (/root/reference/src/parser.py:185-367) with
+  * byte-identical output semantics. Pure Scala function, used from Spark as
+  * a typed `Dataset.map` (SURVEY.md §2.3/§2.10); no Catalyst surface needed
+  * because the invariant is per-row scalar work.
+  */
+object Extractor extends Serializable {
+
+  val QuestionSentinel = "سوال نامشخص"
+  val AnswerSentinel = "پاسخ نامشخص"
+  val ContentSentinel = "محتوای نامشخص"
+  val Unknown = "نامشخص"
+  val DefaultDate = "0001/01/01"
+
+  /** The error-page sentinel filter (/root/reference/src/handler.py:40-53). */
+  val ErrorSentinel = "خطایی رخ داده است"
+  def isValidHtml(html: String): Boolean = !html.contains(ErrorSentinel)
+
+  private val ContainerId = "mvcContainer-1286"
+
+  /** Resolve an lxml-style positional child path: each step selects the
+    * i-th (1-based) `div` element child; i=1 when the XPath step has no
+    * predicate. Returns all matches in document order (the reference takes
+    * `content[0]`, parser.py:337-340).
+    */
+  private def resolvePath(start: Element, steps: Seq[Int]): List[Element] = {
+    var current: List[Element] = List(start)
+    steps.foreach { idx =>
+      current = current.flatMap { el =>
+        val divs = el.elementChildren("div")
+        if (idx == 0) divs.toList // 0 = all children (unpredicated step)
+        else if (divs.length >= idx) List(divs(idx - 1))
+        else Nil
+      }
+    }
+    current
+  }
+
+  /** `_extract_content` (/root/reference/src/parser.py:326-340):
+    * first match's `text_content().strip().replace('\n', ' ')`, or None.
+    */
+  private def extractAt(container: Element, steps: Seq[Int]): Option[String] =
+    resolvePath(container, steps).headOption.map { el =>
+      PyText.pyStrip(el.textContent).replace('\n', ' ')
+    }
+
+  // XPath suffixes under //*[@id="mvcContainer-1286"], as positional div
+  // steps (0 = unpredicated /div = first div child for single-child shapes;
+  // here all unpredicated steps resolve to every div child like XPath does).
+  // //*[@id]/div/div/div[2]/div  → prefix
+  private val Prefix = Seq(0, 0, 2, 0)
+  private val FileNumberPath = Prefix ++ Seq(1, 2, 2) // div[1]/div[2]/div[2] parser.py:273
+  private val OpinionNumberPath = Prefix ++ Seq(1, 2, 1) // parser.py:274
+  private val OpinionDatePath = Prefix ++ Seq(1, 2, 3) // parser.py:275
+  private val ContentPath = Prefix ++ Seq(2) // parser.py:349
+  private val QuestionPath = ContentPath ++ Seq(0, 2, 0) // /div/div[2]/div parser.py:358
+  private val AnswerPath = ContentPath ++ Seq(0, 4, 0) // /div/div[4]/div parser.py:367
+
+  /** Full parse — mirrors HTMLParser.parse error handling: any failure to
+    * build a tree yields the full-sentinel row (parser.py:248-256); missing
+    * sections yield per-field sentinels (parser.py:212-234).
+    */
+  def extract(url: String, fileId: String, htmlText: String): Extracted = {
+    val rootOpt =
+      try HtmlDom.parse(htmlText)
+      catch { case _: Throwable => None }
+    rootOpt match {
+      case None =>
+        Extracted(url, fileId, QuestionSentinel, AnswerSentinel, ContentSentinel,
+          Unknown, Unknown, DefaultDate, DefaultDate)
+      case Some(root) =>
+        val containerOpt = root.findById(ContainerId)
+        containerOpt match {
+          case None =>
+            // tree parsed but XPaths all miss: per-field fallbacks
+            // (question/answer sentinels; content = "q a"; metadata defaults)
+            val q = QuestionSentinel
+            val a = AnswerSentinel
+            val c = PyText.normalizeField(s"$q $a")
+            Extracted(url, fileId, PyText.normalizeField(q), PyText.normalizeField(a), c,
+              Unknown, Unknown, DefaultDate, DefaultDate)
+          case Some(container) =>
+            val fileNumber = extractAt(container, FileNumberPath) match {
+              case Some(v) if v.nonEmpty =>
+                PyText.cleanMetadataField(v) // applied twice in the reference
+              case _ => Unknown
+            }
+            val opinionNumber = extractAt(container, OpinionNumberPath) match {
+              case Some(v) if v.nonEmpty => PyText.cleanMetadataField(v)
+              case _ => Unknown
+            }
+            // opinion_date: raw text → regex search → process_date
+            // (parser.py:297-322); no match or missing → default dates
+            val date: JDate = extractAt(container, OpinionDatePath) match {
+              case Some(v) if v.nonEmpty =>
+                JalaliDate.searchDatePattern(v) match {
+                  case Some(ymd) =>
+                    val (sh, gr) = JalaliDate.processDate(ymd)
+                    JDate(sh, gr)
+                  case None => JDate(DefaultDate, DefaultDate)
+                }
+              case _ => JDate(DefaultDate, DefaultDate)
+            }
+            val questionRaw = extractAt(container, QuestionPath) match {
+              case Some(v) if v.nonEmpty => v
+              case _ => QuestionSentinel
+            }
+            val answerRaw = extractAt(container, AnswerPath) match {
+              case Some(v) if v.nonEmpty => v
+              case _ => AnswerSentinel
+            }
+            val contentRaw = extractAt(container, ContentPath) match {
+              case Some(v) if v.nonEmpty => v
+              case _ => s"$questionRaw $answerRaw" // parser.py:231
+            }
+            Extracted(url, fileId,
+              PyText.normalizeField(questionRaw),
+              PyText.normalizeField(answerRaw),
+              PyText.normalizeField(contentRaw),
+              fileNumber, opinionNumber, date.shamsi, date.gregorian)
+        }
+    }
+  }
+
+  def extractBytes(url: String, fileId: String, html: Array[Byte]): Extracted =
+    extract(url, fileId,
+      if (html == null) "" else new String(html, java.nio.charset.StandardCharsets.UTF_8))
+}

@@ -1,0 +1,135 @@
+package graft.text
+
+/** Python string/regex semantics needed for byte-identical extraction.
+  *
+  * The reference normalizes extracted text with CPython `str.strip()`,
+  * `str.replace`, `re.sub(r"\s+", " ", v)` and filters metadata chars with
+  * `str.isdigit()` (see /root/reference/src/parser.py:56,84-89,286,340).
+  * Java's default `\s` is ASCII-only and `Character.isWhitespace` differs
+  * from CPython (NBSP U+00A0 is Python-whitespace but not Java-whitespace;
+  * ZWNJ U+200C is whitespace in neither and must survive). These helpers
+  * reproduce the CPython definitions exactly so the composition of
+  * strip/replace/collapse is byte-identical.
+  */
+object PyText {
+
+  /** CPython `str.isspace()` / `re \s` (unicode): true for category
+    * Zs/Zl/Zp plus the bidi-class B/S/WS control chars
+    * (\t \n \v \f \r FS GS RS US NEL).
+    */
+  def isPySpace(c: Char): Boolean = c match {
+    case '\t' | '\n' | '\u000b' | '\f' | '\r' => true
+    case '\u001c' | '\u001d' | '\u001e' | '\u001f' | '\u0085' => true
+    case _ =>
+      val t = Character.getType(c)
+      t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+      t == Character.PARAGRAPH_SEPARATOR
+  }
+
+  /** CPython `str.strip()` with no args (strips isPySpace chars). */
+  def pyStrip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && isPySpace(s.charAt(i))) i += 1
+    while (j > i && isPySpace(s.charAt(j - 1))) j -= 1
+    s.substring(i, j)
+  }
+
+  /** CPython `re.sub(r"\s+", " ", s)` on a unicode string. */
+  def collapseWhitespace(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isPySpace(c)) {
+        sb.append(' ')
+        i += 1
+        while (i < n && isPySpace(s.charAt(i))) i += 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** CPython `str.isdigit()` for a single char: Unicode Numeric_Type Digit
+    * or Decimal. Covers ASCII 0-9, Persian ۰-۹ (U+06F0-06F9), Arabic-Indic
+    * ٠-٩ (U+0660-0669), superscripts, etc. `Character.isDigit` covers Nd;
+    * Numeric_Type=Digit extras (², ³, ¹, circled digits) are added since
+    * `parser.py:56,286` relies on `c.isdigit()`.
+    */
+  def isPyDigit(c: Char): Boolean =
+    Character.isDigit(c) || (c match {
+      case '²' | '³' | '¹' => true
+      case _ if c >= '⁰' && c <= '⁹' => true // superscripts
+      case _ if c >= '①' && c <= '⑨' => true // circled 1-9
+      case _ if c >= '⑴' && c <= '⑼' => true // parenthesized
+      case _ if c >= '⒈' && c <= '⒐' => true // digit full stop
+      case _ => false
+    })
+
+  /** CPython `int(str)` for strings of unicode decimal digits with optional
+    * ASCII sign; throws NumberFormatException like `int()` raises ValueError
+    * when not parseable. Only Nd digits carry a decimal value (matching
+    * CPython: `int("۱۴۰۳")` == 1403 but `int("²")` raises).
+    */
+  def pyInt(sRaw: String): Int = {
+    val s = pyStrip(sRaw)
+    if (s.isEmpty) throw new NumberFormatException(s"invalid int: '$sRaw'")
+    var i = 0
+    var sign = 1
+    if (s.charAt(0) == '-') { sign = -1; i = 1 }
+    else if (s.charAt(0) == '+') i = 1
+    if (i >= s.length) throw new NumberFormatException(s"invalid int: '$sRaw'")
+    var acc = 0L
+    while (i < s.length) {
+      val d = Character.digit(s.charAt(i), 10)
+      if (d < 0 || Character.getType(s.charAt(i)) != Character.DECIMAL_DIGIT_NUMBER)
+        throw new NumberFormatException(s"invalid int: '$sRaw'")
+      acc = acc * 10 + d
+      if (acc > Int.MaxValue) throw new NumberFormatException(s"overflow: '$sRaw'")
+      i += 1
+    }
+    sign * acc.toInt
+  }
+
+  /** One unicode decimal digit (Nd) — CPython `re \d` semantics. */
+  def isPyDecimal(c: Char): Boolean =
+    Character.getType(c) == Character.DECIMAL_DIGIT_NUMBER
+
+  /** The answer-label phrase replaced by the reference's content validator
+    * (/root/reference/src/parser.py:84).
+    */
+  val AnswerLabel = "نظریه مشورتی اداره کل حقوقی قوه قضاییه :"
+
+  /** `ParsedContent.remove_newlines` validator, byte-for-byte
+    * (/root/reference/src/parser.py:69-89): hazm Normalizer is stubbed to
+    * identity at parser.py:12 (so NO unicode normalization), then the
+    * answer-label is replaced with "\n\n" (parser.py:84) which the
+    * subsequent `re.sub(r"\s+", " ")` + `strip()` composition collapses —
+    * net effect: label → single space (or removed at string edges).
+    */
+  def normalizeField(v: String): String = {
+    if (v == null) return ""
+    val replaced = v.replace(AnswerLabel, "\n\n")
+    pyStrip(collapseWhitespace(replaced))
+  }
+
+  /** Metadata char filter (/root/reference/src/parser.py:56,286):
+    * `''.join(c for c in v if c.isdigit() or c in '-/کط')`, default
+    * "نامشخص" when empty.
+    */
+  def cleanMetadataField(v: String): String = {
+    if (v == null) return "نامشخص"
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (isPyDigit(c) || c == '-' || c == '/' || c == 'ک' || c == 'ط') sb.append(c)
+      i += 1
+    }
+    if (sb.length == 0) "نامشخص" else sb.toString
+  }
+}

@@ -1,0 +1,127 @@
+package graft.url
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** URL canonicalization + keying for the frontier (north_rule: seen-set over
+  * canonicalized + SHA-256 URL keys). The reference keys pages by
+  * site-native integer ids (/root/reference/src/_core/schemas.py:45); at
+  * web scale the key must be derived from the URL itself, so: canonicalize
+  * (idempotent — property-tested) then sha2-256 hex.
+  */
+object Urls extends Serializable {
+
+  /** Canonical form: lowercase scheme+host, default ports stripped,
+    * fragment dropped, dot-segments resolved, query params sorted (stable),
+    * empty query/path normalized, percent-encoding upper-cased with
+    * unreserved chars decoded.
+    */
+  def canonicalize(raw: String): String = {
+    if (raw == null) return ""
+    val s = raw.trim
+    if (s.isEmpty) return ""
+    // split off fragment first
+    val noFrag = { val h = s.indexOf('#'); if (h >= 0) s.substring(0, h) else s }
+    val schemeEnd = noFrag.indexOf("://")
+    if (schemeEnd < 0) return normPercent(noFrag) // not absolute; leave mostly as-is
+    val scheme = noFrag.substring(0, schemeEnd).toLowerCase
+    val rest = noFrag.substring(schemeEnd + 3)
+    val pathStart = { val i = rest.indexOf('/'); if (i >= 0) i else rest.length }
+    val qInAuth = rest.indexOf('?')
+    val authEnd = if (qInAuth >= 0 && qInAuth < pathStart) qInAuth else pathStart
+    var authority = rest.substring(0, authEnd).toLowerCase
+    // strip default port
+    val defaultPort = scheme match { case "http" => ":80"; case "https" => ":443"; case _ => "" }
+    if (defaultPort.nonEmpty && authority.endsWith(defaultPort))
+      authority = authority.substring(0, authority.length - defaultPort.length)
+    val afterAuth = rest.substring(authEnd)
+    val qIdx = afterAuth.indexOf('?')
+    val pathRaw = if (qIdx >= 0) afterAuth.substring(0, qIdx) else afterAuth
+    val queryRaw = if (qIdx >= 0) afterAuth.substring(qIdx + 1) else null
+    val path = resolveDotSegments(normPercent(if (pathRaw.isEmpty) "/" else pathRaw))
+    val query =
+      if (queryRaw == null || queryRaw.isEmpty) ""
+      else "?" + queryRaw.split("&", -1).filter(_.nonEmpty).map(normPercent)
+        .sorted(Ordering.String).mkString("&")
+    s"$scheme://$authority$path$query"
+  }
+
+  /** Uppercase hex in %XX escapes; decode escapes of unreserved chars. */
+  private def normPercent(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val v = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def isUnreserved(v: Int): Boolean = {
+    val c = v.toChar
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+    c == '-' || c == '.' || c == '_' || c == '~'
+  }
+
+  /** RFC 3986 dot-segment removal. */
+  private def resolveDotSegments(path: String): String = {
+    if (!path.contains("./") && !path.endsWith("/.") && !path.endsWith("/..")) return path
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    path.split("/", -1).foreach {
+      case "." =>
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    val joined = out.mkString("/")
+    if (joined.startsWith("/")) joined else "/" + joined.dropWhile(_ == '/')
+  }
+
+  /** Registered host (lowercased), empty string when unparseable. */
+  def host(url: String): String = {
+    if (url == null) return ""
+    val i = url.indexOf("://")
+    if (i < 0) return ""
+    val rest = url.substring(i + 3)
+    var end = rest.length
+    var j = 0
+    var found = false
+    while (j < rest.length && !found) {
+      val c = rest.charAt(j)
+      if (c == '/' || c == '?' || c == '#') { end = j; found = true }
+      j += 1
+    }
+    val auth = rest.substring(0, end)
+    val at = auth.lastIndexOf('@')
+    val hostPort = if (at >= 0) auth.substring(at + 1) else auth
+    val colon = hostPort.indexOf(':')
+    (if (colon >= 0) hostPort.substring(0, colon) else hostPort).toLowerCase
+  }
+
+  /** Frontier key: sha2-256 hex of the canonical URL (north_rule). */
+  def urlKey(url: String): String = sha256Hex(canonicalize(url))
+
+  def sha256Hex(s: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** IdeaId extraction from a detail URL — the inverse of the reference's
+    * URL construction (/root/reference/src/check_pages.py:151,162).
+    */
+  private val IdeaIdRe = "IdeaId=(\\d+)".r
+  def ideaId(url: String): Option[String] =
+    IdeaIdRe.findFirstMatchIn(if (url == null) "" else url).map(_.group(1))
+}
