@@ -1,0 +1,65 @@
+package graft
+
+import graft.html.HtmlDom
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlDomSpec extends AnyFunSuite {
+
+  test("text_content concatenates descendant text in document order") {
+    val root = HtmlDom.parse("<div>a<span>b<i>c</i></span>d</div>").get
+    assert(root.textContent == "abcd")
+  }
+
+  test("comments are excluded, script/style text included (lxml semantics)") {
+    val root = HtmlDom.parse("<div>a<!-- no -->b<style>.x{}</style></div>").get
+    assert(root.textContent == "ab.x{}")
+  }
+
+  test("entities decode in text and attributes") {
+    val root = HtmlDom.parse("""<div id="x&amp;y">&lt;tag&gt; &amp; &#65;&#x42;&nbsp;!</div>""").get
+    assert(root.textContent == "<tag> & AB !")
+    val el = root.findById("x&y")
+    assert(el.isDefined)
+  }
+
+  test("void and self-closing tags don't swallow siblings") {
+    val root = HtmlDom.parse("<div>a<br>b<img src=x>c<span/>d</div>").get
+    assert(root.textContent == "abcd")
+  }
+
+  test("unclosed tags recover; stray close tags ignored") {
+    val root = HtmlDom.parse("<div><p>a<div>b</div></wat>c").get
+    assert(root.textContent == "abc")
+  }
+
+  test("findById locates nested element") {
+    val html = """<html><body><div><div id="mvcContainer-1286"><div>x</div></div></div></body></html>"""
+    val root = HtmlDom.parse(html).get
+    val el = root.findById("mvcContainer-1286")
+    assert(el.isDefined && el.get.textContent == "x")
+  }
+
+  test("elementChildren is positional per tag") {
+    val root = HtmlDom.parse("<div id=r><span>s</span><div>1</div><p>p</p><div>2</div></div>").get
+    val r = root.findById("r").get
+    val divs = r.elementChildren("div")
+    assert(divs.map(_.textContent) == Seq("1", "2"))
+  }
+
+  test("empty / element-free input returns None (lxml raises)") {
+    assert(HtmlDom.parse("") == None)
+    assert(HtmlDom.parse("   just text   ") == None)
+    assert(HtmlDom.parse(null) == None)
+  }
+
+  test("attributes: quoted, single-quoted, unquoted, bare") {
+    val root = HtmlDom.parse("""<div id="a" class='b c' data-x=7 hidden>t</div>""").get
+    val el = root.findById("a").get
+    assert(el.attrs == Map("id" -> "a", "class" -> "b c", "data-x" -> "7", "hidden" -> ""))
+  }
+
+  test("raw text inside script is not parsed as markup") {
+    val root = HtmlDom.parse("<div><script>if (a<b) {x()}</script>t</div>").get
+    assert(root.textContent == "if (a<b) {x()}t")
+  }
+}
