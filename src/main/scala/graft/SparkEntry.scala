@@ -1,13 +1,423 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.extract.Extractor
+import graft.ops.{Ann, Dedup, TextStats}
+import graft.text.JalaliDate
+import graft.url.Urls
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data ops), each with a DuckDB-runnable
+  * oracle where SQL-expressible. Column names are aliased identically on
+  * both sides (the driver compares by sorted column name + value hash).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents table doubled with offset ids — guarantees exact duplicates
+    * for the dedup operators (same construction in the oracle SQL).
+    */
+  private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  /** Flagship: HTML-wrap the documents table into reference-shaped detail
+    * pages, run the byte-identical extractor, return (doc_id, content).
+    * Driver smoke-checks rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qExtract(spark, "/root/testdata/sf0.001")
+
+  /** Build a reference-shaped detail page around each document's text and
+    * extract it back — an end-to-end oracle for the §2.3 invariant: DuckDB
+    * computes the expected content directly from the source text.
+    */
+  private def qExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val html = concat(
+      lit("<html><body><div id=\"mvcContainer-1286\"><div><div><div>hdr</div><div><div>" +
+        "<div><div>x</div><div><div>1</div><div>2</div><div>1403/1/1</div></div></div>" +
+        "<div><div><div>h</div><div><div>"),
+      col("text"),
+      lit("</div></div><div>s</div><div><div>a</div></div></div></div>" +
+        "</div></div></div></div></div></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), html.as("page"))
+      .as[(Long, String)]
+      .map { case (id, page) => (id, Extractor.extract(s"u$id", id.toString, page).question) }
+      .toDF("doc_id", "extracted_text")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations (SURVEY §2.5) ----
+    "q1_agg" -> ((s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 3).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 3).as("revenue"),
+        count(lit(1)).as("n_rows"))),
+
+    "a1_dup_groups" -> ((s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") >= 2)),
+
+    "a2_distinct_card" -> ((s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))),
+
+    "a3_dup_stats" -> ((s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .agg(sum(col("c") - 1).as("n_duplicates"),
+        round(avg(col("c")), 6).as("avg_bucket"), max(col("c")).as("max_bucket"),
+        count(lit(1)).as("n_buckets"))),
+
+    "a5_resume_point" -> ((s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type")).agg(max(col("ts")).as("last_ts"))),
+
+    // ---- windows / ranking / top-k (SURVEY §2.6) ----
+    "w1_keep_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+
+    "w2_top10" -> ((s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("dup_count"))
+      .orderBy(col("dup_count").desc, col("o_custkey"))
+      .limit(10)),
+
+    "w3_rank_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events").withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("event_id"), col("value"), col("rnk"))
+    }),
+
+    "w6_politeness_schedule" -> ((s, dir) => {
+      // the scheduling kernel (W6) over a neutral table: per-host (event
+      // type) rank by priority (value desc), budget 5, slot → delay
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events").withColumn("slot", row_number().over(w))
+        .filter(col("slot") <= 5)
+        .select(col("event_type"), col("event_id"), col("slot"),
+          ((col("slot") - 1) * 1000L).as("scheduled_delay_ms"))
+    }),
+
+    // ---- joins & set ops (SURVEY §2.4) ----
+    "j1_anti_seen" -> ((s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))),
+
+    "j2_semi" -> ((s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))),
+
+    "j3_memoize_lookup" -> ((s, dir) => t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("c_name"), lit("missing")).as("cust_name"))),
+
+    "j4_union_distinct" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "error").select(col("user_id"))
+        .union(e.filter(col("event_type") === "signup").select(col("user_id")))
+        .distinct()
+    }),
+
+    "j5_split_have_missing" -> ((s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("n")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        when(col("n").isNull, lit("need_fetch")).otherwise(lit("have")).as("split"))),
+
+    "j6_retry_requeue" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val failed = e.filter(col("event_type") === "error")
+        .select(col("event_id"), lit(1).as("attempt"))
+      val fresh = e.filter(col("event_type") === "click")
+        .select(col("event_id"), lit(0).as("attempt"))
+      fresh.union(failed).filter(col("attempt") <= 1)
+    }),
+
+    // ---- filters / projections (SURVEY §2.2, §2.7) ----
+    "f1_error_filter" -> ((s, dir) => t(s, dir, "documents")
+      .filter(!col("text").contains("join"))
+      .select(col("doc_id"), col("lang"))),
+
+    "f3_token_budget" -> ((s, dir) => t(s, dir, "documents")
+      .filter(TextStats.tokenCountWs(col("text")) <= 50)
+      .select(col("doc_id"), TextStats.tokenCountWs(col("text")).as("n_tokens"))),
+
+    "p5_url_construct" -> ((s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        concat(lit("https://h"), pmod(col("o_custkey"), lit(8)),
+          lit(".example.ir/opinions/Detail?IdeaId="), col("o_orderkey")).as("url"))),
+
+    "p7_regex_extract" -> ((s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        concat(lit("<a href=\"/Detail?IdeaId="), col("o_orderkey"), lit("\">x</a>")).as("html"))
+      .select(col("o_orderkey"),
+        regexp_extract(col("html"), "IdeaId=(\\d+)", 1).as("idea_id"))),
+
+    "p_json_props" -> ((s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))),
+
+    "extract_invariant" -> ((s, dir) => qExtract(s, dir)),
+
+    "jalali_convert" -> ((s, dir) => {
+      import s.implicits._
+      // no oracle (DuckDB has no Jalali chronology); unit-tested vs known
+      // pairs, included here so the driver exercises the UDF end-to-end
+      t(s, dir, "orders").select(col("o_orderkey")).as[Long]
+        .map { k =>
+          val y = 1390 + (k % 15).toInt
+          val m = 1 + (k % 12).toInt
+          val d = 1 + (k % 28).toInt
+          val (sh, gr) = JalaliDate.processDate(f"$y%04d/$m%02d/$d%02d")
+          (k, sh, gr)
+        }.toDF("o_orderkey", "shamsi", "gregorian")
+    }),
+
+    "url_canonicalize" -> ((s, dir) => {
+      import s.implicits._
+      // no oracle (canonicalization is engine-defined); property-tested
+      t(s, dir, "orders").select(col("o_orderkey")).as[Long]
+        .map { k =>
+          val u = s"HTTPS://H${k % 8}.Example.IR:443/a/./b/../Detail?z=$k&IdeaId=$k#frag"
+          (k, Urls.canonicalize(u), Urls.urlKey(u))
+        }.toDF("o_orderkey", "canonical_url", "url_key")
+    }),
+
+    // ---- dedup suite ----
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactDupGroups(doubledDocs(s, dir), "text")),
+
+    "dedup_keep_first" -> ((s, dir) =>
+      Dedup.exactKeepFirst(doubledDocs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 60), "text", "doc_id",
+        n = 3, threshold = 0.35)),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      // no oracle (xxhash64 is Spark-specific); OpsSpec verifies recall
+      // against the exact ngram-jaccard ground truth
+      Dedup.minhashLshPairs(doubledDocs(s, dir), "text", "doc_id",
+        numHashes = 64, bands = 16, jaccardThreshold = 0.8)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      // no oracle; near-dup doubled docs must collide at hamming 0
+      Dedup.simhashPairs(doubledDocs(s, dir), "text", "doc_id", maxHamming = 2)),
+
+    // ---- similarity search ----
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .select(col("qid"), col("neighbor_id"), col("rank"))
+    }),
+
+    "ann_lsh_pairs" -> ((s, dir) =>
+      // no oracle (hash-derived hyperplanes); OpsSpec verifies vs brute force
+      Ann.lshCandidatePairs(t(s, dir, "embeddings"),
+        bits = 8, tables = 6, dim = 64, minCosine = 0.2)),
+
+    // ---- text analysis ----
+    "text_lang_id" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy(TextStats.langIdByScript(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))),
+
+    "text_quality" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.qualityFeatures(col("text")).as("f"))
+      .select(col("doc_id"),
+        col("f.n_tokens").as("n_tokens"),
+        col("f.mean_word_len").as("mean_word_len"),
+        col("f.punct_ratio").as("punct_ratio"),
+        col("f.stopword_ratio").as("stopword_ratio"))),
+
+    "text_fingerprint" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
+
+    "text_token_count" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokenCountWs(col("text")).as("n_ws_tokens")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS revenue,
+         count(*) AS n_rows FROM lineitem GROUP BY 1, 2""",
+
+    "a1_dup_groups" ->
+      """SELECT o_custkey, count(*) AS dup_count FROM orders
+         GROUP BY 1 HAVING count(*) >= 2""",
+
+    "a2_distinct_card" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events FROM events GROUP BY 1""",
+
+    "a3_dup_stats" ->
+      """SELECT sum(c - 1) AS n_duplicates, round(avg(c), 6) AS avg_bucket,
+         max(c) AS max_bucket, count(*) AS n_buckets FROM
+         (SELECT count(*) AS c FROM orders GROUP BY o_custkey HAVING count(*) >= 2)""",
+
+    "a5_resume_point" ->
+      "SELECT event_type, max(ts) AS last_ts FROM events GROUP BY 1",
+
+    "w1_keep_first" ->
+      """SELECT user_id, event_id, event_type FROM
+         (SELECT user_id, event_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1""",
+
+    "w2_top10" ->
+      """SELECT o_custkey, count(*) AS dup_count FROM orders GROUP BY 1
+         ORDER BY dup_count DESC, o_custkey LIMIT 10""",
+
+    "w3_rank_per_key" ->
+      """SELECT event_type, event_id, value, rnk FROM
+         (SELECT event_type, event_id, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+          FROM events) WHERE rnk <= 3""",
+
+    "w6_politeness_schedule" ->
+      """SELECT event_type, event_id, slot, (slot - 1) * 1000 AS scheduled_delay_ms FROM
+         (SELECT event_type, event_id,
+          row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS slot
+          FROM events) WHERE slot <= 5""",
+
+    "j1_anti_seen" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+
+    "j2_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+
+    "j3_memoize_lookup" ->
+      """SELECT o_orderkey, coalesce(c_name, 'missing') AS cust_name
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+
+    "j4_union_distinct" ->
+      """SELECT DISTINCT user_id FROM
+         (SELECT user_id FROM events WHERE event_type = 'error'
+          UNION ALL SELECT user_id FROM events WHERE event_type = 'signup')""",
+
+    "j5_split_have_missing" ->
+      """SELECT c_custkey,
+         CASE WHEN n IS NULL THEN 'need_fetch' ELSE 'have' END AS split
+         FROM customer LEFT JOIN
+         (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+         ON c_custkey = o_custkey""",
+
+    "j6_retry_requeue" ->
+      """SELECT event_id, attempt FROM
+         (SELECT event_id, 0 AS attempt FROM events WHERE event_type = 'click'
+          UNION ALL SELECT event_id, 1 AS attempt FROM events WHERE event_type = 'error')
+         WHERE attempt <= 1""",
+
+    "f1_error_filter" ->
+      """SELECT doc_id, lang FROM documents WHERE NOT contains(text, 'join')""",
+
+    "f3_token_budget" ->
+      """SELECT doc_id, n_tokens FROM
+         (SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),
+          x -> len(x) > 0)) AS n_tokens FROM documents)
+         WHERE n_tokens <= 50""",
+
+    "p5_url_construct" ->
+      """SELECT o_orderkey, 'https://h' || (o_custkey % 8) ||
+         '.example.ir/opinions/Detail?IdeaId=' || o_orderkey AS url FROM orders""",
+
+    "p7_regex_extract" ->
+      """SELECT o_orderkey, regexp_extract(
+         '<a href="/Detail?IdeaId=' || o_orderkey || '">x</a>',
+         'IdeaId=(\d+)', 1) AS idea_id FROM orders""",
+
+    "p_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+         FROM events""",
+
+    "extract_invariant" ->
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted_text
+         FROM documents""",
+
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, count(*) AS dup_count,
+         min(doc_id) AS keep_id FROM
+         (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents)
+         GROUP BY 1 HAVING count(*) >= 2""",
+
+    "dedup_keep_first" ->
+      """SELECT doc_id, lang, n_chars FROM
+         (SELECT doc_id, text, lang, n_chars,
+          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM
+          (SELECT doc_id, text, lang, source, n_chars FROM documents
+           UNION ALL SELECT doc_id + 100000, text, lang, source, n_chars FROM documents))
+         WHERE rn = 1""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(length(lower(text)) - 1, 1)),
+             i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS grams
+           FROM documents WHERE doc_id < 60)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         FROM g a, g b WHERE a.doc_id < b.doc_id
+         AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35""",
+
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.qid)
+         SELECT qid, neighbor_id, rank FROM
+         (SELECT qid, neighbor_id,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5""",
+
+    "text_lang_id" ->
+      """SELECT CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0
+           THEN 'unknown' ELSE 'latin' END AS pred_lang, count(*) AS n
+         FROM documents GROUP BY 1""",
+
+    "text_quality" ->
+      """SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         round(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS stopword_ratio
+         FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+               FROM documents)""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+
+    "text_token_count" ->
+      """SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),
+         x -> len(x) > 0)) AS n_ws_tokens FROM documents"""
+  )
 }

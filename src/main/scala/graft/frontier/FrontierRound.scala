@@ -1,0 +1,224 @@
+package graft.frontier
+
+import graft.extract.Extractor
+import graft.model._
+import graft.seen.CuckooFilter
+import graft.url.Urls
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+
+/** One frontier round — the Spark-native re-expression of the reference's
+  * crawl loop (/root/reference/src/handler.py:444-497; lifecycle trace in
+  * SURVEY.md §3.1): anti-join the candidate frontier against the URL-seen
+  * set (bloom prefilter + exact left-anti; reference analog: the in-memory
+  * id sets, check_pages.py:584-591), rank per host and enforce the
+  * politeness budget (the W6 window-agg contract), "fetch" by joining the
+  * pages table on url, validate the error sentinel (F1), extract (P1),
+  * discover outlinks, and emit deferred + retry (J6) + fresh links as the
+  * next frontier. Every step is declarative Dataset/DataFrame work so
+  * Catalyst prunes parquet columns (url, html only) and AQE handles skew.
+  */
+object FrontierRound {
+
+  final case class SchedulePlan(
+      scheduled: DataFrame, // FrontierEntry cols + slot + scheduled_delay_ms
+      deferred: Dataset[FrontierEntry]) // over-budget rows, carried forward
+
+  final case class RoundOutput(
+      scheduled: DataFrame,
+      results: DataFrame, // FetchResult-shaped
+      extracted: Dataset[Extracted],
+      newFrontier: Dataset[FrontierEntry],
+      newSeenKeys: DataFrame, // url_key of everything scheduled this round
+      metrics: Dataset[RoundMetrics])
+
+  /** Canonicalize raw (url, priority) pairs into frontier entries. */
+  def toFrontier(spark: SparkSession, links: DataFrame, round: Int): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    links
+      .select(col("url"), col("priority"))
+      .as[(String, Double)]
+      .map { case (u, p) =>
+        val canon = Urls.canonicalize(u)
+        FrontierEntry(Urls.sha256Hex(canon), canon, Urls.host(canon), p, 0, round)
+      }
+  }
+
+  /** Per-host budgeted scheduling, two-phase so a mega-host can never pin a
+    * single task to its full frontier (SURVEY.md §4 "explicit physical
+    * choices"): phase 1 ranks within (host, salt) — at most S tasks see the
+    * mega-host, each keeping ≤ budget rows — phase 2 ranks the ≤ S·budget
+    * survivors per host exactly. Slot k ⇒ scheduled_delay_ms = k·delay(host),
+    * the window-agg rate limiting the north_rule names. Rows beyond the
+    * budget are DEFERRED (carried to the next round), mirroring the
+    * reference's bounded queue backpressure (handler.py:290, max_queue_size).
+    */
+  def schedule(
+      spark: SparkSession,
+      frontier: Dataset[FrontierEntry],
+      robots: RobotsRules,
+      cfg: PolitenessConfig): SchedulePlan = {
+    import spark.implicits._
+    val robotsB = spark.sparkContext.broadcast(robots)
+    val cfgB = spark.sparkContext.broadcast(cfg)
+
+    val allowed = frontier.filter(e => robotsB.value.allowed(e.host, e.url))
+
+    // de-dup within the frontier (same url discovered from several pages):
+    // keep the best (lowest) priority, deterministic tiebreak
+    val dedupW = Window.partitionBy($"url_key")
+      .orderBy($"priority", $"attempt".desc, $"discovered_round")
+    val deduped = allowed.toDF()
+      .withColumn("rn", row_number().over(dedupW)).filter($"rn" === 1).drop("rn")
+      .cache()
+
+    val budgetUdf = udf((host: String) => robotsB.value.budget(host, cfgB.value))
+    val delayUdf = udf((host: String) => robotsB.value.delayMs(host, cfgB.value))
+
+    val salted = deduped.withColumn(
+      "salt", pmod(xxhash64($"url_key"), lit(cfg.saltBuckets)).cast("int"))
+    val phase1 = Window.partitionBy($"host", $"salt").orderBy($"priority", $"url_key")
+    val pruned = salted
+      .withColumn("rn", row_number().over(phase1))
+      .filter($"rn" <= budgetUdf($"host"))
+      .drop("rn", "salt")
+    val phase2 = Window.partitionBy($"host").orderBy($"priority", $"url_key")
+    val scheduled = pruned
+      .withColumn("slot", row_number().over(phase2))
+      .filter($"slot" <= budgetUdf($"host"))
+      .withColumn("scheduled_delay_ms", ($"slot" - 1).cast("long") * delayUdf($"host"))
+
+    val deferred = deduped
+      .join(scheduled.select($"url_key"), Seq("url_key"), "left_anti")
+      .as[FrontierEntry]
+    SchedulePlan(scheduled, deferred)
+  }
+
+  /** Seen-set reduction: bloom prefilter (spark-sketch builtin over the seen
+    * table) + exact left-anti join on the "maybe seen" survivors. The bloom
+    * lets ~(1-fpp) of genuinely-new URLs skip the shuffle entirely — at
+    * 10^10 keys that is the difference between a broadcast bitmap probe and
+    * an all-to-all join.
+    */
+  def notSeen(
+      spark: SparkSession,
+      candidates: Dataset[FrontierEntry],
+      seenKeys: DataFrame, // single column url_key
+      cfg: PolitenessConfig): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    if (seenKeys == null) return candidates
+    val seenCount = seenKeys.count()
+    if (seenCount == 0) return candidates
+    if (!cfg.useBloomPrefilter)
+      return candidates.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry]
+    val bloom = seenKeys.stat.bloomFilter("url_key", math.max(seenCount, 1000L), cfg.bloomFpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val definitelyNew = candidates.filter(e => !bloomB.value.mightContainString(e.url_key))
+    val maybeSeen = candidates.filter(e => bloomB.value.mightContainString(e.url_key))
+    definitelyNew.union(
+      maybeSeen.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry])
+  }
+
+  /** Run one round against the pages table. `pages` needs only (url, html)
+    * — Catalyst prunes the rest at the parquet scan.
+    */
+  def run(
+      spark: SparkSession,
+      pages: DataFrame,
+      frontier: Dataset[FrontierEntry],
+      seenKeys: Option[DataFrame], // cumulative BEFORE this round
+      round: Int,
+      robots: RobotsRules = RobotsRules.empty,
+      cfg: PolitenessConfig = PolitenessConfig()): RoundOutput = {
+    import spark.implicits._
+
+    val plan = schedule(spark, frontier, robots, cfg)
+    val scheduled = plan.scheduled.cache()
+
+    // "fetch" = equi-join with the pages table on url (SURVEY.md S2: the
+    // Common-Crawl-style table lookup); left join so absent pages become
+    // fetch failures. html is the only page column touched.
+    val fetched = scheduled
+      .join(pages.select($"url", $"html"), Seq("url"), "left")
+
+    val classified = fetched.withColumn(
+      "status",
+      when($"html".isNull, lit("missing"))
+        .when(decode($"html", "UTF-8").contains(Extractor.ErrorSentinel), lit("error_page"))
+        .otherwise(lit("ok")))
+      .cache()
+
+    val results = classified
+      .select($"url_key", $"url", $"host", $"attempt", lit(round).as("round"), $"status")
+
+    val okPages = classified.filter($"status" === "ok")
+      .select($"url", $"html", $"priority")
+
+    val extracted = okPages.select($"url", $"html")
+      .as[(String, Array[Byte])]
+      .map { case (u, h) =>
+        val fileId = Urls.ideaId(u).getOrElse(Urls.sha256Hex(u))
+        Extractor.extractBytes(u, fileId, h)
+      }
+
+    // outlink discovery with a per-partition cuckoo combiner: a mega-host's
+    // listing pages repeat URLs heavily; local dedup cuts shuffle volume.
+    // The combiner keys on (url, priority) so cross-page duplicates with
+    // different priorities survive to the exact min-priority window dedup.
+    val rawLinks = okPages
+      .as[(String, Array[Byte], Double)]
+      .mapPartitions { it =>
+        val local = CuckooFilter.create(1 << 16)
+        it.flatMap { case (u, h, _) =>
+          Outlinks.extract(u, new String(h, StandardCharsets.UTF_8)).filter {
+            case (link, prio) =>
+              val k = CuckooFilter.hash64(s"$link#$prio")
+              if (local.mightContainHash(k)) false
+              else { local.insertHash(k); true }
+          }
+        }
+      }
+      .toDF("url", "priority")
+
+    val freshCandidates = toFrontier(spark, rawLinks, round + 1)
+
+    // seen set after this round = everything scheduled (attempted), like the
+    // reference's successful∪failed bookkeeping (handler.py:134-141)
+    val newSeenKeys = scheduled.select($"url_key")
+
+    // fresh links must not include anything ever scheduled: cumulative seen
+    // ∪ this round's schedule (J1, the central frontier op)
+    val seenAfter = seenKeys match {
+      case Some(s) => s.select($"url_key").union(newSeenKeys)
+      case None => newSeenKeys
+    }
+    val fresh = notSeen(spark, freshCandidates, seenAfter, cfg)
+
+    // retries re-enter the frontier bypassing the seen check (J6,
+    // handler.py:397-442: one re-pass for failures)
+    val retries = results
+      .filter($"status" =!= "ok" && $"attempt" + 1 <= cfg.maxRetries)
+      .join(scheduled.select($"url_key", $"priority", $"discovered_round"), Seq("url_key"))
+      .select($"url_key", $"url", $"host", $"priority",
+        ($"attempt" + 1).as("attempt"), $"discovered_round")
+      .as[FrontierEntry]
+
+    val newFrontier = fresh.union(retries).union(plan.deferred)
+
+    val metrics = classified
+      .withColumn("partition_id", spark_partition_id())
+      .groupBy($"partition_id")
+      .agg(
+        count(lit(1)).as("scheduled"),
+        sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"),
+        sum(when($"status" === "error_page", 1L).otherwise(0L)).as("error_pages"),
+        sum(when($"status" === "missing", 1L).otherwise(0L)).as("missing"))
+      .select(lit(round).as("round"), $"partition_id", $"scheduled", $"fetched_ok",
+        $"error_pages", $"missing", $"fetched_ok".as("extracted"), lit(0L).as("outlinks"))
+      .as[RoundMetrics]
+
+    RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.frontier
+
+/** Per-host politeness + robots rules (north_rule additions; the reference
+  * has no robots handling — it fakes browser headers,
+  * /root/reference/src/handler.py:191-208 — and paces with a fixed 1s sleep
+  * + 0.5s request_delay + 0.5-1.5s jitter, handler.py:274,335,362).
+  *
+  * Defaults reproduce the reference's *budgeted* envelope: delayMs = 1500
+  * (1s fixed + 0.5s inter-item), budget = pageSize fetches/host/round.
+  */
+final case class PolitenessConfig(
+    defaultBudget: Int = 10,
+    defaultDelayMs: Long = 1500L,
+    maxRetries: Int = 1, // one re-pass, like retry_failed_ids (handler.py:397-442)
+    saltBuckets: Int = 8,
+    bloomFpp: Double = 0.01,
+    useBloomPrefilter: Boolean = true)
+
+/** Parsed robots rules for one host. */
+final case class HostRules(
+    crawlDelayMs: Option[Long],
+    budget: Option[Int],
+    disallow: Seq[String])
+
+final case class RobotsRules(byHost: Map[String, HostRules]) extends Serializable {
+  def delayMs(host: String, cfg: PolitenessConfig): Long =
+    byHost.get(host).flatMap(_.crawlDelayMs).getOrElse(cfg.defaultDelayMs)
+  def budget(host: String, cfg: PolitenessConfig): Int =
+    byHost.get(host).flatMap(_.budget).getOrElse(cfg.defaultBudget)
+  def allowed(host: String, url: String): Boolean = {
+    val path = RobotsRules.pathOf(url)
+    byHost.get(host).forall(r => !r.disallow.exists(p => p.nonEmpty && path.startsWith(p)))
+  }
+}
+
+object RobotsRules {
+  val empty: RobotsRules = RobotsRules(Map.empty)
+
+  def pathOf(url: String): String = {
+    val i = url.indexOf("://")
+    if (i < 0) return url
+    val rest = url.substring(i + 3)
+    val slash = rest.indexOf('/')
+    if (slash < 0) "/" else rest.substring(slash)
+  }
+
+  /** Minimal robots.txt parser: honors the `User-agent: *` group's
+    * Disallow prefixes and Crawl-delay (seconds).
+    */
+  def parseRobotsTxt(txt: String): HostRules = {
+    var inStar = false
+    var sawAnyGroup = false
+    val disallow = scala.collection.mutable.ArrayBuffer.empty[String]
+    var delay: Option[Long] = None
+    txt.split("\n").foreach { lineRaw =>
+      val line = lineRaw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            sawAnyGroup = true
+            inStar = value == "*"
+          case "disallow" if inStar => if (value.nonEmpty) disallow += value
+          case "crawl-delay" if inStar =>
+            try delay = Some((value.toDouble * 1000).toLong)
+            catch { case _: NumberFormatException => }
+          case _ =>
+        }
+      }
+    }
+    HostRules(delay, None, disallow.toSeq)
+  }
+
+  def fromTexts(robots: Map[String, String]): RobotsRules =
+    RobotsRules(robots.map { case (h, t) => h -> parseRobotsTxt(t) })
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * built-in column expressions (whole-stage codegen; no UDFs), so they
+  * push down/prune like any Catalyst plan at 100 TB.
+  *
+  * Reference analogs: the tiktoken budget filter
+  * (/root/reference/src/embedding.py:63-85, F3) and the text-cleanup
+  * projections of SURVEY.md §2.2.
+  */
+object TextStats {
+
+  /** Whitespace-delimited token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
+    * punctuation singles), each word contributing ceil(len/4) subwords —
+    * the classic ~4-chars-per-token budget heuristic standing in for
+    * tiktoken (embedding.py:70-85), which is unavailable offline.
+    */
+  def tokenCountBpeIsh(text: Column): Column = {
+    val pieces = filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val wordTokens = aggregate(pieces, lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+    val punct = size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]")))
+    wordTokens + punct.cast("long")
+  }
+
+  /** Oversize filter predicate (F3): keep docs within the token budget. */
+  def withinTokenBudget(text: Column, maxTokens: Int): Column =
+    tokenCountBpeIsh(text) <= maxTokens
+
+  /** Script-ratio language ID (n-gram-free heuristic): classify by the
+    * dominant unicode script among letters; 'unknown' when below minRatio.
+    * At web scale this runs as a single projection over the text column.
+    */
+  def langIdByScript(text: Column, minRatio: Double = 0.5): Column = {
+    val letters = filter(split(text, ""), c => c.rlike("\\p{L}"))
+    val total = greatest(size(letters), lit(1)).cast("double")
+    val arabicN = size(filter(letters, c => c.rlike("\\p{IsArabic}"))).cast("double")
+    val latinN = size(filter(letters, c => c.rlike("\\p{IsLatin}"))).cast("double")
+    val cyrN = size(filter(letters, c => c.rlike("\\p{IsCyrillic}"))).cast("double")
+    val hanN = size(filter(letters, c => c.rlike("\\p{IsHan}"))).cast("double")
+    when(size(letters) === 0, lit("unknown"))
+      .when(arabicN / total >= minRatio,
+        // Persian vs Arabic: Persian-specific letters پچژگ or ZWNJ usage
+        when(text.rlike("[پچژگی]"), lit("fa")).otherwise(lit("ar")))
+      .when(hanN / total >= minRatio, lit("zh"))
+      .when(cyrN / total >= minRatio, lit("ru"))
+      .when(latinN / total >= minRatio, lit("latin"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Quality features struct: length, token count, mean word length,
+    * punctuation ratio, digit ratio, uppercase ratio, stopword-ish ratio
+    * (English function words as a crude proxy).
+    */
+  def qualityFeatures(text: Column): Column = {
+    val n = greatest(length(text), lit(1)).cast("double")
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val stopN = size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("double")
+    val punctN = (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+    val digitN = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+    val meanWordLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks
+    struct(
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(punctN / n, 6).as("punct_ratio"),
+      round(digitN / n, 6).as("digit_ratio"),
+      round(stopN / nToks, 6).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation/digit noise. Deterministic, monotone in its features.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_tokens").cast("double") / 100.0, lit(1.0))
+    val noise = f.getField("punct_ratio") + f.getField("digit_ratio")
+    round(greatest(least(lenScore * 0.5 + f.getField("stopword_ratio") * 2.0 * 0.3 +
+      (lit(1.0) - least(noise * 4.0, lit(1.0))) * 0.2, lit(1.0)), lit(0.0)), 6)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the canonical-form hash used for exact near-layout dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Winnowing-style robust fingerprint: min-k of rolling n-gram hashes
+    * (k smallest xxhash64 over word 3-grams) as a sorted array — stable
+    * under local edits; built-ins only.
+    */
+  def minKFingerprint(text: Column, k: Int = 8): Column = {
+    val words = filter(split(lower(text), "\\W+"), t => length(t) > 0)
+    val grams = transform(sequence(lit(0), greatest(size(words) - 3, lit(0))),
+      i => xxhash64(array_join(slice(words, i + 1, lit(3)), " ")))
+    slice(array_sort(array_distinct(grams)), 1, k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Iceberg-shaped snapshot store over Parquet + an atomic manifest
+  * (SURVEY.md §7.6): no Iceberg runtime jar exists in this sandbox, so the
+  * semantics the north_rule needs — atomic multi-table commit per round,
+  * resume from the latest snapshot, per-round lineage — are provided by a
+  * manifest file swapped into place with a filesystem rename. A real
+  * Iceberg catalog is a drop-in binding (same commit/latest contract) when
+  * the jar exists.
+  *
+  * Layout:
+  *   root/rounds/r000N/<table>/   parquet data, written BEFORE the commit
+  *   root/manifest.json           {round, tables:{name:path}, lineage}
+  *   root/_tmp/                   in-flight writes; orphans are ignored by
+  *                                resume (FIXTURES.md §6 kill/restart)
+  *
+  * Reference analog: resumable progress via find_last_saved_page
+  * (/root/reference/src/handler.py:553-599) — but file-per-doc scans are
+  * replaced by columnar snapshots.
+  */
+object FrontierStore {
+  final case class Snapshot(round: Int, tables: Map[String, String])
+}
+
+final class FrontierStore(spark: SparkSession, root: String) {
+  import FrontierStore.Snapshot
+
+  private val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+  private def manifestPath = new Path(root, "manifest.json")
+  private def roundDir(round: Int) = new Path(root, f"rounds/r$round%05d")
+
+  /** Write all tables for `round`, then atomically publish the manifest.
+    * A crash before the rename leaves the previous snapshot intact.
+    */
+  def commit(round: Int, tables: Map[String, DataFrame]): Snapshot = {
+    val dir = roundDir(round)
+    val paths = tables.map { case (name, df) =>
+      val p = new Path(dir, name).toString
+      df.write.mode(SaveMode.Overwrite).parquet(p)
+      name -> p
+    }
+    val tmp = new Path(root, s"_tmp/manifest-$round.json")
+    fs.mkdirs(tmp.getParent)
+    val json = renderManifest(Snapshot(round, paths))
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(manifestPath, false)
+    if (!fs.rename(tmp, manifestPath))
+      throw new java.io.IOException(s"commit rename failed for round $round")
+    Snapshot(round, paths)
+  }
+
+  /** Latest committed snapshot, ignoring any orphan _tmp/rounds data. */
+  def latest(): Option[Snapshot] = {
+    if (!fs.exists(manifestPath)) return None
+    val in = fs.open(manifestPath)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    Some(parseManifest(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  def read(snapshot: Snapshot, table: String): DataFrame =
+    spark.read.parquet(snapshot.tables(table))
+
+  // minimal flat JSON (name→path map + round) — no external JSON dep needed
+  private def renderManifest(s: Snapshot): String = {
+    val entries = s.tables.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }.mkString(", ")
+    s"""{"round": ${s.round}, "tables": {$entries}}"""
+  }
+
+  private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private val RoundRe = """"round"\s*:\s*(\d+)""".r
+  private val EntryRe = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
+  private def parseManifest(json: String): Snapshot = {
+    val round = RoundRe.findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"bad manifest: $json"))
+    val tablesPart = json.substring(json.indexOf("\"tables\""))
+    val tables = EntryRe.findAllMatchIn(tablesPart).collect {
+      case m if m.group(1) != "tables" => unesc(m.group(1)) -> unesc(m.group(2))
+    }.toMap
+    Snapshot(round, tables)
+  }
+
+  private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
+}

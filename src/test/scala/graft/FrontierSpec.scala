@@ -1,0 +1,166 @@
+package graft
+
+import graft.extract.Extractor
+import graft.fixtures.{FixtureConfig, FixtureGen}
+import graft.frontier._
+import graft.sim.CrawlSimulator
+import graft.store.FrontierStore
+import org.apache.spark.sql.functions._
+
+/** Crawl-equivalence + politeness + resume tests (SURVEY.md §5 tests 2/4,
+  * FIXTURES.md §4/§6): the Spark engine must reproduce the scalar
+  * simulator's schedule (round, host, slot, url), final URL-seen set, and
+  * extracted set exactly, under the same seeds + politeness budget.
+  */
+class FrontierSpec extends SparkTestBase {
+
+  private val cfg = FixtureConfig(seed = 42L, hosts = 4, totalDetails = 60)
+  private lazy val pagesDf = FixtureGen.pages(spark, cfg, partitions = 4).toDF().cache()
+  private lazy val universe = FixtureGen.universe(cfg)
+
+  private def runBoth(pol: PolitenessConfig, robots: RobotsRules = RobotsRules.empty) = {
+    val sim = CrawlSimulator.run(universe, cfg.seeds, robots, pol, maxRounds = 50)
+    val eng = FrontierCrawl.run(spark, pagesDf, cfg.seeds, None, robots, pol, maxRounds = 50)
+    (sim, eng)
+  }
+
+  // the default-politeness crawl is asserted by several tests; run it once
+  private lazy val defaultRun =
+    runBoth(PolitenessConfig(defaultBudget = 7, saltBuckets = 4))
+
+  test("fixture universe sanity: details + listings, mega-host skew") {
+    assert(universe.size == cfg.totalRows)
+    assert(cfg.hostCounts(0) == 30) // mega-host = half
+    assert(universe.keys.exists(_.contains("IdeaId=")))
+    assert(universe.keys.exists(_.contains("search?page=")))
+  }
+
+  test("engine schedule == simulator schedule (round, host, slot, url, status)") {
+    val (sim, eng) = defaultRun
+    val resultsR = eng.results.select(col("url_key").as("rk"),
+      col("round").as("r_round"), col("status"))
+    val engRows = eng.schedule
+      .join(resultsR,
+        eng.schedule("url_key") === resultsR("rk") &&
+          eng.schedule("round") === resultsR("r_round"))
+      .select(eng.schedule("round"), eng.schedule("host"), col("slot"),
+        eng.schedule("url"), col("status"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3), r.getString(4)))
+      .toSet
+    val simRows = sim.schedule.map(f => (f.round, f.host, f.slot, f.url, f.status)).toSet
+    assert(engRows == simRows)
+  }
+
+  test("final seen set equals simulator's") {
+    val (sim, eng) = defaultRun
+    val engSeen = eng.seenKeys.collect().map(_.getString(0)).toSet
+    assert(engSeen == sim.seen)
+  }
+
+  test("extracted url set equals simulator's; extraction is byte-identical") {
+    val (sim, eng) = defaultRun
+    val engExtract = eng.extracted.collect()
+    assert(engExtract.map(_.getAs[String]("url")).toSet == sim.extractedUrls)
+    // per-url byte equality against direct extraction from the universe body
+    engExtract.foreach { row =>
+      val u = row.getAs[String]("url")
+      val direct = Extractor.extract(u,
+        graft.url.Urls.ideaId(u).getOrElse(graft.url.Urls.sha256Hex(u)), universe(u))
+      assert(row.getAs[String]("question") == direct.question, u)
+      assert(row.getAs[String]("answer") == direct.answer, u)
+      assert(row.getAs[String]("content") == direct.content, u)
+      assert(row.getAs[String]("opinion_date_gregorian") == direct.opinion_date_gregorian, u)
+    }
+  }
+
+  test("politeness budget: no host exceeds budget in any round; slots dense") {
+    val pol = PolitenessConfig(defaultBudget = 5, defaultDelayMs = 1000L, saltBuckets = 4)
+    val (_, eng) = runBoth(pol)
+    val perHostRound = eng.schedule.groupBy(col("round"), col("host"))
+      .agg(count(lit(1)).as("n"), max(col("slot")).as("maxSlot"),
+        max(col("scheduled_delay_ms")).as("maxDelay"))
+      .collect()
+    perHostRound.foreach { r =>
+      assert(r.getAs[Long]("n") <= 5, r.toString)
+      assert(r.getAs[Int]("maxSlot") == r.getAs[Long]("n"), r.toString)
+      assert(r.getAs[Long]("maxDelay") == (r.getAs[Long]("n") - 1) * 1000L, r.toString)
+    }
+  }
+
+  test("equivalence holds under skewed budgets and a disallow rule") {
+    val robots = RobotsRules(Map(
+      "h0.example.ir" -> HostRules(Some(500L), Some(3), Seq()),
+      "h1.example.ir" -> HostRules(None, None, Seq("/opinions"))))
+    val pol = PolitenessConfig(defaultBudget = 6, saltBuckets = 4)
+    val (sim, eng) = runBoth(pol, robots)
+    val engSched = eng.schedule.select(col("round"), col("host"), col("slot"), col("url"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val simSched = sim.schedule.map(f => (f.round, f.host, f.slot, f.url)).toSet
+    assert(engSched == simSched)
+    // h1 details never fetched (robots disallow /opinions)
+    assert(!engSched.exists { case (_, h, _, u) => h == "h1.example.ir" && u.contains("IdeaId") })
+    // h0 never exceeds its robots budget of 3
+    val h0 = eng.schedule.filter(col("host") === "h0.example.ir")
+      .groupBy(col("round")).count().collect()
+    h0.foreach(r => assert(r.getLong(1) <= 3))
+  }
+
+  test("missing pages retried exactly once (maxRetries=1) then dropped") {
+    val seeds = cfg.seeds :+ s"https://h9.example.ir/search?page=1" // not in universe
+    val pol = PolitenessConfig(defaultBudget = 7, saltBuckets = 4)
+    val sim = CrawlSimulator.run(universe, seeds, RobotsRules.empty, pol, 50)
+    val eng = FrontierCrawl.run(spark, pagesDf, seeds, None, RobotsRules.empty, pol, 50)
+    val missing = eng.results.filter(col("status") === "missing")
+      .groupBy(col("url")).count().collect()
+    assert(missing.nonEmpty)
+    missing.foreach(r => assert(r.getLong(1) == 2L, r.toString)) // initial + 1 retry
+    val engSched = eng.schedule.select(col("round"), col("host"), col("slot"), col("url"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(engSched == sim.schedule.map(f => (f.round, f.host, f.slot, f.url)).toSet)
+  }
+
+  test("error pages are filtered from extraction but counted in results") {
+    // denser error-page fixture (60-detail default yields ~1 expected)
+    val cfgE = FixtureConfig(seed = 7L, hosts = 2, totalDetails = 40,
+      errorPagePerMille = 200)
+    val pagesE = FixtureGen.pages(spark, cfgE, partitions = 2).toDF()
+    val eng = FrontierCrawl.run(spark, pagesE, cfgE.seeds, None,
+      RobotsRules.empty, PolitenessConfig(defaultBudget = 7, saltBuckets = 4), 50)
+    val nError = eng.results.filter(col("status") === "error_page").count()
+    assert(nError > 0) // fixture has ~2% error pages
+    val extractedUrls = eng.extracted.select("url").collect().map(_.getString(0)).toSet
+    val errorUrls = eng.results.filter(col("status") === "error_page")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(extractedUrls.intersect(errorUrls).isEmpty)
+  }
+
+  test("resume from snapshot: killed run + restart == uninterrupted run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val pol = PolitenessConfig(defaultBudget = 7, saltBuckets = 4)
+
+    // uninterrupted
+    val full = FrontierCrawl.run(spark, pagesDf, cfg.seeds, None, RobotsRules.empty, pol, 50)
+    val fullSeen = full.seenKeys.collect().map(_.getString(0)).toSet
+
+    // phase 1: stop after 2 rounds (simulated kill)
+    val store = new FrontierStore(spark, dir)
+    FrontierCrawl.run(spark, pagesDf, cfg.seeds, Some(store), RobotsRules.empty, pol, 2)
+    // orphan in-flight temp data must be ignored on resume
+    val orphan = new java.io.File(s"$dir/_tmp/orphan")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("junk.json"), "{broken")
+
+    // phase 2: resume to completion
+    val resumed = FrontierCrawl.run(spark, pagesDf, cfg.seeds, Some(store), RobotsRules.empty, pol, 50)
+    val resumedSeen = resumed.seenKeys.collect().map(_.getString(0)).toSet
+    assert(resumedSeen == fullSeen)
+
+    // per-(round, partition) lineage metrics exist for every committed round
+    val st2 = new FrontierStore(spark, dir)
+    val last = st2.latest().get
+    assert(last.round > 1)
+    val metrics = st2.read(last, "metrics")
+    assert(metrics.count() > 0)
+  }
+}
