@@ -48,29 +48,13 @@ object Ann {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Random-hyperplane signature: bit i = sign(v · h_i) where h_i is a
-    * deterministic pseudo-random hyperplane derived from (seed, i, dim) —
-    * reproducible across runs with no stored model.
-    */
-  def rhpSignature(vecCol: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
-    val vd = transform(vecCol, x => x.cast("double"))
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, b) => {
-        // h_i components: hash-derived pseudo-gaussian-ish in [-1, 1]
-        val dot = aggregate(
-          zip_with(vd, sequence(lit(0), lit(dim - 1)),
-            (x, j) => x * (pmod(xxhash64(b, j, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
-          lit(0.0), (s, v) => s + v)
-        acc.bitwiseOR(when(dot > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
-      })
-  }
-
-  /** LSH-bucketed approximate neighbor candidates: vectors sharing any of
-    * `tables` signature bands become candidates; exact cosine verifies.
-    * At scale this replaces the |corpus|² / broadcast join with shuffles
-    * keyed on (table, band-signature).
+  /** LSH (random-hyperplane) approximate neighbor candidates: vectors
+    * sharing a signature in any of `tables` hash tables become candidates;
+    * exact cosine verifies. Hyperplanes are deterministic from the seed,
+    * generated driver-side (KBs) and broadcast; per-row signatures run in a
+    * typed flatMap (tight loops — nested Catalyst lambdas are interpreted).
+    * At scale the shuffle carries (table, signature, id, vector) — the
+    * |corpus|² broadcast of brute force disappears.
     */
   def lshCandidatePairs(
       corpus: DataFrame,
@@ -81,39 +65,29 @@ object Ann {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L): DataFrame = {
-    // one signature per (vector, table): explode the table index so each
-    // table uses distinct hash-derived hyperplanes
-    val exploded = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(spark_table(tables))
-      .withColumn("sig", rhpSignatureDynamic(col("v"), bits, dim, col("t"), seed))
-    val l = exploded.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = exploded.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = Sketches.hyperplanes(tables, bits, dim, seed)
+    val planesB = spark.sparkContext.broadcast(planes)
+
+    val signed = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val p = planesB.value
+        (0 until p.length).iterator.map(t => (t, Sketches.rhpSignature(v, p(t)), id, v))
+      }
+      .toDF("t", "sig", "id", "v")
+
+    val l = signed.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = signed.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (idA, idB, vA, vB) => (idA, idB, Sketches.cosine(vA, vB)) }
+      .toDF("id_a", "id_b", "cosine")
       .filter(col("cosine") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-  }
-
-  private def spark_table(tables: Int): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    spark.range(tables).toDF("t")
-  }
-
-  /** rhpSignature with the table index folded into the hyperplane hash. */
-  private def rhpSignatureDynamic(vecCol: Column, bits: Int, dim: Int,
-      tCol: Column, seed: Long): Column = {
-    val vd = transform(vecCol, x => x.cast("double"))
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, b) => {
-        val dot = aggregate(
-          zip_with(vd, sequence(lit(0), lit(dim - 1)),
-            (x, j) => x * (pmod(xxhash64(b, j, tCol, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
-          lit(0.0), (s, v) => s + v)
-        acc.bitwiseOR(when(dot > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
-      })
+      .withColumn("cosine", round(col("cosine"), 6))
   }
 }

@@ -32,32 +32,13 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** Normalized word shingles of size k as a deduplicated array column. */
-  def shingles(textCol: Column, k: Int): Column = {
-    val words = split(lower(textCol), "\\W+")
-    // sliding k-grams via transform over indices
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
-        i => array_join(slice(words, i + 1, lit(k)), " ")),
-      s => length(s) > 0))
-  }
-
-  /** MinHash signature: for each of `numHashes` seeded hash functions take
-    * the min over shingle hashes. Pure built-in columns (xxhash64 + array
-    * transforms) — whole-stage codegen, no UDF.
-    */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
-
   /** MinHash + LSH banding candidate pairs with verified shingle-Jaccard.
     *
-    * shingle → minhash (numHashes) → split into bands → hash each band →
-    * self-join on (band_idx, band_hash) → distinct candidate pairs →
-    * verify exact Jaccard over shingle sets ≥ threshold.
-    *
-    * At scale: the self-join shuffles only (band, hash, id); the verify
-    * join re-fetches shingles for candidates only.
+    * Per-row signature math (shingle → minhash → band hashes) runs in a
+    * typed map (tight JVM loops, see Sketches); the candidate generation is
+    * a declarative self-join keyed on (band, band_hash) and the verify step
+    * re-joins the shingle table for candidates only. At scale the shuffle
+    * carries (band, hash, id) triples — never the documents.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -67,71 +48,58 @@ object Dedup {
       bands: Int = 16,
       jaccardThreshold: Double = 0.5,
       shingleSize: Int = 3): DataFrame = {
-    val rows = bands // rows per band = numHashes / bands
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
 
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    val shingled = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, Sketches.shingles(if (t == null) "" else t, shingleSize)) }
+      .toDF("id", "sh")
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .cache()
 
-    val banded = withSig
-      .select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(
-            transform(sequence(lit(0), lit(rowsPerBand - 1)),
-              r => element_at(col("sig"), b * rowsPerBand + r + 1)), ",")))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = shingled.as[(Long, Array[String])]
+      .flatMap { case (id, sh) =>
+        val bh = Sketches.bandHashes(Sketches.minhashSignature(sh, numHashes), bands)
+        bh.iterator.zipWithIndex.map { case (h, b) => (b, h, id) }
+      }
+      .toDF("band", "band_hash", "id")
 
-    val left = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-
-    val candidates = left.join(right, Seq("band", "band_hash"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band", "band_hash"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
 
     candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .map { case (idB, idA, shA, shB) =>
+        (idA, idB, Sketches.jaccard(shA, shB))
+      }
+      .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .withColumn("jaccard", round(col("jaccard"), 6))
   }
 
-  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
-    * hash bits; sign → bit. Computed with built-in array ops (codegen).
-    */
-  def simhash(textCol: Column): Column = {
-    val tokens = filter(split(lower(textCol), "\\W+"), t => length(t) > 0)
-    val hashes = transform(tokens, t => xxhash64(t))
-    // for each bit b: sum over tokens of (bit set ? 1 : -1); >0 → set bit
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(
-        when(
-          aggregate(hashes, lit(0),
-            (s, h) => s + when(call_function("shiftright", h, b)
-              .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-            > 0,
-          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))))
-  }
-
-  /** SimHash near-dup candidate pairs: split the 64-bit hash into 4
-    * 16-bit blocks (two identical blocks ⇒ hamming ≤ ~32 candidates);
-    * verify hamming distance ≤ maxHamming via bit_count(xor).
+  /** SimHash near-dup candidate pairs: 64-bit simhash per doc (typed map),
+    * split into 4 16-bit blocks (two docs within hamming 3 share at least
+    * one block); verify hamming via bit_count(xor).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withHash = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh64"))
-    val blocked = withHash.select(col("id"), col("sh64"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sh64"), b * 16).bitwiseAND(lit(0xffffL)))))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withHash = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, Sketches.simhash64(if (t == null) "" else t)) }
+      .toDF("id", "sh64")
+    val blocked = withHash
+      .select(col("id"), col("sh64"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("sh64"), b * 16).bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
     val l = blocked.select(col("block"), col("block_val"), col("id").as("id_a"), col("sh64").as("h_a"))

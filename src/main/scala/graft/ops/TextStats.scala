@@ -40,13 +40,15 @@ object TextStats {
     * At web scale this runs as a single projection over the text column.
     */
   def langIdByScript(text: Column, minRatio: Double = 0.5): Column = {
-    val letters = filter(split(text, ""), c => c.rlike("\\p{L}"))
-    val total = greatest(size(letters), lit(1)).cast("double")
-    val arabicN = size(filter(letters, c => c.rlike("\\p{IsArabic}"))).cast("double")
-    val latinN = size(filter(letters, c => c.rlike("\\p{IsLatin}"))).cast("double")
-    val cyrN = size(filter(letters, c => c.rlike("\\p{IsCyrillic}"))).cast("double")
-    val hanN = size(filter(letters, c => c.rlike("\\p{IsHan}"))).cast("double")
-    when(size(letters) === 0, lit("unknown"))
+    // one regexp_count pass per script class (codegen'd) — counting chars
+    // via per-char array lambdas is interpreted and ~10x slower
+    val nLetters = regexp_count(text, lit("\\p{L}"))
+    val total = greatest(nLetters, lit(1)).cast("double")
+    val arabicN = regexp_count(text, lit("\\p{IsArabic}")).cast("double")
+    val latinN = regexp_count(text, lit("\\p{IsLatin}")).cast("double")
+    val cyrN = regexp_count(text, lit("\\p{IsCyrillic}")).cast("double")
+    val hanN = regexp_count(text, lit("\\p{IsHan}")).cast("double")
+    when(nLetters === 0, lit("unknown"))
       .when(arabicN / total >= minRatio,
         // Persian vs Arabic: Persian-specific letters پچژگ or ZWNJ usage
         when(text.rlike("[پچژگی]"), lit("fa")).otherwise(lit("ar")))

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.extract.Extractor
+import graft.model.Extracted
+import graft.url.Urls
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the engine.
+  *
+  * The reference is bounded incremental batch (SURVEY.md §2.8): asyncio
+  * queues + size/time micro-batches (/root/reference/src/processor.py:
+  * 41-176) with resumable skip of completed work. The streaming analogs:
+  * a page stream processed by the same extraction stage (foreachBatch ⇒
+  * each micro-batch is one "frontier round" worth of pages), event-time
+  * windowed fetch-rate metrics with watermarked late-data handling, and
+  * per-host politeness state via mapGroupsWithState (the stateful form of
+  * the W6 rate-limit contract).
+  */
+object StreamOps {
+
+  /** The extraction stage applied to a (possibly streaming) pages frame —
+    * identical logic to the batch round, so batch/stream parity is free.
+    */
+  def extractStage(spark: SparkSession, pages: DataFrame): Dataset[Extracted] = {
+    import spark.implicits._
+    pages.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .map { case (u, h) =>
+        Extractor.extractBytes(u, Urls.ideaId(u).getOrElse(Urls.sha256Hex(u)), h)
+      }
+  }
+
+  /** Event-time tumbling fetch-rate metrics with a watermark: pages/sec per
+    * host per window, tolerating `lateness` of out-of-order arrivals.
+    */
+  def fetchRateByHost(pages: DataFrame, windowLen: String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame = {
+    pages
+      .withColumn("host", regexp_extract(col("url"), "://([^/]+)/", 1))
+      .withWatermark("warc_ts", lateness)
+      .groupBy(window(col("warc_ts"), windowLen), col("host"))
+      .agg(count(lit(1)).as("pages"))
+      .select(col("window.start").as("window_start"), col("host"), col("pages"))
+  }
+
+  final case class HostState(fetched: Long, lastTsMicros: Long)
+  final case class HostDecision(host: String, url: String, admitted: Boolean,
+      fetched_so_far: Long)
+
+  /** Stateful per-host politeness admission: admit a fetch only if at least
+    * `minGapMs` passed since the host's last admitted fetch and the host is
+    * under `budget` total. The streaming twin of the batch schedule()'s
+    * window-agg (FrontierRound.schedule), kept in GroupState so it spans
+    * micro-batches.
+    */
+  def politenessAdmission(
+      spark: SparkSession,
+      requests: Dataset[(String, String, Long)], // (host, url, tsMicros)
+      minGapMs: Long,
+      budget: Long): Dataset[HostDecision] = {
+    import spark.implicits._
+    requests.groupByKey(_._1)
+      .mapGroupsWithState[HostState, List[HostDecision]](GroupStateTimeout.NoTimeout) {
+        case (host, rows, state: GroupState[HostState]) =>
+          var st = state.getOption.getOrElse(HostState(0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (_, url, ts) =>
+            // first-ever fetch has no gap constraint (MinValue sentinel
+            // would overflow the subtraction)
+            val gapOk = st.lastTsMicros == Long.MinValue ||
+              ts - st.lastTsMicros >= minGapMs * 1000L
+            val admitted = gapOk && st.fetched < budget
+            if (admitted) st = HostState(st.fetched + 1, ts)
+            HostDecision(host, url, admitted, st.fetched)
+          }.toList
+          state.update(st)
+          out
+      }
+      .flatMap(identity)
+  }
+
+  /** Incremental crawl processing: treat arriving pages as a stream; each
+    * micro-batch runs the batch extraction stage and appends to the results
+    * sink — the foreachBatch shape SURVEY.md §2.8 prescribes for binding
+    * the round job to a live source.
+    */
+  def incrementalExtract(spark: SparkSession, pages: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    pages.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        extractStage(spark, batch).write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import graft.ops.{Ann, Dedup, Multimodal, Sketches, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Semantic tests for the training-data ops that have no SQL oracle:
+  * MinHash/SimHash recall against exact ground truth, LSH vs brute-force,
+  * multimodal plumbing determinism.
+  */
+class OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = {
+    // corpus with known duplicate structure: 40 base docs, 10 exact dups,
+    // 10 near-dups (one word changed), rest distinct
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def text(seed: Long, n: Int): String =
+      (0 until n).map(i => words(((Sketches.mix(seed + i) >>> 8) % words.length).toInt.abs))
+        .mkString(" ")
+    val base = (0L until 40L).map(i => (i, text(i * 7919, 30)))
+    val exactDups = (0L until 10L).map(i => (100L + i, base(i.toInt)._2))
+    val nearDups = (0L until 10L).map { i =>
+      val t = base(i.toInt)._2.split(" ")
+      t(15) = "CHANGED"
+      (200L + i, t.mkString(" "))
+    }
+    (base ++ exactDups ++ nearDups).toDF("doc_id", "text").cache()
+  }
+
+  test("exact dedup: groups and keep-first find precisely the planted dups") {
+    val groups = Dedup.exactDupGroups(docs, "text").collect()
+    assert(groups.length == 10)
+    groups.foreach(r => assert(r.getAs[Long]("dup_count") == 2))
+    val kept = Dedup.exactKeepFirst(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 50) // 60 docs - 10 dropped dups
+    (0L until 10L).foreach(i => assert(kept.contains(i) && !kept.contains(100L + i)))
+  }
+
+  test("minhash LSH: finds all exact dups and near-dups above threshold") {
+    // exact ground truth: word-shingle jaccard >= 0.8, computed scalar-side
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val sh = rows.map { case (id, t) => id -> Sketches.shingles(t, 3) }.toMap
+    val exact = (for {
+      (a, _) <- rows; (b, _) <- rows if a < b
+      if Sketches.jaccard(sh(a), sh(b)) >= 0.8
+    } yield (a, b)).toSet
+    assert(exact.size >= 10) // at least the planted exact dups
+
+    val verified = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, jaccardThreshold = 0.8, shingleSize = 3)
+      .collect()
+    val lsh = verified.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact duplicates are guaranteed LSH collisions
+    (0L until 10L).foreach(i => assert(lsh.contains((i, 100L + i)), s"missing exact dup $i"))
+    // verified-jaccard filter: no pair below the threshold, and every
+    // reported pair is genuinely in the exact set (verify step is exact)
+    verified.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.8))
+    assert(lsh.subsetOf(exact))
+    // banding (16 bands × 4 rows) catches >= 80% of true pairs at j>=0.8
+    val caught = exact.intersect(lsh).size.toDouble / exact.size
+    assert(caught >= 0.8, s"recall $caught")
+  }
+
+  test("simhash: exact dups at hamming 0; near-dups within small hamming") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
+    (0L until 10L).foreach { i =>
+      assert(pairs.get((i, 100L + i)).contains(0L), s"exact dup $i not at hamming 0")
+    }
+    val nearFound = (0L until 10L).count(i => pairs.contains((i, 200L + i)))
+    assert(nearFound >= 7, s"near-dup recall $nearFound/10")
+  }
+
+  test("ann: LSH candidates recall vs brute-force top-1 on clustered vectors") {
+    // 20 clusters × 5 members: members of a cluster are small perturbations
+    val vecs = (0 until 100).map { i =>
+      val cluster = i / 5
+      val v = Array.tabulate(64) { d =>
+        val base = ((Sketches.mix(cluster * 131L + d) >>> 16) % 1000L) / 500.0f - 1.0f
+        val noise = ((Sketches.mix(i * 7793L + d) >>> 16) % 100L) / 5000.0f
+        base + noise
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").cache()
+
+    val brute = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" < 10), k = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toMap
+    // top-1 neighbor of each query must be a same-cluster member
+    brute.foreach { case (q, n) => assert(q / 5 == n / 5, s"q=$q n=$n") }
+
+    val lsh = Ann.lshCandidatePairs(vecs, bits = 10, tables = 8, dim = 64,
+      minCosine = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // most same-cluster pairs should surface as candidates
+    val sameCluster = (for (c <- 0 until 20; a <- 0 until 5; b <- a + 1 until 5)
+      yield ((c * 5 + a).toLong, (c * 5 + b).toLong)).toSet
+    val recall = sameCluster.intersect(lsh).size.toDouble / sameCluster.size
+    assert(recall >= 0.7, s"lsh recall $recall")
+    // verified cosine means no pair below the floor
+    Ann.lshCandidatePairs(vecs, bits = 10, tables = 8, dim = 64, minCosine = 0.9)
+      .collect().foreach(r => assert(r.getAs[Double]("cosine") >= 0.9))
+  }
+
+  test("multimodal plumbing: deterministic stub features, exact schema") {
+    val media = Multimodal.withFakePayload(docs.select($"doc_id"))
+    val feats = Multimodal.extractFeatures(spark, media).cache()
+    assert(feats.count() == 60)
+    val row = feats.filter($"doc_id" === 0L).collect().head
+    val again = Multimodal.extractFeatures(spark, media)
+      .filter($"doc_id" === 0L).collect().head
+    assert(row.content_sha256 == again.content_sha256)
+    assert(row.feature.toSeq == again.feature.toSeq)
+    assert(row.feature.length == 8)
+    assert(Set("image", "audio", "video").contains(row.media_type))
+  }
+
+  test("text stats: token counts, quality bounds, fingerprint stability") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the  quick   brown fox jumps over the lazy dog"), // extra ws
+      (3L, ""),
+      (4L, "1234 5678 !!!")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextStats.tokenCountWs($"text").as("ws"),
+      TextStats.tokenCountBpeIsh($"text").as("bpe"),
+      TextStats.qualityScore($"text").as("q"),
+      TextStats.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("ws") == 9)
+    assert(out(3L).getAs[Int]("ws") == 0)
+    // whitespace-insensitive fingerprint: rows 1 and 2 collide
+    assert(out(1L).getAs[String]("fp") == out(2L).getAs[String]("fp"))
+    out.values.foreach { r =>
+      val q = r.getAs[Double]("q")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+    // noisy digits/punct doc scores below clean prose
+    assert(out(4L).getAs[Double]("q") < out(1L).getAs[Double]("q"))
+  }
+
+  test("lang id: script heuristic separates fa/ar/latin/zh and empty") {
+    val df = Seq(
+      (1L, "hello world this is plain english text"),
+      (2L, "سلام دنیا این یک متن فارسی است که پژوهش می‌کند"), // has پ/ژ
+      (3L, "مرحبا بالعالم هذا نص عربي بسيط"),
+      (4L, "你好世界这是中文文本"),
+      (5L, "12345 !!!")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextStats.langIdByScript($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "latin")
+    assert(out(2L) == "fa")
+    assert(out(3L) == "ar")
+    assert(out(4L) == "zh")
+    assert(out(5L) == "unknown")
+  }
+
+  test("cuckoo-combiner outlink dedup does not lose distinct priorities") {
+    // same link with two priorities in one partition must both survive the
+    // local combiner (exact min-priority dedup happens in the schedule window)
+    val links = Seq(("https://h.ir/a", 5.0), ("https://h.ir/a", 5.0),
+      ("https://h.ir/a", 2.0)).toDF("url", "priority").coalesce(1)
+    val out = graft.frontier.FrontierRound.toFrontier(spark, links, 1).collect()
+    assert(out.length == 3) // toFrontier itself doesn't dedup
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.fixtures.{FixtureConfig, FixtureGen}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming parity tests: the streaming extraction stage must
+  * equal the batch stage on the same pages; watermarked windows and
+  * stateful politeness behave as specified.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val cfg = FixtureConfig(seed = 11L, hosts = 3, totalDetails = 30)
+
+  test("foreachBatch incremental extract == batch extract on same pages") {
+    implicit val sq = spark.sqlContext
+    val rows = (0L until cfg.totalRows.toLong).map(i => FixtureGen.row(cfg, i))
+    val stream = MemoryStream[graft.model.PageRow]
+    val outDir = java.nio.file.Files.createTempDirectory("stream-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("stream-ck").toString
+
+    val query = StreamOps.incrementalExtract(spark, stream.toDF(), outDir, ckDir)
+    // two micro-batches (two "rounds" of arriving pages)
+    stream.addData(rows.take(20))
+    query.processAllAvailable()
+    stream.addData(rows.drop(20))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("url", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = StreamOps.extractStage(spark,
+      FixtureGen.pages(spark, cfg, 2).toDF())
+      .select("url", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked windowed fetch-rate counts per host") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[graft.model.PageRow]
+    val agg = StreamOps.fetchRateByHost(stream.toDF(), "1 minute", "2 minutes")
+    val query = agg.writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Append()).start()
+
+    val base = 1700000040000L // minute-aligned so offsets map to windows predictably
+    def page(host: String, i: Int, tsOffsetSec: Long) = graft.model.PageRow(
+      s"https://$host/p$i", new java.sql.Timestamp(base + tsOffsetSec * 1000),
+      Array.emptyByteArray, null, "fa")
+    // h1: 3 pages in window 0; h2: 2 pages in window 0, 1 in window 1
+    stream.addData(Seq(page("h1.ir", 1, 0), page("h1.ir", 2, 10), page("h1.ir", 3, 50),
+      page("h2.ir", 4, 5), page("h2.ir", 5, 59), page("h2.ir", 6, 70)))
+    query.processAllAvailable()
+    // advance watermark far enough to close all windows
+    stream.addData(Seq(page("h3.ir", 7, 600)))
+    query.processAllAvailable()
+    query.stop()
+
+    val rates = spark.table("rates")
+      .select("host", "pages").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rates.contains(("h1.ir", 3L)))
+    assert(rates.contains(("h2.ir", 2L)))
+    assert(rates.contains(("h2.ir", 1L)))
+  }
+
+  test("stateful politeness admission spans micro-batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val decisions = StreamOps.politenessAdmission(
+      spark, stream.toDS(), minGapMs = 1000L, budget = 3L)
+    val query = decisions.writeStream.format("memory").queryName("admissions")
+      .outputMode(OutputMode.Update()).start()
+
+    val t0 = 1000000L * 1000L // micros
+    // batch 1: two requests 500ms apart → second rejected (gap)
+    stream.addData(("h1", "u1", t0), ("h1", "u2", t0 + 500L * 1000L))
+    query.processAllAvailable()
+    // batch 2: state must remember the last admitted ts and count
+    stream.addData(("h1", "u3", t0 + 1500L * 1000L), // gap ok → admitted (2nd)
+      ("h1", "u4", t0 + 3000L * 1000L), // admitted (3rd)
+      ("h1", "u5", t0 + 5000L * 1000L)) // budget 3 exhausted → rejected
+    query.processAllAvailable()
+    query.stop()
+
+    val adm = spark.table("admissions")
+      .select("url", "admitted").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(adm == Map("u1" -> true, "u2" -> false, "u3" -> true,
+      "u4" -> true, "u5" -> false))
+  }
+}
