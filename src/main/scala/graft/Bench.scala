@@ -1,24 +1,103 @@
 package graft
+
+import graft.fixtures.{FixtureConfig, FixtureGen}
+import graft.frontier.{FrontierCrawl, PolitenessConfig, RobotsRules}
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: headline = crawl throughput (URLs fetched +
+  * extracted per second) over a generated Common-Crawl-style pages table —
+  * the BASELINE.json metric — plus per-query timings for the operator
+  * inventory. One JSON line on stdout.
+  */
 object Bench {
+
+  /** Drain a synthetic web of `details` pages and return
+    * (urls scheduled, rounds, seconds).
+    */
+  def crawlDrain(spark: SparkSession, details: Int, hosts: Int,
+      partitions: Int): (Long, Int, Double) = {
+    val cfg = FixtureConfig(seed = 42L, hosts = hosts, totalDetails = details,
+      paginationFanout = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-pages").toString
+    FixtureGen.pages(spark, cfg, partitions).write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir)
+    // throughput configuration: politeness budgets wide open so the drain
+    // is compute/shuffle-bound (the politeness *mechanism* still runs)
+    val pol = PolitenessConfig(defaultBudget = Int.MaxValue / 2,
+      defaultDelayMs = 0L, maxRetries = 0, saltBuckets = partitions)
+    val t0 = System.nanoTime()
+    val result = FrontierCrawl.run(spark, pages, cfg.seeds, None,
+      RobotsRules.empty, pol, maxRounds = 50)
+    val extracted = result.extracted.count()
+    val scheduled = result.results.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // cleanup temp pages
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    } catch { case _: Throwable => }
+    (scheduled, result.rounds, secs)
+  }
+
+  /** One large frontier round over all URLs of a generated web — the
+    * "frontier-round wall-time" / scaling-efficiency measurement (the
+    * multi-round drain amortizes per-round driver overhead poorly in
+    * local mode; scaling evidence uses the round itself).
+    */
+  def singleRound(spark: SparkSession, details: Int, hosts: Int,
+      partitions: Int, pagesDir: String): (Long, Double) = {
+    import spark.implicits._
+    val cfg = FixtureConfig(seed = 42L, hosts = hosts, totalDetails = details,
+      paginationFanout = 8, wordScale = 6, megaPerMille = 100)
+    if (!new java.io.File(pagesDir, "_SUCCESS").exists())
+      FixtureGen.pages(spark, cfg, partitions).write.mode("overwrite").parquet(pagesDir)
+    val pages = spark.read.parquet(pagesDir)
+    val allUrls = spark.range(0, cfg.totalRows.toLong, 1, partitions)
+      .map(i => (FixtureGen.urlOf(cfg, i), i.toDouble))
+      .toDF("url", "priority")
+    val frontier = graft.frontier.FrontierRound
+      .toFrontier(spark, allUrls, 0).localCheckpoint(true)
+      .as[graft.model.FrontierEntry]
+    val pol = PolitenessConfig(defaultBudget = Int.MaxValue / 2,
+      defaultDelayMs = 0L, maxRetries = 0, saltBuckets = partitions,
+      trackScheduledCount = false)
+    val t0 = System.nanoTime()
+    val out = graft.frontier.FrontierRound.run(spark, pages, frontier, None, 0,
+      RobotsRules.empty, pol)
+    val extracted = out.extracted.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    out.caches.foreach(_.unpersist(false))
+    (extracted, secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // operator-inventory timings
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val queryTotal = if (results.nonEmpty) results.values.sum else 0.0
+
+    // headline: crawl drain throughput (urls fetched+extracted / sec)
+    val (urls, rounds, secs) = crawlDrain(spark, details = 40000,
+      hosts = 32, partitions = cpus.toInt)
+    val ups = urls / secs
+
+    println(s"""{"metric":"crawl_urls_per_sec","value":$ups,"unit":"urls/sec","crawl_urls":$urls,"crawl_rounds":$rounds,"crawl_seconds":$secs,"query_total_seconds":$queryTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,12 +21,23 @@ final case class FixtureConfig(
     totalDetails: Int = 200,
     pageSize: Int = 10,
     errorPagePerMille: Int = 20, // ‰ of detail pages that are error pages
-    degeneratePerMille: Int = 30) { // ‰ with missing question/answer divs
+    degeneratePerMille: Int = 30, // ‰ with missing question/answer divs
+    // listing pagination shape: 1 = the reference's linear `more` chain
+    // (handler.py:477-480); >1 = a tree where each listing links to
+    // `paginationFanout` child listings — same total pages, log-depth
+    // frontier, used by throughput benchmarks so rounds stay wide
+    paginationFanout: Int = 1,
+    // multiplies question/answer word counts (benchmarks use larger pages
+    // to approximate real-web document sizes)
+    wordScale: Int = 1,
+    // share (per mille) of details on the mega-host h0 — 500 = the harsh
+    // skew-test default; throughput benches use a realistic 100
+    megaPerMille: Int = 500) {
 
   /** Zipf-ish weights: host 0 gets ~50%, rest 1/(k+1) normalized. */
   val hostCounts: Array[Int] = {
     require(hosts >= 1 && totalDetails >= hosts)
-    val mega = totalDetails / 2
+    val mega = math.max(1, (totalDetails.toLong * megaPerMille / 1000L).toInt)
     val rest = totalDetails - mega
     val weights = (1 until hosts).map(k => 1.0 / (k + 1))
     val wSum = weights.sum
@@ -100,8 +111,10 @@ object FixtureGen {
     if (perMille < cfg.errorPagePerMille)
       return s"<html><body><div>خطایی رخ داده است</div></body></html>"
     val degenerate = perMille < cfg.errorPagePerMille + cfg.degeneratePerMille
-    val q = words(questionWords, r ^ 0x1111, 6 + math.floorMod(r >> 3, 9L).toInt)
-    val a = words(answerWords, r ^ 0x2222, 10 + math.floorMod(r >> 7, 20L).toInt)
+    val q = words(questionWords, r ^ 0x1111,
+      (6 + math.floorMod(r >> 3, 9L).toInt) * cfg.wordScale)
+    val a = words(answerWords, r ^ 0x2222,
+      (10 + math.floorMod(r >> 7, 20L).toInt) * cfg.wordScale)
     val label = if ((r & 7) < 3) "نظریه مشورتی اداره کل حقوقی قوه قضاییه :\n" else ""
     val opNo = s"۷/${1380 + math.floorMod(r >> 11, 24L)}/${math.floorMod(r >> 17, 1000L)}"
     val fileNo = s"${1380 + math.floorMod(r >> 21, 24L)}-${math.floorMod(r >> 27, 200L)}-ک"
@@ -153,14 +166,38 @@ $qaBlock
     val n = cfg.hostCounts(h)
     val from = p * cfg.pageSize
     val until = math.min(from + cfg.pageSize, n)
-    val more = until < n
-    val items = (from until until).map { k =>
+    val more = cfg.paginationFanout == 1 && until < n
+    val detailItems = (from until until).map { k =>
       val id = cfg.detailId(h, k)
       val r = mix(cfg.seed ^ (id + 7777))
       val idField = if (math.floorMod(r, 20L) == 0L) "null" else id.toString
       s"""{"IdeaId": $idField, "DocumentUrl": "${cfg.detailUrl(h, k)}", "Title": "نظریه $id", "Description": null, "AuthorName": null, "DisplayModifiedTime": null}"""
     }
+    // tree pagination: listing p links its child listings as result rows
+    val childItems =
+      if (cfg.paginationFanout <= 1) Seq.empty
+      else {
+        val f = cfg.paginationFanout
+        val nL = cfg.listingCounts(h)
+        (p * f + 1 to p * f + f).filter(_ < nL).map { c =>
+          s"""{"IdeaId": null, "DocumentUrl": "${cfg.listingUrl(h, c)}", "Title": "صفحه ${c + 1}", "Description": null, "AuthorName": null, "DisplayModifiedTime": null}"""
+        }
+      }
+    val items = detailItems ++ childItems
     s"""{"results": [${items.mkString(", ")}], "totalHits": $n, "more": $more, "raw_html": "<a href=\\"${if (until > from) cfg.detailUrl(h, from) else ""}\\">x</a>"}"""
+  }
+
+  /** URL only for global index i (no page-body construction). */
+  def urlOf(cfg: FixtureConfig, i: Long): String = {
+    val ii = i.toInt
+    if (ii < cfg.totalDetails) {
+      val h = hostOf(cfg.detailOffsets, ii)
+      cfg.detailUrl(h, ii - cfg.detailOffsets(h))
+    } else {
+      val li = ii - cfg.totalDetails
+      val h = hostOf(cfg.listingOffsets, li)
+      cfg.listingUrl(h, li - cfg.listingOffsets(h))
+    }
   }
 
   /** Row for global index i: details first, then listings. */

@@ -62,6 +62,9 @@ object FrontierCrawl {
     var round = startRound
     var frontier = frontier0
     var seen = seen0
+    // running url_key count of `seen` (may overcount retries; used only to
+    // size the bloom filter, where an upper bound is safe)
+    var seenCount: Long = if (seen.isDefined) -1L else 0L
     var scheduleAll: Option[DataFrame] = None
     var extractedAll: Option[DataFrame] = None
     var resultsAll: Option[DataFrame] = None
@@ -71,12 +74,16 @@ object FrontierCrawl {
       Some(acc.map(_.union(df)).getOrElse(df))
 
     while (round < maxRounds && !frontier.isEmpty) {
-      val out = FrontierRound.run(spark, pages, frontier, seen, round, robots, cfg)
+      val out = FrontierRound.run(spark, pages, frontier, seen, round, robots,
+        cfg, seenCount)
+      if (seenCount >= 0L) seenCount += out.scheduledCount
 
       val scheduledR = out.scheduled.withColumn("round", lit(round))
+      // no distinct: retries may duplicate keys, which is harmless for the
+      // anti-join/bloom consumers and avoids an extra full shuffle per round
       val seenNext = seen match {
-        case Some(s) => s.select($"url_key").union(out.newSeenKeys).distinct()
-        case None => out.newSeenKeys.distinct()
+        case Some(s) => s.select($"url_key").union(out.newSeenKeys)
+        case None => out.newSeenKeys
       }
 
       store match {
@@ -99,11 +106,30 @@ object FrontierCrawl {
           frontier = out.newFrontier.localCheckpoint(true).as[FrontierEntry]
           seen = Some(seenNext.localCheckpoint(true))
           scheduleAll = appendOpt(scheduleAll, scheduledR.localCheckpoint(true))
-          extractedAll = appendOpt(extractedAll, out.extracted.toDF().localCheckpoint(true))
+          // extraction is deferred to one crawl-end batch (below): a single
+          // wide, perfectly-parallel stage instead of a small stage per
+          // round — the round loop only materializes what the NEXT round
+          // needs (frontier, seen, results-for-retries)
           resultsAll = appendOpt(resultsAll, out.results.localCheckpoint(true))
           metricsAll = appendOpt(metricsAll, out.metrics.toDF().localCheckpoint(true))
       }
+      out.caches.foreach(_.unpersist(false))
       round += 1
+    }
+
+    // storeless mode: batch-extract every successfully fetched page once
+    if (store.isEmpty && resultsAll.isDefined) {
+      import graft.extract.Extractor
+      val okUrls = resultsAll.get.filter(col("status") === "ok").select($"url")
+      val extractedEnd = okUrls
+        .join(pages.select($"url", $"html"), Seq("url"))
+        .as[(String, Array[Byte])]
+        .map { case (u, h) =>
+          Extractor.extractBytes(u,
+            Urls.ideaId(u).getOrElse(Urls.sha256Hex(u)), h)
+        }
+        .toDF()
+      extractedAll = Some(extractedEnd)
     }
 
     val emptyKeys = spark.createDataset(Seq.empty[String]).toDF("url_key")

@@ -24,7 +24,8 @@ object FrontierRound {
 
   final case class SchedulePlan(
       scheduled: DataFrame, // FrontierEntry cols + slot + scheduled_delay_ms
-      deferred: Dataset[FrontierEntry]) // over-budget rows, carried forward
+      deferred: Dataset[FrontierEntry], // over-budget rows, carried forward
+      dedupedCache: DataFrame) // cached intermediate; unpersisted by caller
 
   final case class RoundOutput(
       scheduled: DataFrame,
@@ -32,7 +33,10 @@ object FrontierRound {
       extracted: Dataset[Extracted],
       newFrontier: Dataset[FrontierEntry],
       newSeenKeys: DataFrame, // url_key of everything scheduled this round
-      metrics: Dataset[RoundMetrics])
+      metrics: Dataset[RoundMetrics],
+      scheduledCount: Long,
+      // intermediate cached frames; callers unpersist after materializing
+      caches: Seq[DataFrame])
 
   /** Canonicalize raw (url, priority) pairs into frontier entries. */
   def toFrontier(spark: SparkSession, links: DataFrame, round: Int): Dataset[FrontierEntry] = {
@@ -80,20 +84,26 @@ object FrontierRound {
     val salted = deduped.withColumn(
       "salt", pmod(xxhash64($"url_key"), lit(cfg.saltBuckets)).cast("int"))
     val phase1 = Window.partitionBy($"host", $"salt").orderBy($"priority", $"url_key")
-    val pruned = salted
-      .withColumn("rn", row_number().over(phase1))
-      .filter($"rn" <= budgetUdf($"host"))
-      .drop("rn", "salt")
+    val stage1 = salted
+      .withColumn("rn1", row_number().over(phase1))
+      .cache()
     val phase2 = Window.partitionBy($"host").orderBy($"priority", $"url_key")
-    val scheduled = pruned
+    val stage2 = stage1
+      .filter($"rn1" <= budgetUdf($"host"))
       .withColumn("slot", row_number().over(phase2))
+    val scheduled = stage2
       .filter($"slot" <= budgetUdf($"host"))
       .withColumn("scheduled_delay_ms", ($"slot" - 1).cast("long") * delayUdf($"host"))
+      .drop("rn1", "salt")
 
-    val deferred = deduped
-      .join(scheduled.select($"url_key"), Seq("url_key"), "left_anti")
+    // deferred = dropped by phase 1 ∪ over-budget after phase 2 — both
+    // derived from the rank columns directly (no anti-join / extra shuffle)
+    val entryCols = Seq($"url_key", $"url", $"host", $"priority", $"attempt",
+      $"discovered_round")
+    val deferred = stage1.filter($"rn1" > budgetUdf($"host")).select(entryCols: _*)
+      .union(stage2.filter($"slot" > budgetUdf($"host")).select(entryCols: _*))
       .as[FrontierEntry]
-    SchedulePlan(scheduled, deferred)
+    SchedulePlan(scheduled, deferred, stage1)
   }
 
   /** Seen-set reduction: bloom prefilter (spark-sketch builtin over the seen
@@ -106,10 +116,12 @@ object FrontierRound {
       spark: SparkSession,
       candidates: Dataset[FrontierEntry],
       seenKeys: DataFrame, // single column url_key
-      cfg: PolitenessConfig): Dataset[FrontierEntry] = {
+      cfg: PolitenessConfig,
+      seenCountHint: Long = -1L): Dataset[FrontierEntry] = {
     import spark.implicits._
     if (seenKeys == null) return candidates
-    val seenCount = seenKeys.count()
+    // a tracked count (driver-side running total) avoids a scan per round
+    val seenCount = if (seenCountHint >= 0L) seenCountHint else seenKeys.count()
     if (seenCount == 0) return candidates
     if (!cfg.useBloomPrefilter)
       return candidates.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry]
@@ -131,11 +143,15 @@ object FrontierRound {
       seenKeys: Option[DataFrame], // cumulative BEFORE this round
       round: Int,
       robots: RobotsRules = RobotsRules.empty,
-      cfg: PolitenessConfig = PolitenessConfig()): RoundOutput = {
+      cfg: PolitenessConfig = PolitenessConfig(),
+      seenCountHint: Long = -1L): RoundOutput = {
     import spark.implicits._
 
     val plan = schedule(spark, frontier, robots, cfg)
     val scheduled = plan.scheduled.cache()
+    // forces the cache in one pass; also feeds the bloom-sizing hint and
+    // the caller's running seen count (returned in RoundOutput)
+    val scheduledCount = if (cfg.trackScheduledCount) scheduled.count() else -1L
 
     // "fetch" = equi-join with the pages table on url (SURVEY.md S2: the
     // Common-Crawl-style table lookup); left join so absent pages become
@@ -143,14 +159,19 @@ object FrontierRound {
     val fetched = scheduled
       .join(pages.select($"url", $"html"), Seq("url"), "left")
 
+    // NOT cached: rows carry full page bodies — caching them deserialized
+    // is heap-hostile at realistic page sizes. Consumers traverse lazily;
+    // with the schedule side broadcastable the re-scan is map-side.
     val classified = fetched.withColumn(
       "status",
       when($"html".isNull, lit("missing"))
         .when(decode($"html", "UTF-8").contains(Extractor.ErrorSentinel), lit("error_page"))
         .otherwise(lit("ok")))
-      .cache()
 
-    val results = classified
+    // the html-free status table is what everything row-level reuses
+    val statusSmall = classified.drop("html").cache()
+
+    val results = statusSmall
       .select($"url_key", $"url", $"host", $"attempt", lit(round).as("round"), $"status")
 
     val okPages = classified.filter($"status" === "ok")
@@ -194,7 +215,9 @@ object FrontierRound {
       case Some(s) => s.select($"url_key").union(newSeenKeys)
       case None => newSeenKeys
     }
-    val fresh = notSeen(spark, freshCandidates, seenAfter, cfg)
+    val seenAfterCount =
+      if (seenCountHint >= 0L) seenCountHint + scheduledCount else -1L
+    val fresh = notSeen(spark, freshCandidates, seenAfter, cfg, seenAfterCount)
 
     // retries re-enter the frontier bypassing the seen check (J6,
     // handler.py:397-442: one re-pass for failures)
@@ -207,7 +230,7 @@ object FrontierRound {
 
     val newFrontier = fresh.union(retries).union(plan.deferred)
 
-    val metrics = classified
+    val metrics = statusSmall
       .withColumn("partition_id", spark_partition_id())
       .groupBy($"partition_id")
       .agg(
@@ -219,6 +242,7 @@ object FrontierRound {
         $"error_pages", $"missing", $"fetched_ok".as("extracted"), lit(0L).as("outlinks"))
       .as[RoundMetrics]
 
-    RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics)
+    RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
+      scheduledCount, Seq(scheduled, statusSmall, plan.dedupedCache))
   }
 }

@@ -14,7 +14,10 @@ final case class PolitenessConfig(
     maxRetries: Int = 1, // one re-pass, like retry_failed_ids (handler.py:397-442)
     saltBuckets: Int = 8,
     bloomFpp: Double = 0.01,
-    useBloomPrefilter: Boolean = true)
+    useBloomPrefilter: Boolean = true,
+    // disable to skip the eager schedule-size count (one-shot jobs that
+    // don't feed a bloom-sizing running total)
+    trackScheduledCount: Boolean = true)
 
 /** Parsed robots rules for one host. */
 final case class HostRules(
