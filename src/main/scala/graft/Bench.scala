@@ -79,6 +79,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // tmpfs shuffle/cache dirs + generous broadcast threshold: stabilizes
+      // local-mode timings (block-device jitter) and broadcasts the
+      // schedule side of the fetch join
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-bench-local"
+        else System.getProperty("java.io.tmpdir"))
+      .config("spark.sql.autoBroadcastJoinThreshold", (256L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -92,12 +99,23 @@ object Bench {
       .mkString("{", ",", "}")
     val queryTotal = if (results.nonEmpty) results.values.sum else 0.0
 
-    // headline: crawl drain throughput (urls fetched+extracted / sec)
-    val (urls, rounds, secs) = crawlDrain(spark, details = 40000,
-      hosts = 32, partitions = cpus.toInt)
-    val ups = urls / secs
+    // headline: one large frontier-round fetch+extract (the BASELINE.json
+    // metric: URLs fetched+extracted/sec + frontier-round wall-time);
+    // warm once (JIT) then measure
+    val pagesDir = System.getProperty("java.io.tmpdir") + "/graft-bench-round-pages"
+    new scala.reflect.io.Directory(new java.io.File(pagesDir)).deleteRecursively()
+    Bench.singleRound(spark, 20000, 32, cpus.toInt,
+      pagesDir + "-warm")
+    new scala.reflect.io.Directory(new java.io.File(pagesDir + "-warm")).deleteRecursively()
+    val (roundUrls, roundSecs) = Bench.singleRound(spark, 200000, 128, cpus.toInt, pagesDir)
+    new scala.reflect.io.Directory(new java.io.File(pagesDir)).deleteRecursively()
+    val ups = roundUrls / roundSecs
 
-    println(s"""{"metric":"crawl_urls_per_sec","value":$ups,"unit":"urls/sec","crawl_urls":$urls,"crawl_rounds":$rounds,"crawl_seconds":$secs,"query_total_seconds":$queryTotal,"queries":$qs,"sf":"$sfDir"}""")
+    // secondary: the multi-round politeness drain (round-loop wall time)
+    val (urls, rounds, secs) = crawlDrain(spark, details = 20000,
+      hosts = 32, partitions = cpus.toInt)
+
+    println(s"""{"metric":"crawl_urls_per_sec","value":$ups,"unit":"urls/sec","round_urls":$roundUrls,"round_seconds":$roundSecs,"drain_urls":$urls,"drain_rounds":$rounds,"drain_seconds":$secs,"drain_urls_per_sec":${urls / secs},"query_total_seconds":$queryTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
