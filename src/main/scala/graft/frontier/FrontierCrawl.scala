@@ -48,20 +48,27 @@ object FrontierCrawl {
       maxRounds: Int = 100): CrawlResult = {
     import spark.implicits._
 
-    // resume from the latest committed snapshot when present
-    val (startRound, frontier0, seen0) = store.flatMap(_.latest()) match {
+    // resume from the latest committed snapshot when present. The seen set
+    // is stored as per-round delta parts (O(R) total write volume instead
+    // of rewriting the cumulative set every round); the manifest's
+    // "seen_parts" alias lists them.
+    val (startRound, frontier0, seen0, seenParts0) = store.flatMap(_.latest()) match {
       case Some(snap) =>
         val st = store.get
-        (snap.round + 1,
-          st.read(snap, "frontier").as[FrontierEntry],
-          Some(st.read(snap, "seen")))
+        val parts = snap.tables.getOrElse("seen_parts", "").split(";").filter(_.nonEmpty)
+        val seenDf = if (parts.isEmpty) None else Some(spark.read.parquet(parts.toSeq: _*))
+        (snap.round + 1, st.read(snap, "frontier").as[FrontierEntry], seenDf, parts.toVector)
       case None =>
-        (0, seedFrontier(spark, seeds), None)
+        (0, seedFrontier(spark, seeds), None, Vector.empty[String])
     }
 
     var round = startRound
     var frontier = frontier0
     var seen = seen0
+    var seenParts = seenParts0
+    // storeless mode: per-round checkpointed delta frames; the cumulative
+    // view is a lazy union (no O(R^2) re-copying)
+    var seenDeltas = Vector.empty[DataFrame]
     // running url_key count of `seen` (may overcount retries; used only to
     // size the bloom filter, where an upper bound is safe)
     var seenCount: Long = if (seen.isDefined) -1L else 0L
@@ -79,32 +86,33 @@ object FrontierCrawl {
       if (seenCount >= 0L) seenCount += out.scheduledCount
 
       val scheduledR = out.scheduled.withColumn("round", lit(round))
-      // no distinct: retries may duplicate keys, which is harmless for the
-      // anti-join/bloom consumers and avoids an extra full shuffle per round
-      val seenNext = seen match {
-        case Some(s) => s.select($"url_key").union(out.newSeenKeys)
-        case None => out.newSeenKeys
-      }
 
       store match {
         case Some(st) =>
-          // atomic multi-table snapshot; reading back truncates lineage
+          // atomic multi-table snapshot; reading back truncates lineage.
+          // seen is committed as this round's DELTA; the manifest carries
+          // the full part list (no distinct/rewrite of the cumulative set —
+          // retries may duplicate keys, harmless for anti-join/bloom)
+          val newParts = seenParts :+ st.tablePath(round, "seen_delta")
           val snap = st.commit(round, Map(
             "frontier" -> out.newFrontier.toDF(),
-            "seen" -> seenNext,
+            "seen_delta" -> out.newSeenKeys,
             "extracted" -> out.extracted.toDF(),
             "results" -> out.results,
             "scheduled" -> scheduledR,
-            "metrics" -> out.metrics.toDF()))
+            "metrics" -> out.metrics.toDF()),
+            aliases = Map("seen_parts" -> newParts.mkString(";")))
+          seenParts = newParts
           frontier = st.read(snap, "frontier").as[FrontierEntry]
-          seen = Some(st.read(snap, "seen"))
+          seen = Some(spark.read.parquet(seenParts: _*))
           scheduleAll = appendOpt(scheduleAll, st.read(snap, "scheduled"))
           extractedAll = appendOpt(extractedAll, st.read(snap, "extracted"))
           resultsAll = appendOpt(resultsAll, st.read(snap, "results"))
           metricsAll = appendOpt(metricsAll, st.read(snap, "metrics"))
         case None =>
           frontier = out.newFrontier.localCheckpoint(true).as[FrontierEntry]
-          seen = Some(seenNext.localCheckpoint(true))
+          seenDeltas = seenDeltas :+ out.newSeenKeys.localCheckpoint(true)
+          seen = Some(seenDeltas.reduce(_.union(_)))
           scheduleAll = appendOpt(scheduleAll, scheduledR.localCheckpoint(true))
           // extraction is deferred to one crawl-end batch (below): a single
           // wide, perfectly-parallel stage instead of a small stage per

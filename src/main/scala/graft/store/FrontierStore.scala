@@ -32,16 +32,25 @@ final class FrontierStore(spark: SparkSession, root: String) {
   private def manifestPath = new Path(root, "manifest.json")
   private def roundDir(round: Int) = new Path(root, f"rounds/r$round%05d")
 
+  /** Deterministic data path for a table of a round (known pre-commit, so
+    * callers can record cross-round path lists like seen-set deltas).
+    */
+  def tablePath(round: Int, name: String): String =
+    new Path(roundDir(round), name).toString
+
   /** Write all tables for `round`, then atomically publish the manifest.
     * A crash before the rename leaves the previous snapshot intact.
+    * `aliases` are extra manifest entries whose values are path strings
+    * (possibly ';'-joined lists) — e.g. the cumulative seen-delta parts.
     */
-  def commit(round: Int, tables: Map[String, DataFrame]): Snapshot = {
+  def commit(round: Int, tables: Map[String, DataFrame],
+      aliases: Map[String, String] = Map.empty): Snapshot = {
     val dir = roundDir(round)
     val paths = tables.map { case (name, df) =>
       val p = new Path(dir, name).toString
       df.write.mode(SaveMode.Overwrite).parquet(p)
       name -> p
-    }
+    } ++ aliases
     val tmp = new Path(root, s"_tmp/manifest-$round.json")
     fs.mkdirs(tmp.getParent)
     val json = renderManifest(Snapshot(round, paths))
