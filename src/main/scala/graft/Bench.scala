@@ -65,6 +65,10 @@ object Bench {
     val out = graft.frontier.FrontierRound.run(spark, pages, frontier, None, 0,
       RobotsRules.empty, pol)
     val extracted = out.extracted.count()
+    // the round is only done once the NEXT frontier exists: outlink
+    // discovery, canonicalization, and the seen anti-join are part of the
+    // timed region (they are real per-round work, not bookkeeping)
+    out.newFrontier.count()
     val secs = (System.nanoTime() - t0) / 1e9
     out.caches.foreach(_.unpersist(false))
     (extracted, secs)

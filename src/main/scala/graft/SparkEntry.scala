@@ -72,9 +72,13 @@ object SparkEntry {
     "a3_dup_stats" -> ((s, dir) => t(s, dir, "orders")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
-      .agg(sum(col("c") - 1).as("n_duplicates"),
-        round(avg(col("c")), 6).as("avg_bucket"), max(col("c")).as("max_bucket"),
-        count(lit(1)).as("n_buckets"))),
+      .agg(sum(col("c") - 1).as("n_duplicates"), sum(col("c")).as("sum_c"),
+        max(col("c")).as("max_bucket"), count(lit(1)).as("n_buckets"))
+      // integer-exact mean (micro-units, floor): double round() halfway
+      // semantics differ between engines, integer division doesn't
+      .select(col("n_duplicates"),
+        expr("(sum_c * CAST(1000000 AS BIGINT)) div n_buckets").as("avg_bucket_micros"),
+        col("max_bucket"), col("n_buckets"))),
 
     "a5_resume_point" -> ((s, dir) => t(s, dir, "events")
       .groupBy(col("event_type")).agg(max(col("ts")).as("last_ts"))),
@@ -268,7 +272,8 @@ object SparkEntry {
          count(*) AS n_events FROM events GROUP BY 1""",
 
     "a3_dup_stats" ->
-      """SELECT sum(c - 1) AS n_duplicates, round(avg(c), 6) AS avg_bucket,
+      """SELECT CAST(sum(c - 1) AS BIGINT) AS n_duplicates,
+         CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS avg_bucket_micros,
          max(c) AS max_bucket, count(*) AS n_buckets FROM
          (SELECT count(*) AS c FROM orders GROUP BY o_custkey HAVING count(*) >= 2)""",
 

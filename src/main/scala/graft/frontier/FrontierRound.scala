@@ -184,20 +184,20 @@ object FrontierRound {
         Extractor.extractBytes(u, fileId, h)
       }
 
-    // outlink discovery with a per-partition cuckoo combiner: a mega-host's
+    // outlink discovery with a per-partition EXACT combiner: a mega-host's
     // listing pages repeat URLs heavily; local dedup cuts shuffle volume.
-    // The combiner keys on (url, priority) so cross-page duplicates with
-    // different priorities survive to the exact min-priority window dedup.
+    // The combiner keys on hash64(url, priority) in an exact HashSet — an
+    // approximate filter here would silently DROP a genuinely-new URL on a
+    // false positive (64-bit hash collisions are negligible vs a cuckoo
+    // filter's 16-bit fingerprints). Cross-page duplicates with different
+    // priorities survive to the exact min-priority window dedup.
     val rawLinks = okPages
       .as[(String, Array[Byte], Double)]
       .mapPartitions { it =>
-        val local = CuckooFilter.create(1 << 16)
+        val local = new java.util.HashSet[Long](1 << 16)
         it.flatMap { case (u, h, _) =>
           Outlinks.extract(u, new String(h, StandardCharsets.UTF_8)).filter {
-            case (link, prio) =>
-              val k = CuckooFilter.hash64(s"$link#$prio")
-              if (local.mightContainHash(k)) false
-              else { local.insertHash(k); true }
+            case (link, prio) => local.add(CuckooFilter.hash64(s"$link#$prio"))
           }
         }
       }
@@ -220,10 +220,10 @@ object FrontierRound {
     val fresh = notSeen(spark, freshCandidates, seenAfter, cfg, seenAfterCount)
 
     // retries re-enter the frontier bypassing the seen check (J6,
-    // handler.py:397-442: one re-pass for failures)
-    val retries = results
+    // handler.py:397-442: one re-pass for failures). statusSmall still
+    // carries every schedule column, so no re-join with `scheduled` needed.
+    val retries = statusSmall
       .filter($"status" =!= "ok" && $"attempt" + 1 <= cfg.maxRetries)
-      .join(scheduled.select($"url_key", $"priority", $"discovered_round"), Seq("url_key"))
       .select($"url_key", $"url", $"host", $"priority",
         ($"attempt" + 1).as("attempt"), $"discovered_round")
       .as[FrontierEntry]

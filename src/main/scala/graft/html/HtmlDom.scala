@@ -165,7 +165,25 @@ object HtmlDom {
         }
       }
     }
-    if (!sawElement) None else Some(root)
+    if (!sawElement) {
+      // lxml's fromstring wraps ELEMENT-FREE input that still has text in a
+      // synthetic element (only truly empty/whitespace input raises
+      // "Document is empty") — so bare text must parse to a tree whose
+      // container lookup misses (per-field sentinel path), not to the
+      // full-sentinel parse-error path.
+      val hasText = root.children.exists {
+        case Text(v) => v.exists(c => !graft.text.PyText.isPySpace(c))
+        case _ => false
+      }
+      if (!hasText) None
+      else {
+        val wrap = new Element("p", Map.empty)
+        root.children.foreach(wrap.children += _)
+        root.children.clear()
+        root.children += wrap
+        Some(root)
+      }
+    } else Some(root)
   }
 
   /** Parse an open tag starting at `lt`; returns (element, selfClosed, nextIndex). */

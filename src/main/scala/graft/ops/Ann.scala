@@ -53,8 +53,12 @@ object Ann {
     * exact cosine verifies. Hyperplanes are deterministic from the seed,
     * generated driver-side (KBs) and broadcast; per-row signatures run in a
     * typed flatMap (tight loops — nested Catalyst lambdas are interpreted).
-    * At scale the shuffle carries (table, signature, id, vector) — the
-    * |corpus|² broadcast of brute force disappears.
+    *
+    * Shuffle shape (the 100 TB contract, same as Dedup.minhashLshPairs):
+    * the band self-join carries ONLY (table, signature, id) triples — at
+    * 3072-dim × many tables, shipping vectors through the join would
+    * multiply shuffle volume by tables × dim. Vectors are re-joined from
+    * the corpus only for the DEDUPED candidate pairs' verify step.
     */
   def lshCandidatePairs(
       corpus: DataFrame,
@@ -70,19 +74,25 @@ object Ann {
     val planes = Sketches.hyperplanes(tables, bits, dim, seed)
     val planesB = spark.sparkContext.broadcast(planes)
 
-    val signed = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val vecs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+
+    val signed = vecs
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val p = planesB.value
-        (0 until p.length).iterator.map(t => (t, Sketches.rhpSignature(v, p(t)), id, v))
+        (0 until p.length).iterator.map(t => (t, Sketches.rhpSignature(v, p(t)), id))
       }
-      .toDF("t", "sig", "id", "v")
+      .toDF("t", "sig", "id")
 
-    val l = signed.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = signed.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("t", "sig"))
+    val l = signed.select(col("t"), col("sig"), col("id").as("id_a"))
+    val r = signed.select(col("t"), col("sig"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .map { case (idA, idB, vA, vB) => (idA, idB, Sketches.cosine(vA, vB)) }

@@ -112,11 +112,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram (character) Jaccard similarity for candidate pairs below
-    * a size cap — the small-scale oracle-checkable variant.
+  /** Exact n-gram (character) Jaccard similarity — an ALL-PAIRS cartesian
+    * product, usable only as the small-scale oracle twin of the LSH
+    * operators (ground truth for recall checks). To make misuse at scale
+    * impossible the operator REFUSES inputs above `maxRows` (the one
+    * up-front count is cheap at any legal size); use minhashLshPairs for
+    * real dedup.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.4): DataFrame = {
+      n: Int = 3, threshold: Double = 0.4, maxRows: Long = 10000L): DataFrame = {
+    val rows = df.count()
+    require(rows <= maxRows,
+      s"ngramJaccardPairs is an all-pairs oracle op capped at $maxRows rows " +
+        s"(got $rows); use minhashLshPairs for dedup at scale")
     val chars = (c: Column) => split(c, "")
     val gramsOf = (c: Column) => array_distinct(filter(
       transform(sequence(lit(0), greatest(length(c) - n, lit(0))),

@@ -29,7 +29,8 @@ final class FrontierStore(spark: SparkSession, root: String) {
   import FrontierStore.Snapshot
 
   private val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-  private def manifestPath = new Path(root, "manifest.json")
+  private def manifestDir = new Path(root, "manifests")
+  private def manifestPath(round: Int) = new Path(manifestDir, f"manifest-r$round%05d.json")
   private def roundDir(round: Int) = new Path(root, f"rounds/r$round%05d")
 
   /** Deterministic data path for a table of a round (known pre-commit, so
@@ -39,7 +40,12 @@ final class FrontierStore(spark: SparkSession, root: String) {
     new Path(roundDir(round), name).toString
 
   /** Write all tables for `round`, then atomically publish the manifest.
-    * A crash before the rename leaves the previous snapshot intact.
+    * Manifests are VERSIONED (manifest-r000N.json, one per round, never
+    * deleted): publishing is a tmp-write + rename of a brand-new file, so a
+    * crash at any instant leaves every previously published manifest intact
+    * and `latest()` (max round) still resumes correctly — no
+    * delete-then-rename window. Re-committing the same round after a crash
+    * overwrites only that round's own manifest.
     * `aliases` are extra manifest entries whose values are path strings
     * (possibly ';'-joined lists) — e.g. the cumulative seen-delta parts.
     */
@@ -53,20 +59,33 @@ final class FrontierStore(spark: SparkSession, root: String) {
     } ++ aliases
     val tmp = new Path(root, s"_tmp/manifest-$round.json")
     fs.mkdirs(tmp.getParent)
+    fs.mkdirs(manifestDir)
     val json = renderManifest(Snapshot(round, paths))
     val out = fs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    fs.delete(manifestPath, false)
-    if (!fs.rename(tmp, manifestPath))
+    val target = manifestPath(round)
+    // only this round's manifest may be replaced (idempotent re-commit)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"commit rename failed for round $round")
     Snapshot(round, paths)
   }
 
-  /** Latest committed snapshot, ignoring any orphan _tmp/rounds data. */
+  /** Latest committed snapshot = the max-round manifest, ignoring any
+    * orphan _tmp/rounds data and any half-written tmp manifests.
+    */
   def latest(): Option[Snapshot] = {
-    if (!fs.exists(manifestPath)) return None
-    val in = fs.open(manifestPath)
+    if (!fs.exists(manifestDir)) return None
+    val ManifestName = """manifest-r(\d+)\.json""".r
+    val rounds = fs.listStatus(manifestDir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(r) => Some(r.toInt)
+        case _ => None
+      }
+    }
+    if (rounds.isEmpty) return None
+    val in = fs.open(manifestPath(rounds.max))
     val bytes = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     var n = in.read(buf)

@@ -81,9 +81,15 @@ object StreamOps {
   }
 
   /** Incremental crawl processing: treat arriving pages as a stream; each
-    * micro-batch runs the batch extraction stage and appends to the results
+    * micro-batch runs the batch extraction stage and writes to the results
     * sink — the foreachBatch shape SURVEY.md §2.8 prescribes for binding
     * the round job to a live source.
+    *
+    * Exactly-once under micro-batch REPLAY: Structured Streaming can re-run
+    * a batch after failure, so a blind append would duplicate rows. Each
+    * batch overwrites its own batch_id=N partition directory (the standard
+    * idempotent-foreachBatch pattern) — a replay rewrites identical data in
+    * place, matching the reference's skip-completed-work resumability.
     */
   def incrementalExtract(spark: SparkSession, pages: DataFrame, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -91,7 +97,8 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        extractStage(spark, batch).write.mode("append").parquet(outDir)
+        extractStage(batch.sparkSession, batch).write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -137,6 +137,17 @@ class ExtractorSpec extends AnyFunSuite {
     assert(e.content == "محتوای نامشخص")
   }
 
+  test("tag-free non-empty body → per-field sentinels (lxml wraps bare text)") {
+    // lxml fromstring wraps element-free text in a synthetic element, so the
+    // reference takes the missing-container path, NOT the parse-error path
+    val e = Extractor.extract("u", "f", "plain text body, no tags at all")
+    assert(e.question == "سوال نامشخص")
+    assert(e.answer == "پاسخ نامشخص")
+    assert(e.content == "سوال نامشخص پاسخ نامشخص")
+    assert(e.file_number == "نامشخص")
+    assert(e.opinion_date_shamsi == "0001/01/01")
+  }
+
   test("error-page sentinel filter (handler.py:40-53)") {
     assert(!Extractor.isValidHtml("<html>خطایی رخ داده است</html>"))
     assert(Extractor.isValidHtml("<html>سالم</html>"))

@@ -46,10 +46,16 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(divs.map(_.textContent) == Seq("1", "2"))
   }
 
-  test("empty / element-free input returns None (lxml raises)") {
+  test("empty / whitespace-only input returns None (lxml raises)") {
     assert(HtmlDom.parse("") == None)
-    assert(HtmlDom.parse("   just text   ") == None)
+    assert(HtmlDom.parse("   \n\t ") == None)
     assert(HtmlDom.parse(null) == None)
+  }
+
+  test("bare text (no element) is wrapped like lxml fromstring") {
+    val root = HtmlDom.parse("   just text   ").get
+    assert(root.textContent == "   just text   ")
+    assert(root.findById("mvcContainer-1286").isEmpty)
   }
 
   test("attributes: quoted, single-quoted, unquoted, bare") {
