@@ -194,7 +194,8 @@ object SparkEntry {
 
     "url_canonicalize" -> ((s, dir) => {
       import s.implicits._
-      // no oracle (canonicalization is engine-defined); property-tested
+      // oracle: the synthetic raw URL is deterministic, so DuckDB can
+      // string-construct the expected canonical form + sha256 key directly
       t(s, dir, "orders").select(col("o_orderkey")).as[Long]
         .map { k =>
           val u = s"HTTPS://H${k % 8}.Example.IR:443/a/./b/../Detail?z=$k&IdeaId=$k#frag"
@@ -216,14 +217,19 @@ object SparkEntry {
         n = 3, threshold = 0.35)),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
-      // no oracle (xxhash64 is Spark-specific); OpsSpec verifies recall
-      // against the exact ngram-jaccard ground truth
+      // oracled as a recall/containment check: the full LSH pipeline runs,
+      // then restricts to the planted exact-duplicate pairs, which LSH MUST
+      // all find (identical text ⇒ identical signature ⇒ banding collision,
+      // jaccard exactly 1). OpsSpec separately verifies near-dup recall
+      // against the exact ngram-jaccard ground truth.
       Dedup.minhashLshPairs(doubledDocs(s, dir), "text", "doc_id",
-        numHashes = 64, bands = 16, jaccardThreshold = 0.8)),
+        numHashes = 64, bands = 16, jaccardThreshold = 0.8)
+        .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)),
 
     "dedup_simhash" -> ((s, dir) =>
-      // no oracle; near-dup doubled docs must collide at hamming 0
-      Dedup.simhashPairs(doubledDocs(s, dir), "text", "doc_id", maxHamming = 2)),
+      // oracled the same way: planted exact duplicates collide at hamming 0
+      Dedup.simhashPairs(doubledDocs(s, dir), "text", "doc_id", maxHamming = 2)
+        .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)),
 
     // ---- similarity search ----
     "ann_brute_topk" -> ((s, dir) => {
@@ -236,6 +242,34 @@ object SparkEntry {
       // no oracle (hash-derived hyperplanes); OpsSpec verifies vs brute force
       Ann.lshCandidatePairs(t(s, dir, "embeddings"),
         bits = 8, tables = 6, dim = 64, minCosine = 0.2)),
+
+    // ---- export stages (K4/K5/K6) ----
+    "k4_csv_roundtrip" -> ((s, dir) => {
+      // a REAL csv write + read-back (not a parquet stand-in): the oracle
+      // compares the round-tripped rows against the source table
+      val src = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_k4_csv"
+      graft.sinks.Exports.writeCsv(src, path)
+      s.read.schema(src.schema).option("header", "true").csv(path)
+    }),
+
+    "k5_sections" -> ((s, dir) => graft.sinks.Exports.sections(
+      t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("##"), col("lang"), lit("##"), col("source"))
+          .as("content")),
+      "content", "doc_id")),
+
+    "k5_render" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.sinks.Exports.renderHtmlDoc(col("doc_id"),
+          concat(lit("Doc "), col("doc_id")),
+          concat(col("text"), lit("##"), col("lang"))).as("html"))),
+
+    "k6_chunk_assign" -> ((s, dir) => graft.sinks.Exports.chunkAssign(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      "o_custkey", "o_orderkey", chunkSize = 7)
+      .select(col("o_orderkey"), col("o_custkey"), col("chunk"))),
 
     // ---- text analysis ----
     "text_lang_id" -> ((s, dir) => t(s, dir, "documents")
@@ -397,6 +431,56 @@ object SparkEntry {
          (SELECT qid, neighbor_id,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored) WHERE rank <= 5""",
+
+    "url_canonicalize" ->
+      """SELECT o_orderkey,
+         'https://h' || (o_orderkey % 8) || '.example.ir/a/Detail?IdeaId=' ||
+           o_orderkey || '&z=' || o_orderkey AS canonical_url,
+         sha256('https://h' || (o_orderkey % 8) || '.example.ir/a/Detail?IdeaId=' ||
+           o_orderkey || '&z=' || o_orderkey) AS url_key
+         FROM orders""",
+
+    "dedup_minhash_lsh" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+         CAST(1.0 AS DOUBLE) AS jaccard FROM documents
+         WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+           x -> len(x) > 0)) > 0""",
+
+    "dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+         CAST(0 AS INT) AS hamming FROM documents""",
+
+    "k4_csv_roundtrip" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+
+    "k5_sections" ->
+      """SELECT t.doc_id, CAST(i.i - 1 AS INT) AS section_idx,
+         t.parts[CAST(i.i AS INT)] AS section_text
+         FROM (SELECT doc_id,
+               string_split(text || '##' || lang || '##' || source, '##') AS parts
+               FROM documents) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) i""",
+
+    "k5_render" ->
+      """WITH esc AS (SELECT doc_id, text || '##' || lang AS content FROM documents)
+         SELECT doc_id,
+         '<!DOCTYPE html>' || chr(10) ||
+         '<html><head><meta charset="utf-8"><title>Doc ' || doc_id ||
+         '</title></head>' || chr(10) ||
+         '<body data-doc="' || doc_id || '" data-fp="' ||
+         base64(encode(md5(content))) || '">' || chr(10) ||
+         array_to_string(list_transform(string_split(content, '##'),
+           s -> '<div class="section"><p>' ||
+                replace(replace(replace(replace(s, '&', '&amp;'), '<', '&lt;'),
+                        '>', '&gt;'), '"', '&quot;') || '</p></div>'), chr(10)) ||
+         chr(10) || '</body></html>' AS html
+         FROM esc""",
+
+    "k6_chunk_assign" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST((row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1)
+           // 7 AS INT) AS chunk
+         FROM orders""",
 
     "text_lang_id" ->
       """SELECT CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0
