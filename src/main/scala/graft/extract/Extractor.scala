@@ -28,17 +28,35 @@ object Extractor extends Serializable {
   /** Resolve an lxml-style positional child path: each step selects the
     * i-th (1-based) `div` element child; i=1 when the XPath step has no
     * predicate. Returns all matches in document order (the reference takes
-    * `content[0]`, parser.py:337-340).
+    * `content[0]`, parser.py:337-340). Scans `children` in place — no
+    * per-step collection allocation (this path runs once per field per
+    * page; the extract stage is allocation-bandwidth-bound at scale).
     */
   private def resolvePath(start: Element, steps: Seq[Int]): List[Element] = {
     var current: List[Element] = List(start)
     steps.foreach { idx =>
-      current = current.flatMap { el =>
-        val divs = el.elementChildren("div")
-        if (idx == 0) divs.toList // 0 = all children (unpredicated step)
-        else if (divs.length >= idx) List(divs(idx - 1))
-        else Nil
+      val next = List.newBuilder[Element]
+      current.foreach { el =>
+        if (idx == 0) { // 0 = all div children (unpredicated step)
+          el.children.foreach {
+            case e: HtmlDom.Element if e.tag == "div" => next += e
+            case _ =>
+          }
+        } else {
+          var seen = 0
+          val it = el.children.iterator
+          var found = false
+          while (it.hasNext && !found) {
+            it.next() match {
+              case e: HtmlDom.Element if e.tag == "div" =>
+                seen += 1
+                if (seen == idx) { next += e; found = true }
+              case _ =>
+            }
+          }
+        }
       }
+      current = next.result()
     }
     current
   }

@@ -66,6 +66,14 @@ object FrontierCrawl {
     var frontier = frontier0
     var seen = seen0
     var seenParts = seenParts0
+    // cumulative seen-set bloom, maintained incrementally across rounds
+    // (each round ORs in its delta — O(R) total build scan volume instead
+    // of rebuilding over the cumulative set, O(R²)). On resume it is
+    // rebuilt ONCE from the committed parts.
+    var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+      if (cfg.useBloomPrefilter) seen0.map(_.stat.bloomFilter("url_key",
+        math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp))
+      else None
     // storeless mode: per-round checkpointed delta frames; the cumulative
     // view is a lazy union (no O(R^2) re-copying)
     var seenDeltas = Vector.empty[DataFrame]
@@ -82,8 +90,9 @@ object FrontierCrawl {
 
     while (round < maxRounds && !frontier.isEmpty) {
       val out = FrontierRound.run(spark, pages, frontier, seen, round, robots,
-        cfg, seenCount)
+        cfg, seenCount, seenBloom)
       if (seenCount >= 0L) seenCount += out.scheduledCount
+      seenBloom = out.seenBloom.orElse(seenBloom)
 
       val scheduledR = out.scheduled.withColumn("round", lit(round))
 

@@ -35,6 +35,14 @@ object FrontierRound {
       newSeenKeys: DataFrame, // url_key of everything scheduled this round
       metrics: Dataset[RoundMetrics],
       scheduledCount: Long,
+      // cumulative seen-set bloom AFTER this round (incrementally
+      // maintained: prior bloom ∪ this round's delta); carry into the next
+      // round's `seenBloom` so the filter is never rebuilt over the
+      // cumulative set
+      seenBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      // free-rider metrics over `results` (scheduled, hosts_approx,
+      // fetched_ok) — readable after the first action that materializes it
+      observation: org.apache.spark.sql.Observation,
       // intermediate cached frames; callers unpersist after materializing
       caches: Seq[DataFrame])
 
@@ -58,6 +66,19 @@ object FrontierRound {
     * the window-agg rate limiting the north_rule names. Rows beyond the
     * budget are DEFERRED (carried to the next round), mirroring the
     * reference's bounded queue backpressure (handler.py:290, max_queue_size).
+    *
+    * Frontier dedup + phase-1 rank are FUSED into a single exchange: since
+    * host and salt are both functions of the url, every copy of a url lands
+    * in the same (host, salt) partition. One spill-able
+    * `sortWithinPartitions(host, salt, priority, url_key, attempt desc,
+    * discovered_round)` makes the FIRST occurrence of each url_key
+    * simultaneously (a) the dedup winner — copies of a key are ordered by
+    * exactly the dedup tiebreak — and (b) already in (priority, url_key)
+    * rank order within its (host, salt) group, so a streaming
+    * mapPartitions pass assigns rn1 with a per-group url_key HashSet and no
+    * second exchange or window sort. (Previously: three exchanges —
+    * url_key dedup window, (host,salt) phase-1 window, host phase-2
+    * window; the first two collapse into this one.)
     */
   def schedule(
       spark: SparkSession,
@@ -70,23 +91,38 @@ object FrontierRound {
 
     val allowed = frontier.filter(e => robotsB.value.allowed(e.host, e.url))
 
-    // de-dup within the frontier (same url discovered from several pages):
-    // keep the best (lowest) priority, deterministic tiebreak
-    val dedupW = Window.partitionBy($"url_key")
-      .orderBy($"priority", $"attempt".desc, $"discovered_round")
-    val deduped = allowed.toDF()
-      .withColumn("rn", row_number().over(dedupW)).filter($"rn" === 1).drop("rn")
-      .cache()
-
     val budgetUdf = udf((host: String) => robotsB.value.budget(host, cfgB.value))
     val delayUdf = udf((host: String) => robotsB.value.delayMs(host, cfgB.value))
 
-    val salted = deduped.withColumn(
-      "salt", pmod(xxhash64($"url_key"), lit(cfg.saltBuckets)).cast("int"))
-    val phase1 = Window.partitionBy($"host", $"salt").orderBy($"priority", $"url_key")
-    val stage1 = salted
-      .withColumn("rn1", row_number().over(phase1))
+    val stage1 = allowed.toDF()
+      .withColumn("salt", pmod(xxhash64($"url_key"), lit(cfg.saltBuckets)).cast("int"))
+      .repartition($"host", $"salt")
+      .sortWithinPartitions($"host", $"salt", $"priority", $"url_key",
+        $"attempt".desc, $"discovered_round")
+      .select($"url_key", $"url", $"host", $"priority", $"attempt",
+        $"discovered_round", $"salt")
+      .as[(String, String, String, Double, Int, Int, Int)]
+      .mapPartitions { it =>
+        var curHost: String = null
+        var curSalt = Int.MinValue
+        var seen: java.util.HashSet[String] = null
+        var rn = 0
+        it.flatMap { case (key, url, host, prio, att, dr, salt) =>
+          if (curHost == null || host != curHost || salt != curSalt) {
+            curHost = host; curSalt = salt
+            seen = new java.util.HashSet[String]()
+            rn = 0
+          }
+          if (seen.add(key)) { // first occurrence == dedup winner, in rank order
+            rn += 1
+            Iterator.single((key, url, host, prio, att, dr, rn))
+          } else Iterator.empty
+        }
+      }
+      .toDF("url_key", "url", "host", "priority", "attempt",
+        "discovered_round", "rn1")
       .cache()
+
     val phase2 = Window.partitionBy($"host").orderBy($"priority", $"url_key")
     val stage2 = stage1
       .filter($"rn1" <= budgetUdf($"host"))
@@ -94,7 +130,7 @@ object FrontierRound {
     val scheduled = stage2
       .filter($"slot" <= budgetUdf($"host"))
       .withColumn("scheduled_delay_ms", ($"slot" - 1).cast("long") * delayUdf($"host"))
-      .drop("rn1", "salt")
+      .drop("rn1")
 
     // deferred = dropped by phase 1 ∪ over-budget after phase 2 — both
     // derived from the rank columns directly (no anti-join / extra shuffle)
@@ -111,26 +147,40 @@ object FrontierRound {
     * lets ~(1-fpp) of genuinely-new URLs skip the shuffle entirely — at
     * 10^10 keys that is the difference between a broadcast bitmap probe and
     * an all-to-all join.
+    *
+    * `prebuiltBloom` (when the caller maintains the filter incrementally —
+    * see run()/FrontierCrawl) skips both the per-call count and the
+    * cumulative-set rescan: total bloom build work over a crawl drops from
+    * O(R²) to O(R) scan volume. Without it the bloom is built here from
+    * `seenKeys` (the one-shot path).
     */
   def notSeen(
       spark: SparkSession,
       candidates: Dataset[FrontierEntry],
       seenKeys: DataFrame, // single column url_key
       cfg: PolitenessConfig,
-      seenCountHint: Long = -1L): Dataset[FrontierEntry] = {
+      seenCountHint: Long = -1L,
+      prebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): Dataset[FrontierEntry] = {
     import spark.implicits._
     if (seenKeys == null) return candidates
-    // a tracked count (driver-side running total) avoids a scan per round
-    val seenCount = if (seenCountHint >= 0L) seenCountHint else seenKeys.count()
-    if (seenCount == 0) return candidates
-    if (!cfg.useBloomPrefilter)
-      return candidates.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry]
-    val bloom = seenKeys.stat.bloomFilter("url_key", math.max(seenCount, 1000L), cfg.bloomFpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val definitelyNew = candidates.filter(e => !bloomB.value.mightContainString(e.url_key))
-    val maybeSeen = candidates.filter(e => bloomB.value.mightContainString(e.url_key))
-    definitelyNew.union(
-      maybeSeen.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry])
+    val bloomOpt =
+      if (!cfg.useBloomPrefilter) None
+      else prebuiltBloom.orElse {
+        // a tracked count (driver-side running total) avoids a scan per round
+        val seenCount = if (seenCountHint >= 0L) seenCountHint else seenKeys.count()
+        if (seenCount == 0) return candidates
+        Some(seenKeys.stat.bloomFilter("url_key", math.max(seenCount, 1000L), cfg.bloomFpp))
+      }
+    bloomOpt match {
+      case None =>
+        candidates.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry]
+      case Some(bloom) =>
+        val bloomB = spark.sparkContext.broadcast(bloom)
+        val definitelyNew = candidates.filter(e => !bloomB.value.mightContainString(e.url_key))
+        val maybeSeen = candidates.filter(e => bloomB.value.mightContainString(e.url_key))
+        definitelyNew.union(
+          maybeSeen.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry])
+    }
   }
 
   /** Run one round against the pages table. `pages` needs only (url, html)
@@ -144,7 +194,12 @@ object FrontierRound {
       round: Int,
       robots: RobotsRules = RobotsRules.empty,
       cfg: PolitenessConfig = PolitenessConfig(),
-      seenCountHint: Long = -1L): RoundOutput = {
+      seenCountHint: Long = -1L,
+      // cumulative bloom over seenKeys, maintained by the caller across
+      // rounds (mutated here by merging this round's delta). When absent
+      // but seenKeys is present, the prefilter falls back to a per-call
+      // build (the legacy O(R²)-over-a-crawl path).
+      seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): RoundOutput = {
     import spark.implicits._
 
     val plan = schedule(spark, frontier, robots, cfg)
@@ -171,8 +226,16 @@ object FrontierRound {
     // the html-free status table is what everything row-level reuses
     val statusSmall = classified.drop("html").cache()
 
+    // free-rider metrics (A4/A2 surfaces): ride the first action that
+    // materializes `results` — no extra scan; host cardinality is the
+    // approx sketch (exact distinct would shuffle)
+    val observation = new org.apache.spark.sql.Observation()
     val results = statusSmall
       .select($"url_key", $"url", $"host", $"attempt", lit(round).as("round"), $"status")
+      .observe(observation,
+        count(lit(1)).as("scheduled"),
+        approx_count_distinct($"host").as("hosts_approx"),
+        sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"))
 
     val okPages = classified.filter($"status" === "ok")
       .select($"url", $"html", $"priority")
@@ -217,7 +280,22 @@ object FrontierRound {
     }
     val seenAfterCount =
       if (seenCountHint >= 0L) seenCountHint + scheduledCount else -1L
-    val fresh = notSeen(spark, freshCandidates, seenAfter, cfg, seenAfterCount)
+
+    // incremental bloom maintenance: build a filter over THIS round's delta
+    // only (O(scheduled) work) and OR it into the cumulative filter. Valid
+    // as the prefilter for `seenAfter` only if the incoming bloom actually
+    // covered the incoming seenKeys (or there were none).
+    val bloomAfter: Option[org.apache.spark.util.sketch.BloomFilter] =
+      if (!cfg.useBloomPrefilter || (seenKeys.isDefined && seenBloom.isEmpty)) None
+      else {
+        val delta = newSeenKeys.stat.bloomFilter("url_key",
+          math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
+        Some(seenBloom match {
+          case Some(b) => b.mergeInPlace(delta); b
+          case None => delta
+        })
+      }
+    val fresh = notSeen(spark, freshCandidates, seenAfter, cfg, seenAfterCount, bloomAfter)
 
     // retries re-enter the frontier bypassing the seen check (J6,
     // handler.py:397-442: one re-pass for failures). statusSmall still
@@ -243,6 +321,7 @@ object FrontierRound {
       .as[RoundMetrics]
 
     RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
-      scheduledCount, Seq(scheduled, statusSmall, plan.dedupedCache))
+      scheduledCount, bloomAfter, observation,
+      Seq(scheduled, statusSmall, plan.dedupedCache))
   }
 }

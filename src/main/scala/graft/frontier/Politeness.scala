@@ -15,6 +15,11 @@ final case class PolitenessConfig(
     saltBuckets: Int = 8,
     bloomFpp: Double = 0.01,
     useBloomPrefilter: Boolean = true,
+    // fixed per-round bloom capacity so per-round delta blooms are
+    // mergeInPlace-compatible (same bit size); overflow past capacity only
+    // raises the fpp — more candidates take the exact anti-join, never a
+    // correctness loss. 2^22 keys @ 1% ≈ 5 MB per filter.
+    bloomCapacity: Long = 1L << 22,
     // disable to skip the eager schedule-size count (one-shot jobs that
     // don't feed a bloom-sizing running total)
     trackScheduledCount: Boolean = true)

@@ -1,0 +1,88 @@
+package graft.seen
+
+import graft.model.FrontierEntry
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** SQL-registrable cuckoo seen-set aggregate (SURVEY.md §2.10): folds a
+  * column of url_key strings into one serialized CuckooFilter. Merge is the
+  * filter's own mergeFrom (associative & commutative up to slot placement;
+  * membership — the only observable — is preserved, which the spec
+  * asserts). Overflow past capacity degrades to stash entries, never to a
+  * false negative, so "spill to exact" stays a pure performance decision
+  * for the caller (more maybe-seen rows take the exact anti-join).
+  */
+final class CuckooSeenAggregator(expectedItems: Long)
+    extends Aggregator[String, CuckooFilter, Array[Byte]] {
+  def zero: CuckooFilter = CuckooFilter.create(expectedItems)
+  def reduce(f: CuckooFilter, key: String): CuckooFilter = {
+    if (key != null) f.insert(key)
+    f
+  }
+  def merge(a: CuckooFilter, b: CuckooFilter): CuckooFilter = { a.mergeFrom(b); a }
+  def finish(f: CuckooFilter): Array[Byte] = f.serialize()
+  def bufferEncoder: Encoder[CuckooFilter] = Encoders.javaSerialization[CuckooFilter]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Bucket-aligned approximate seen-set probe — the 10^10-key scale path the
+  * broadcast Bloom cannot take alone: one 1%-fpp Bloom over 10^10 keys is
+  * ~12 GB (unbroadcastable), but B bucket-aligned cuckoo filters of
+  * 10^10/B keys each are built as ONE distributed aggregation (the
+  * CuckooSeenAggregator above) and each executor only ever probes the
+  * buckets of the candidates it holds.
+  */
+object SeenSet extends Serializable {
+
+  /** Deterministic bucket of a url_key (same function driver- and
+    * executor-side — NOT Spark's xxhash64, which is not callable from plain
+    * JVM code).
+    */
+  def bucketOf(key: String, buckets: Int): Int =
+    Math.floorMod(CuckooFilter.hash64(key), buckets.toLong).toInt
+
+  /** Build the per-bucket filters with one groupBy aggregation. */
+  def buildBucketFilters(seenKeys: DataFrame, buckets: Int,
+      expectedPerBucket: Long): Map[Int, Array[Byte]] = {
+    val agg = udaf(new CuckooSeenAggregator(expectedPerBucket))
+    val bucketUdf = udf((k: String) => bucketOf(k, buckets))
+    seenKeys
+      .groupBy(bucketUdf(col("url_key")).as("bucket"))
+      .agg(agg(col("url_key")).as("filter"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+  }
+
+  /** Cuckoo-prefiltered not-seen: candidates whose bucket filter says
+    * "definitely new" skip the shuffle; maybe-seen survivors take the exact
+    * left-anti join (identical contract to the Bloom path in
+    * FrontierRound.notSeen — no approximate DROP decisions, ever).
+    *
+    * In this local-mode build the bucket map rides one broadcast (same cost
+    * envelope as the Bloom). On a real cluster the same aggregation output
+    * stays as a table bucketed by `bucket` and the probe becomes a
+    * bucket-local map-side join — the shape is what scales, and it is the
+    * one this function encodes.
+    */
+  def notSeenCuckoo(
+      spark: SparkSession,
+      candidates: Dataset[FrontierEntry],
+      seenKeys: DataFrame, // single column url_key
+      buckets: Int = 64,
+      expectedPerBucket: Long = 1L << 16): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    val filters = buildBucketFilters(seenKeys, buckets, expectedPerBucket)
+    if (filters.isEmpty) return candidates
+    val filtersB = spark.sparkContext.broadcast(
+      filters.map { case (b, bytes) => b -> CuckooFilter.deserialize(bytes) })
+    def maybeSeen(key: String): Boolean =
+      filtersB.value.get(bucketOf(key, buckets)).exists(_.mightContain(key))
+    val definitelyNew = candidates.filter(e => !maybeSeen(e.url_key))
+    val maybe = candidates.filter(e => maybeSeen(e.url_key))
+    definitelyNew.union(
+      maybe.join(seenKeys.select(col("url_key")), Seq("url_key"), "left_anti")
+        .as[FrontierEntry])
+  }
+}

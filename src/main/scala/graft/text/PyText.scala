@@ -35,11 +35,26 @@ object PyText {
     s.substring(i, j)
   }
 
-  /** CPython `re.sub(r"\s+", " ", s)` on a unicode string. */
+  /** CPython `re.sub(r"\s+", " ", s)` on a unicode string. Fast path:
+    * strings already in collapsed form (only single ' ' runs) are returned
+    * as-is — no copy; the extract stage calls this on every field and is
+    * allocation-bandwidth-bound at scale.
+    */
   def collapseWhitespace(s: String): String = {
+    val n = s.length
+    var j = 0
+    var prevSpace = false
+    var needsWork = false
+    while (j < n && !needsWork) {
+      val c = s.charAt(j)
+      if (c == ' ') { if (prevSpace) needsWork = true; prevSpace = true }
+      else if (isPySpace(c)) needsWork = true
+      else prevSpace = false
+      j += 1
+    }
+    if (!needsWork) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
-    val n = s.length
     while (i < n) {
       val c = s.charAt(i)
       if (isPySpace(c)) {
@@ -113,7 +128,8 @@ object PyText {
     */
   def normalizeField(v: String): String = {
     if (v == null) return ""
-    val replaced = v.replace(AnswerLabel, "\n\n")
+    // avoid the replace copy on the (common) label-free field
+    val replaced = if (v.contains(AnswerLabel)) v.replace(AnswerLabel, "\n\n") else v
     pyStrip(collapseWhitespace(replaced))
   }
 
