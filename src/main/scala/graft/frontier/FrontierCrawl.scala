@@ -123,30 +123,15 @@ object FrontierCrawl {
           seenDeltas = seenDeltas :+ out.newSeenKeys.localCheckpoint(true)
           seen = Some(seenDeltas.reduce(_.union(_)))
           scheduleAll = appendOpt(scheduleAll, scheduledR.localCheckpoint(true))
-          // extraction is deferred to one crawl-end batch (below): a single
-          // wide, perfectly-parallel stage instead of a small stage per
-          // round — the round loop only materializes what the NEXT round
-          // needs (frontier, seen, results-for-retries)
           resultsAll = appendOpt(resultsAll, out.results.localCheckpoint(true))
+          // extraction already ran inside the round's single fused pages
+          // pass (FrontierRound `processed` cache) — checkpointing it here
+          // is a cache read, not a new pages scan
+          extractedAll = appendOpt(extractedAll, out.extracted.toDF().localCheckpoint(true))
           metricsAll = appendOpt(metricsAll, out.metrics.toDF().localCheckpoint(true))
       }
       out.caches.foreach(_.unpersist(false))
       round += 1
-    }
-
-    // storeless mode: batch-extract every successfully fetched page once
-    if (store.isEmpty && resultsAll.isDefined) {
-      import graft.extract.Extractor
-      val okUrls = resultsAll.get.filter(col("status") === "ok").select($"url")
-      val extractedEnd = okUrls
-        .join(pages.select($"url", $"html"), Seq("url"))
-        .as[(String, Array[Byte])]
-        .map { case (u, h) =>
-          Extractor.extractBytes(u,
-            Urls.ideaId(u).getOrElse(Urls.sha256Hex(u)), h)
-        }
-        .toDF()
-      extractedAll = Some(extractedEnd)
     }
 
     val emptyKeys = spark.createDataset(Seq.empty[String]).toDF("url_key")

@@ -214,57 +214,63 @@ object FrontierRound {
     val fetched = scheduled
       .join(pages.select($"url", $"html"), Seq("url"), "left")
 
-    // NOT cached: rows carry full page bodies — caching them deserialized
-    // is heap-hostile at realistic page sizes. Consumers traverse lazily;
-    // with the schedule side broadcastable the re-scan is map-side.
-    val classified = fetched.withColumn(
-      "status",
-      when($"html".isNull, lit("missing"))
-        .when(decode($"html", "UTF-8").contains(Extractor.ErrorSentinel), lit("error_page"))
-        .otherwise(lit("ok")))
-
-    // the html-free status table is what everything row-level reuses
-    val statusSmall = classified.drop("html").cache()
+    // ONE pass over page bodies per round: classify + extract + discover
+    // outlinks in a single typed mapPartitions (the body is decoded to a
+    // String exactly once). The cached output is html-FREE (status +
+    // extracted content + links), so no consumer ever re-reads or re-joins
+    // the pages table this round — at 100 TB that is the difference
+    // between one and three full scans per round.
+    //
+    // Outlink local dedup is an EXACT per-partition HashSet keyed on
+    // hash64(url, priority) — an approximate filter here would silently
+    // DROP a genuinely-new URL on a false positive (64-bit hash collisions
+    // are negligible vs a cuckoo filter's 16-bit fingerprints). Cross-page
+    // duplicates with different priorities survive to the exact
+    // min-priority dedup in the next round's schedule().
+    val processed = fetched
+      .select($"url_key", $"url", $"host", $"priority", $"attempt",
+        $"discovered_round", $"html")
+      .as[(String, String, String, Double, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val localLinks = new java.util.HashSet[Long](1 << 16)
+        it.map { case (key, u, host, prio, att, dr, html) =>
+          if (html == null)
+            ProcessedPage(key, u, host, prio, att, dr, "missing", None, Nil)
+          else {
+            val body = new String(html, StandardCharsets.UTF_8)
+            if (body.contains(Extractor.ErrorSentinel))
+              ProcessedPage(key, u, host, prio, att, dr, "error_page", None, Nil)
+            else {
+              val fileId = Urls.ideaId(u).getOrElse(Urls.sha256Hex(u))
+              val ex = Extractor.extract(u, fileId, body)
+              val links = Outlinks.extract(u, body).collect {
+                case (link, lp) if localLinks.add(CuckooFilter.hash64(s"$link#$lp")) =>
+                  OutLink(link, lp)
+              }
+              ProcessedPage(key, u, host, prio, att, dr, "ok", Some(ex), links)
+            }
+          }
+        }
+      }
+      .cache()
 
     // free-rider metrics (A4/A2 surfaces): ride the first action that
     // materializes `results` — no extra scan; host cardinality is the
     // approx sketch (exact distinct would shuffle)
     val observation = new org.apache.spark.sql.Observation()
-    val results = statusSmall
+    val results = processed
       .select($"url_key", $"url", $"host", $"attempt", lit(round).as("round"), $"status")
       .observe(observation,
         count(lit(1)).as("scheduled"),
         approx_count_distinct($"host").as("hosts_approx"),
         sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"))
 
-    val okPages = classified.filter($"status" === "ok")
-      .select($"url", $"html", $"priority")
+    val extracted = processed.filter($"status" === "ok")
+      .select($"extracted.*").as[Extracted]
 
-    val extracted = okPages.select($"url", $"html")
-      .as[(String, Array[Byte])]
-      .map { case (u, h) =>
-        val fileId = Urls.ideaId(u).getOrElse(Urls.sha256Hex(u))
-        Extractor.extractBytes(u, fileId, h)
-      }
-
-    // outlink discovery with a per-partition EXACT combiner: a mega-host's
-    // listing pages repeat URLs heavily; local dedup cuts shuffle volume.
-    // The combiner keys on hash64(url, priority) in an exact HashSet — an
-    // approximate filter here would silently DROP a genuinely-new URL on a
-    // false positive (64-bit hash collisions are negligible vs a cuckoo
-    // filter's 16-bit fingerprints). Cross-page duplicates with different
-    // priorities survive to the exact min-priority window dedup.
-    val rawLinks = okPages
-      .as[(String, Array[Byte], Double)]
-      .mapPartitions { it =>
-        val local = new java.util.HashSet[Long](1 << 16)
-        it.flatMap { case (u, h, _) =>
-          Outlinks.extract(u, new String(h, StandardCharsets.UTF_8)).filter {
-            case (link, prio) => local.add(CuckooFilter.hash64(s"$link#$prio"))
-          }
-        }
-      }
-      .toDF("url", "priority")
+    val rawLinks = processed
+      .select(explode($"links").as("l"))
+      .select($"l.url".as("url"), $"l.priority".as("priority"))
 
     val freshCandidates = toFrontier(spark, rawLinks, round + 1)
 
@@ -284,12 +290,16 @@ object FrontierRound {
     // incremental bloom maintenance: build a filter over THIS round's delta
     // only (O(scheduled) work) and OR it into the cumulative filter. Valid
     // as the prefilter for `seenAfter` only if the incoming bloom actually
-    // covered the incoming seenKeys (or there were none).
+    // covered the incoming seenKeys (or there were none). The delta is
+    // coalesced before the build: every build TASK allocates a full
+    // capacity-sized bitset as its partial, so partials must scale with
+    // `bloomBuildParallelism` (raise it when per-round deltas are huge),
+    // not with the shuffle-partition count.
     val bloomAfter: Option[org.apache.spark.util.sketch.BloomFilter] =
       if (!cfg.useBloomPrefilter || (seenKeys.isDefined && seenBloom.isEmpty)) None
       else {
-        val delta = newSeenKeys.stat.bloomFilter("url_key",
-          math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
+        val delta = newSeenKeys.coalesce(math.max(cfg.bloomBuildParallelism, 1))
+          .stat.bloomFilter("url_key", math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
         Some(seenBloom match {
           case Some(b) => b.mergeInPlace(delta); b
           case None => delta
@@ -298,9 +308,9 @@ object FrontierRound {
     val fresh = notSeen(spark, freshCandidates, seenAfter, cfg, seenAfterCount, bloomAfter)
 
     // retries re-enter the frontier bypassing the seen check (J6,
-    // handler.py:397-442: one re-pass for failures). statusSmall still
+    // handler.py:397-442: one re-pass for failures). `processed` still
     // carries every schedule column, so no re-join with `scheduled` needed.
-    val retries = statusSmall
+    val retries = processed
       .filter($"status" =!= "ok" && $"attempt" + 1 <= cfg.maxRetries)
       .select($"url_key", $"url", $"host", $"priority",
         ($"attempt" + 1).as("attempt"), $"discovered_round")
@@ -308,20 +318,21 @@ object FrontierRound {
 
     val newFrontier = fresh.union(retries).union(plan.deferred)
 
-    val metrics = statusSmall
+    val metrics = processed
       .withColumn("partition_id", spark_partition_id())
       .groupBy($"partition_id")
       .agg(
         count(lit(1)).as("scheduled"),
         sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"),
         sum(when($"status" === "error_page", 1L).otherwise(0L)).as("error_pages"),
-        sum(when($"status" === "missing", 1L).otherwise(0L)).as("missing"))
+        sum(when($"status" === "missing", 1L).otherwise(0L)).as("missing"),
+        sum(size($"links")).cast("long").as("outlinks"))
       .select(lit(round).as("round"), $"partition_id", $"scheduled", $"fetched_ok",
-        $"error_pages", $"missing", $"fetched_ok".as("extracted"), lit(0L).as("outlinks"))
+        $"error_pages", $"missing", $"fetched_ok".as("extracted"), $"outlinks")
       .as[RoundMetrics]
 
     RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
       scheduledCount, bloomAfter, observation,
-      Seq(scheduled, statusSmall, plan.dedupedCache))
+      Seq(scheduled, processed.toDF(), plan.dedupedCache))
   }
 }

@@ -18,8 +18,13 @@ final case class PolitenessConfig(
     // fixed per-round bloom capacity so per-round delta blooms are
     // mergeInPlace-compatible (same bit size); overflow past capacity only
     // raises the fpp — more candidates take the exact anti-join, never a
-    // correctness loss. 2^22 keys @ 1% ≈ 5 MB per filter.
-    bloomCapacity: Long = 1L << 22,
+    // correctness loss. 2^20 keys @ 1% ≈ 1.2 MB per filter; size up for
+    // crawls expected to exceed ~10^6 distinct URLs.
+    bloomCapacity: Long = 1L << 20,
+    // tasks used to build each per-round delta bloom: each task's partial
+    // is a full capacity-sized bitset, so this bounds build memory/traffic
+    // (capacity bits × parallelism per round); raise for 10^8+ deltas
+    bloomBuildParallelism: Int = 2,
     // disable to skip the eager schedule-size count (one-shot jobs that
     // don't feed a bloom-sizing running total)
     trackScheduledCount: Boolean = true)

@@ -82,3 +82,23 @@ final case class RoundMetrics(
     missing: Long,
     extracted: Long,
     outlinks: Long)
+
+/** One outlink discovered on a fetched page. */
+final case class OutLink(url: String, priority: Double)
+
+/** The single-pass per-page processing result (FrontierRound): status
+  * classification, extraction, and outlink discovery are fused into ONE
+  * pages-table pass per round; this html-free row is what the round caches
+  * and every downstream consumer (results, extracted, frontier, retries,
+  * metrics) derives from — no second scan of page bodies.
+  */
+final case class ProcessedPage(
+    url_key: String,
+    url: String,
+    host: String,
+    priority: Double,
+    attempt: Int,
+    discovered_round: Int,
+    status: String, // "ok" | "error_page" | "missing"
+    extracted: Option[Extracted], // defined iff status == "ok"
+    links: Seq[OutLink]) // locally deduped (url, priority) outlinks
