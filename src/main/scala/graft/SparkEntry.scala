@@ -143,6 +143,18 @@ object SparkEntry {
       .select(col("c_custkey"),
         when(col("n").isNull, lit("need_fetch")).otherwise(lit("have")).as("split"))),
 
+    "j7_upsert" -> ((s, dir) => {
+      // MERGE-by-key (fix_id_mapping-style id sync): every 7th customer row
+      // is "fixed" and replaces its existing version; the rest survive
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val updates = base.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"),
+          concat(lit("FIXED-"), col("c_name")).as("c_name"),
+          lit("UPDATED").as("c_mktsegment"))
+      graft.ops.Merge.upsertByKey(base, updates, "c_custkey")
+    }),
+
     "j6_retry_requeue" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val failed = e.filter(col("event_type") === "error")
@@ -359,6 +371,12 @@ object SparkEntry {
          FROM customer LEFT JOIN
          (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
          ON c_custkey = o_custkey""",
+
+    "j7_upsert" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey, 'FIXED-' || c_name AS c_name, 'UPDATED' AS c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 0""",
 
     "j6_retry_requeue" ->
       """SELECT event_id, attempt FROM

@@ -97,6 +97,20 @@ final class FrontierStore(spark: SparkSession, root: String) {
   def read(snapshot: Snapshot, table: String): DataFrame =
     spark.read.parquet(snapshot.tables(table))
 
+  /** J7 keyed upsert against the latest snapshot: the new version of
+    * `table` = latest version with `updates` merged by `key` (replaced
+    * where matched, appended where new). Include the result in the next
+    * commit() — the snapshot mechanics stay append-only + atomic, matching
+    * an Iceberg MERGE-produced snapshot. Reference analog: the id-field
+    * re-index of fix_id_mapping.py:85-207.
+    */
+  def mergedWithLatest(table: String, updates: DataFrame, key: String): DataFrame =
+    latest() match {
+      case Some(snap) if snap.tables.contains(table) =>
+        graft.ops.Merge.upsertByKey(read(snap, table), updates, key)
+      case _ => updates
+    }
+
   // minimal flat JSON (name→path map + round) — no external JSON dep needed
   private def renderManifest(s: Snapshot): String = {
     val entries = s.tables.toSeq.sortBy(_._1)

@@ -77,6 +77,25 @@ class EnrichReconcileSpec extends SparkTestBase {
     assert(recIds == (11 to 20).map(_.toString).toSet)
   }
 
+  test("J7 upsert: matched keys replaced, new keys appended, rest kept") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n")
+    val updates = Seq((2L, "B2", 99), (4L, "d", 40)).toDF("k", "v", "n")
+    val merged = graft.ops.Merge.upsertByKey(base, updates, "k")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(merged == Seq((1L, "a", 10), (2L, "B2", 99), (3L, "c", 30), (4L, "d", 40)))
+
+    // store-level: upsert against the latest snapshot survives commit/read
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val store = new graft.store.FrontierStore(spark, root)
+    store.commit(0, Map("docs" -> base))
+    val v1 = store.mergedWithLatest("docs", updates, "k")
+    store.commit(1, Map("docs" -> v1))
+    val back = store.read(store.latest().get, "docs")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a", 10), (2L, "B2", 99), (3L, "c", 30), (4L, "d", 40)))
+  }
+
   test("round observation: free-rider metrics match exact counts") {
     import spark.implicits._
     def url(i: Int) = s"https://h${i % 3}.example.ir/opinions/Detail?IdeaId=$i"
