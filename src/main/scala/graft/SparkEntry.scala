@@ -243,6 +243,17 @@ object SparkEntry {
       Dedup.simhashPairs(doubledDocs(s, dir), "text", "doc_id", maxHamming = 2)
         .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)),
 
+    "dedup_cluster_assign" -> ((s, dir) => {
+      // transitive near-dup clustering over a deterministic pair graph:
+      // every doc pairs with its +100000 copy; even docs chain one further
+      // (+200000), so convergence needs real label propagation
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val p1 = d.select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
+      val p2 = d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000L).as("id_a"), (col("doc_id") + 200000L).as("id_b"))
+      Dedup.clusterAssign(p1.union(p2)).select(col("id"), col("cluster_rep"))
+    }),
+
     // ---- similarity search ----
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -467,6 +478,14 @@ object SparkEntry {
     "dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
          CAST(0 AS INT) AS hamming FROM documents""",
+
+    "dedup_cluster_assign" ->
+      """SELECT doc_id AS id, doc_id AS cluster_rep FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS id, doc_id AS cluster_rep FROM documents
+         UNION ALL
+         SELECT doc_id + 200000 AS id, doc_id AS cluster_rep FROM documents
+         WHERE doc_id % 2 = 0""",
 
     "k4_csv_roundtrip" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer",

@@ -112,6 +112,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected-component cluster assignment over near-duplicate candidate
+    * pairs: every doc reachable through a chain of pairs gets the cluster's
+    * smallest id as its representative (the transitive closure step a real
+    * dedup pipeline needs on top of pair generation — two docs can be dups
+    * of a third without being a pair themselves).
+    *
+    * Smallest-label propagation as a DataFrame loop: each iteration joins
+    * current labels across edges and takes the min — O(cluster diameter)
+    * iterations, each one shuffle on id; labels are localCheckpoint-ed so
+    * lineage stays flat. Near-dup clusters in practice have tiny diameters
+    * (dup chains, not long paths), so this converges in a few rounds even
+    * at 100 TB. No driver-side graph state.
+    *
+    * Returns (id, cluster_rep) for every id appearing in `pairs`.
+    */
+  def clusterAssign(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edges, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_rep", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label for dst = min label among its neighbors ∪ itself
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster_rep")).as("neighbor_min"))
+      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_rep"), coalesce(col("neighbor_min"), col("cluster_rep")))
+            .as("new_rep"),
+          col("cluster_rep"))
+      val next = updated.select(col("id"), col("new_rep").as("cluster_rep"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_rep") =!= col("cluster_rep")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep one representative row per near-dup cluster: docs named in
+    * `pairs` survive only if they are their cluster's smallest id; docs in
+    * no pair survive unchanged.
+    */
+  def keepClusterRepresentatives(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val losers = clusterAssign(pairs)
+      .filter(col("id") =!= col("cluster_rep"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram (character) Jaccard similarity — an ALL-PAIRS cartesian
     * product, usable only as the small-scale oracle twin of the LSH
     * operators (ground truth for recall checks). To make misuse at scale

@@ -157,6 +157,19 @@ class OpsSpec extends SparkTestBase {
     assert(out(5L) == "unknown")
   }
 
+  test("cluster assign: transitive chains collapse to the smallest id") {
+    // a-b, b-c form one cluster (a,c never paired directly); d-e another
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val labels = graft.ops.Dedup.clusterAssign(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+
+    val docs = Seq(10L, 20L, 30L, 40L, 50L, 99L).toDF("doc_id")
+    val kept = graft.ops.Dedup.keepClusterRepresentatives(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 40L, 99L)) // reps + the unpaired doc
+  }
+
   test("cuckoo-combiner outlink dedup does not lose distinct priorities") {
     // same link with two priorities in one partition must both survive the
     // local combiner (exact min-priority dedup happens in the schedule window)
