@@ -261,6 +261,28 @@ object SparkEntry {
         .select(col("qid"), col("neighbor_id"), col("rank"))
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      // exhaustive-probe configuration (nprobe == nlist): the IVF machinery
+      // (k-means train, posting-list assignment, probe fan-out, rank) runs
+      // in full but the result is EXACT — hence DuckDB-oracle-able; the
+      // approximate regime (nprobe < nlist) is recall-tested in OpsSpec
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+        nlist = 8, nprobe = 8, iters = 3)
+        .select(col("qid"), col("neighbor_id"), col("rank"))
+    }),
+
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      // planted-duplicate recall: every vector is doubled (vec_id+100000);
+      // LSH candidates + exact >=0.99 verify must return exactly the
+      // planted identical pairs (random 64-dim pairs never reach 0.99)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val doubled = emb.union(
+        emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDupPairs(doubled, minCosine = 0.99)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }),
+
     "ann_lsh_pairs" -> ((s, dir) =>
       // no oracle (hash-derived hyperplanes); OpsSpec verifies vs brute force
       Ann.lshCandidatePairs(t(s, dir, "embeddings"),
@@ -460,6 +482,22 @@ object SparkEntry {
          (SELECT qid, neighbor_id,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored) WHERE rank <= 5""",
+
+    "ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.qid)
+         SELECT qid, neighbor_id, rank FROM
+         (SELECT qid, neighbor_id,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5""",
+
+    "dedup_embedding_cosine" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+         CAST(1.0 AS DOUBLE) AS cosine FROM embeddings""",
 
     "url_canonicalize" ->
       """SELECT o_orderkey,

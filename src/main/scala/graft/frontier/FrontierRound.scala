@@ -171,15 +171,16 @@ object FrontierRound {
         if (seenCount == 0) return candidates
         Some(seenKeys.stat.bloomFilter("url_key", math.max(seenCount, 1000L), cfg.bloomFpp))
       }
+    val seenSide = cfg.seenJoinHint.foldLeft(seenKeys)(_.hint(_))
     bloomOpt match {
       case None =>
-        candidates.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry]
+        candidates.join(seenSide, Seq("url_key"), "left_anti").as[FrontierEntry]
       case Some(bloom) =>
         val bloomB = spark.sparkContext.broadcast(bloom)
         val definitelyNew = candidates.filter(e => !bloomB.value.mightContainString(e.url_key))
         val maybeSeen = candidates.filter(e => bloomB.value.mightContainString(e.url_key))
         definitelyNew.union(
-          maybeSeen.join(seenKeys, Seq("url_key"), "left_anti").as[FrontierEntry])
+          maybeSeen.join(seenSide, Seq("url_key"), "left_anti").as[FrontierEntry])
     }
   }
 
@@ -204,15 +205,24 @@ object FrontierRound {
 
     val plan = schedule(spark, frontier, robots, cfg)
     val scheduled = plan.scheduled.cache()
-    // forces the cache in one pass; also feeds the bloom-sizing hint and
-    // the caller's running seen count (returned in RoundOutput)
-    val scheduledCount = if (cfg.trackScheduledCount) scheduled.count() else -1L
+    val willBuildBloom =
+      cfg.useBloomPrefilter && !(seenKeys.isDefined && seenBloom.isEmpty)
+    // forces the cache in one pass AT FULL PARALLELISM; also feeds the
+    // bloom-sizing hint and the caller's running seen count. Forced even
+    // when the count isn't tracked if a delta bloom will be built below:
+    // otherwise the bloom's coalesce(bloomBuildParallelism) would be the
+    // first action through the cache and the whole schedule pipeline
+    // (exchange read, sort, rank, cache write) would compute on
+    // `bloomBuildParallelism` tasks — a serial region that poisons scaling
+    val scheduledCount =
+      if (cfg.trackScheduledCount || willBuildBloom) scheduled.count() else -1L
 
     // "fetch" = equi-join with the pages table on url (SURVEY.md S2: the
     // Common-Crawl-style table lookup); left join so absent pages become
     // fetch failures. html is the only page column touched.
+    val pagesSide = cfg.fetchJoinHint.foldLeft(pages.select($"url", $"html"))(_.hint(_))
     val fetched = scheduled
-      .join(pages.select($"url", $"html"), Seq("url"), "left")
+      .join(pagesSide, Seq("url"), "left")
 
     // ONE pass over page bodies per round: classify + extract + discover
     // outlinks in a single typed mapPartitions (the body is decoded to a
@@ -272,7 +282,10 @@ object FrontierRound {
       .select(explode($"links").as("l"))
       .select($"l.url".as("url"), $"l.priority".as("priority"))
 
-    val freshCandidates = toFrontier(spark, rawLinks, round + 1)
+    // cached: the bloom split in notSeen scans candidates twice (new +
+    // maybe-seen branches) — without this the explode + canonicalize +
+    // sha256 pipeline runs twice
+    val freshCandidates = toFrontier(spark, rawLinks, round + 1).cache()
 
     // seen set after this round = everything scheduled (attempted), like the
     // reference's successful∪failed bookkeeping (handler.py:134-141)
@@ -296,7 +309,7 @@ object FrontierRound {
     // `bloomBuildParallelism` (raise it when per-round deltas are huge),
     // not with the shuffle-partition count.
     val bloomAfter: Option[org.apache.spark.util.sketch.BloomFilter] =
-      if (!cfg.useBloomPrefilter || (seenKeys.isDefined && seenBloom.isEmpty)) None
+      if (!willBuildBloom) None
       else {
         val delta = newSeenKeys.coalesce(math.max(cfg.bloomBuildParallelism, 1))
           .stat.bloomFilter("url_key", math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
@@ -333,6 +346,6 @@ object FrontierRound {
 
     RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
       scheduledCount, bloomAfter, observation,
-      Seq(scheduled, processed.toDF(), plan.dedupedCache))
+      Seq(scheduled, processed.toDF(), freshCandidates.toDF(), plan.dedupedCache))
   }
 }

@@ -27,7 +27,20 @@ final case class PolitenessConfig(
     bloomBuildParallelism: Int = 2,
     // disable to skip the eager schedule-size count (one-shot jobs that
     // don't feed a bloom-sizing running total)
-    trackScheduledCount: Boolean = true)
+    trackScheduledCount: Boolean = true,
+    // join-strategy hint for the fetch join's pages side (e.g. "merge").
+    // Default None lets Catalyst pick (broadcast while the schedule fits);
+    // set "merge" when the pages table is bucketed by url so the plan is
+    // the at-scale one — zero pages-side exchange, no driver-side
+    // broadcast build — instead of a broadcast whose single-threaded
+    // build is a fixed per-round cost
+    fetchJoinHint: Option[String] = None,
+    // join-strategy hint for the seen-set side of the exact anti-join in
+    // notSeen (e.g. "shuffle_hash"). Default None → Catalyst broadcasts
+    // while the seen table fits, whose driver-side build is another fixed
+    // per-round cost; at 10^10 keys the seen side outgrows broadcast and
+    // the shuffle path is the only one anyway
+    seenJoinHint: Option[String] = None)
 
 /** Parsed robots rules for one host. */
 final case class HostRules(

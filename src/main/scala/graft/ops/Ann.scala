@@ -48,6 +48,142 @@ object Ann {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** K-means coarse quantizer for IVF search (Lloyd's iterations, cosine
+    * metric on L2-normalized vectors). Deterministic: init = the `nlist`
+    * smallest ids; each iteration computes per-partition partial sums in a
+    * typed mapPartitions (no per-row shuffle — partials are (cid, sum,
+    * count) rows, ≤ partitions×nlist of them), merges them with a map-side-
+    * combining reduceGroups, and collects nlist rows to the driver. Train
+    * on a deterministic 1/`trainModulus` id-hash slice for huge corpora —
+    * the quantizer only needs a representative sample.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      nlist: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainModulus: Int = 1): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val all = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val train = (if (trainModulus > 1)
+      all.filter(pmod(xxhash64($"id"), lit(trainModulus)) === 0) else all)
+      .as[(Long, Array[Float])]
+
+    def normalize(v: Array[Float]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else { val o = new Array[Float](v.length); i = 0
+        while (i < v.length) { o(i) = (v(i) / n).toFloat; i += 1 }; o }
+    }
+    def nearest(cs: Array[Array[Float]], v: Array[Float]): Int = {
+      var best = 0; var bestDot = Double.MinValue; var c = 0
+      while (c < cs.length) {
+        val cv = cs(c); var d = 0.0; var i = 0
+        while (i < v.length) { d += cv(i).toDouble * v(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var centroids = train.orderBy($"id").limit(nlist).collect()
+      .map { case (_, v) => normalize(v) }
+    require(centroids.nonEmpty, "empty training set")
+    val dim = centroids(0).length
+    for (_ <- 1 to iters) {
+      val cB = spark.sparkContext.broadcast(centroids)
+      val merged = train
+        .mapPartitions { it =>
+          val cs = cB.value
+          val acc = Array.fill(cs.length)(new Array[Double](dim))
+          val cnt = new Array[Long](cs.length)
+          it.foreach { case (_, raw) =>
+            val v = normalize(raw)
+            val c = nearest(cs, v)
+            val a = acc(c); var i = 0
+            while (i < dim) { a(i) += v(i); i += 1 }
+            cnt(c) += 1
+          }
+          (0 until cs.length).iterator.filter(cnt(_) > 0)
+            .map(c => (c, (acc(c), cnt(c))))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val (va, na) = a._2; val (vb, nb) = b._2
+          var i = 0; while (i < dim) { va(i) += vb(i); i += 1 }
+          (a._1, (va, na + nb))
+        }
+        .map { case (c, (_, (sum, n))) => (c, sum.map(x => (x / n).toFloat)) }
+        .collect()
+      val next = centroids.clone() // empty clusters keep their centroid
+      merged.foreach { case (c, mean) => next(c) = normalize(mean) }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors live in the
+    * posting list of their nearest coarse centroid; each query scans only
+    * its `nprobe` nearest lists. At scale the assignment is the partition
+    * key (write the corpus clustered by cid once; queries read nprobe/nlist
+    * of the data). With nprobe == nlist the search is exhaustive and equals
+    * bruteForceTopK exactly — the oracle configuration.
+    *
+    * Queries are broadcast (small side); the corpus streams through one
+    * fused assign+join stage — no corpus-side shuffle at all.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainModulus: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, vecCol, trainModulus)
+    val cB = spark.sparkContext.broadcast(centroids)
+
+    def probes(v: Array[Float], n: Int): Array[Int] = {
+      val cs = cB.value
+      val dots = cs.indices.map { c =>
+        val cv = cs(c); var d = 0.0; var s = 0.0; var i = 0
+        while (i < v.length) { d += cv(i).toDouble * v(i); s += v(i).toDouble * v(i); i += 1 }
+        (c, if (s == 0) 0.0 else d / math.sqrt(s))
+      }
+      dots.sortBy { case (c, d) => (-d, c) }.take(n).map(_._1).toArray
+    }
+
+    // (cid, qid, qv) — each query replicated to its nprobe lists
+    val queryProbes = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) => probes(qv, nprobe).iterator.map(c => (c, qid, qv)) }
+      .toDF("cid", "qid", "qv")
+
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (probes(v, 1)(0), id, v) }
+      .toDF("cid", "id", "v")
+
+    val scored = assigned.join(broadcast(queryProbes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** LSH (random-hyperplane) approximate neighbor candidates: vectors
     * sharing a signature in any of `tables` hash tables become candidates;
     * exact cosine verifies. Hyperplanes are deterministic from the seed,

@@ -171,6 +171,24 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-cosine near-duplicate pairs — the 100 TB path: RHP-LSH
+    * bucketing generates candidates (band join carries (t, sig, id) only),
+    * exact cosine verifies at `minCosine`. Identical/near-identical vectors
+    * collide in every table, so recall at high thresholds is ~1. Compose
+    * with [[clusterAssign]] / [[keepClusterRepresentatives]] to collapse
+    * the pair graph into surviving documents.
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame,
+      minCosine: Double = 0.95,
+      bits: Int = 8,
+      tables: Int = 6,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame =
+    Ann.lshCandidatePairs(corpus, bits, tables, dim, minCosine, idCol, vecCol, seed)
+
   /** Exact n-gram (character) Jaccard similarity — an ALL-PAIRS cartesian
     * product, usable only as the small-scale oracle twin of the LSH
     * operators (ground truth for recall checks). To make misuse at scale

@@ -104,6 +104,45 @@ class OpsSpec extends SparkTestBase {
       .collect().foreach(r => assert(r.getAs[Double]("cosine") >= 0.9))
   }
 
+  test("ann: IVF exhaustive-probe equals brute force; nprobe<nlist keeps cluster recall") {
+    // same clustered fixture as the LSH test
+    val vecs = (0 until 100).map { i =>
+      val cluster = i / 5
+      val v = Array.tabulate(64) { d =>
+        val base = ((Sketches.mix(cluster * 131L + d) >>> 16) % 1000L) / 500.0f - 1.0f
+        val noise = ((Sketches.mix(i * 7793L + d) >>> 16) % 100L) / 5000.0f
+        base + noise
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter($"vec_id" < 10)
+
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+
+    // nprobe == nlist: the IVF plumbing must reproduce brute force EXACTLY
+    val brute = asSet(Ann.bruteForceTopK(vecs, queries, k = 3))
+    val exhaustive = asSet(Ann.ivfTopK(vecs, queries, k = 3, nlist = 8, nprobe = 8, iters = 3))
+    assert(exhaustive == brute)
+
+    // approximate regime: the query's own cluster lives in the probed list,
+    // so top-1 must still be a same-cluster member for most queries
+    val approx = Ann.ivfTopK(vecs, queries, k = 1, nlist = 8, nprobe = 2, iters = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id")))
+    val sameCluster = approx.count { case (q, n) => q / 5 == n / 5 }
+    assert(sameCluster >= 8, s"ivf same-cluster top-1: $sameCluster/10")
+  }
+
+  test("embedding near-dup: planted identical vectors are exactly recovered") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(d => ((Sketches.mix(i * 977L + d) >>> 16) % 1000L) / 500.0f - 1.0f))
+    }.toDF("vec_id", "embedding")
+    val doubled = vecs.union(vecs.select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+    val pairs = graft.ops.Dedup.embeddingNearDupPairs(doubled, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 40L).map(i => (i, i + 1000L)).toSet)
+  }
+
   test("multimodal plumbing: deterministic stub features, exact schema") {
     val media = Multimodal.withFakePayload(docs.select($"doc_id"))
     val feats = Multimodal.extractFeatures(spark, media).cache()
