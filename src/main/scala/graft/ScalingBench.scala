@@ -71,7 +71,37 @@ object ScalingBench {
     math.min(once(), once())
   }
 
+  /** Memory-bandwidth probe: `threads` x repeated 64 MB arraycopy. The
+    * host's degraded mode can throttle MEMORY BANDWIDTH while register-only
+    * arithmetic stays clean (measured: 4-thread memprobe 0.16-0.28s clean
+    * vs 1.3-2.4s during an episode that left the cpu probe at 0.86s), and
+    * Spark stages are allocation-heavy — so certification needs both.
+    */
+  private def memProbeSecs(threads: Int): Double = {
+    def once(): Double = {
+      val ts = (0 until threads).map { _ =>
+        new Thread(new Runnable {
+          def run(): Unit = {
+            val src = new Array[Long](8 * 1024 * 1024)
+            val dst = new Array[Long](8 * 1024 * 1024)
+            var it = 0
+            while (it < 6) { System.arraycopy(src, 0, dst, 0, src.length); it += 1 }
+            if (dst(1) == 42L) println("x")
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   private val CleanProbe = sys.env.getOrElse("SPARK_GRAFT_PROBE_CLEAN", "0.95").toDouble
+  // clean: ~0.16-0.28s at 4 threads, ~0.43s at 16 (socket-saturated)
+  private def cleanMem(threads: Int): Double =
+    if (threads <= 4) sys.env.getOrElse("SPARK_GRAFT_MEMPROBE_CLEAN_N", "0.5").toDouble
+    else sys.env.getOrElse("SPARK_GRAFT_MEMPROBE_CLEAN_4N", "0.8").toDouble
   private val MaxAttempts = 8
 
   /** Run `work` in a certified-clean window: wait until the pre-probe is
@@ -83,16 +113,22 @@ object ScalingBench {
     var attempt = 0
     while (attempt < MaxAttempts) {
       attempt += 1
-      var pre = probeSecs(threads)
+      def clean(): (Boolean, String) = {
+        val cpu = probeSecs(threads)
+        val mem = memProbeSecs(threads)
+        (cpu <= CleanProbe && mem <= cleanMem(threads), f"cpu=$cpu%.2fs mem=$mem%.2fs")
+      }
+      var (preOk, preMsg) = clean()
       var waits = 0
-      while (pre > CleanProbe && waits < 10) {
-        Console.err.println(f"[gate] $label pre-probe $pre%.2fs dirty; cooling down")
-        Thread.sleep(20000); waits += 1; pre = probeSecs(threads)
+      while (!preOk && waits < 10) {
+        Console.err.println(s"[gate] $label pre-probe $preMsg dirty; cooling down")
+        Thread.sleep(20000); waits += 1
+        val p = clean(); preOk = p._1; preMsg = p._2
       }
       val out = work
-      val post = probeSecs(threads)
-      if (pre <= CleanProbe && post <= CleanProbe) return (out, true)
-      Console.err.println(f"[gate] $label post-probe $post%.2fs dirty; discarding run (attempt $attempt)")
+      val (postOk, postMsg) = clean()
+      if (preOk && postOk) return (out, true)
+      Console.err.println(s"[gate] $label post-probe $postMsg dirty; discarding run (attempt $attempt)")
     }
     Console.err.println(s"[gate] $label attempts exhausted; last run UNCERTIFIED")
     (work, false)
@@ -228,12 +264,16 @@ object ScalingBench {
          |SMT ceiling; 4→16 stays within physical cores).
          |
          |Measurement protocol: the host shows intermittent multi-second-to-
-         |minute stalls, so every timed run is PROBE-GATED — a raw-JVM
-         |arithmetic probe (no allocation, no Spark) runs before and after
-         |it and the run is discarded and retried unless both probes are
-         |clean (≤ ${CleanProbe}s). Interleaved best-of-K over certified
-         |runs only; benchmarks launch via a plain `java -cp` runner (a
-         |live sbt JVM in the box measurably poisons the forked benchmark).
+         |minute stalls — in two distinct modes: CPU starvation of high-
+         |thread-count processes, and MEMORY-BANDWIDTH throttling that
+         |leaves register-only arithmetic untouched (memprobe 0.16→1.3-2.4s
+         |while the cpu probe stays clean). Every timed run is therefore
+         |DOUBLE-PROBE-GATED — a raw-JVM arithmetic probe AND a 64 MB/thread
+         |arraycopy bandwidth probe run before and after it, at the run's
+         |own thread count, and the run is discarded and retried unless all
+         |four are clean. Interleaved best-of-K over certified runs only;
+         |benchmarks launch via a plain `java -cp` runner (a live sbt JVM in
+         |the box measurably poisons the forked benchmark).
          |$certNote
          |
          |Node ceiling calibration (raw JVM arithmetic threads, same work
