@@ -65,9 +65,7 @@ object Extractor extends Serializable {
     * first match's `text_content().strip().replace('\n', ' ')`, or None.
     */
   private def extractAt(container: Element, steps: Seq[Int]): Option[String] =
-    resolvePath(container, steps).headOption.map { el =>
-      PyText.pyStrip(el.textContent).replace('\n', ' ')
-    }
+    resolvePath(container, steps).headOption.map(_.textContentCleaned)
 
   // XPath suffixes under //*[@id="mvcContainer-1286"], as positional div
   // steps (0 = unpredicated /div = first div child for single-child shapes;

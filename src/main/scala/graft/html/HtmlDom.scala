@@ -37,6 +37,30 @@ object HtmlDom {
       sb.toString
     }
 
+    /** `text_content().strip().replace('\n', ' ')` fused into one copy —
+      * the extract stage's hottest allocation (the naive composition makes
+      * three full copies of the content string per field). Replacing \n
+      * before stripping is equivalent here: both '\n' and ' ' are
+      * Python-whitespace, so the stripped edge set is identical either way.
+      */
+    def textContentCleaned: String = {
+      val sb = new java.lang.StringBuilder
+      def walk(n: Node): Unit = n match {
+        case Text(v) => sb.append(v)
+        case e: Element => e.children.foreach(walk)
+      }
+      walk(this)
+      var i = 0
+      var j = sb.length
+      while (i < j && graft.text.PyText.isPySpace(sb.charAt(i))) i += 1
+      while (j > i && graft.text.PyText.isPySpace(sb.charAt(j - 1))) j -= 1
+      val out = new Array[Char](j - i)
+      sb.getChars(i, j, out, 0)
+      var k = 0
+      while (k < out.length) { if (out(k) == '\n') out(k) = ' '; k += 1 }
+      new String(out)
+    }
+
     /** First element (document order, self included) with the given id. */
     def findById(id: String): Option[Element] = {
       if (attrs.get("id").contains(id)) return Some(this)

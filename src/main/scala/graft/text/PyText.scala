@@ -17,14 +17,18 @@ object PyText {
     * Zs/Zl/Zp plus the bidi-class B/S/WS control chars
     * (\t \n \v \f \r FS GS RS US NEL).
     */
-  def isPySpace(c: Char): Boolean = c match {
-    case '\t' | '\n' | '\u000b' | '\f' | '\r' => true
-    case '\u001c' | '\u001d' | '\u001e' | '\u001f' | '\u0085' => true
-    case _ =>
+  def isPySpace(c: Char): Boolean =
+    if (c < 0x80) // ASCII: ' ', \t \n \v \f \r, FS GS RS US
+      c == ' ' || (c >= '\t' && c <= '\r') || (c >= '\u001c' && c <= '\u001f')
+    else if (c == '\u0085' || c == '\u00a0') true // NEL, NBSP
+    else if (c < 0x1680) false // no Zs/Zl/Zp in (U+00A0, U+1680): this arm
+    // makes the per-char scan of Persian text (U+0600-06FF) branch-cheap
+    // instead of a Character.getType table lookup per char
+    else {
       val t = Character.getType(c)
       t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
       t == Character.PARAGRAPH_SEPARATOR
-  }
+    }
 
   /** CPython `str.strip()` with no args (strips isPySpace chars). */
   def pyStrip(s: String): String = {
@@ -128,9 +132,48 @@ object PyText {
     */
   def normalizeField(v: String): String = {
     if (v == null) return ""
-    // avoid the replace copy on the (common) label-free field
-    val replaced = if (v.contains(AnswerLabel)) v.replace(AnswerLabel, "\n\n") else v
-    pyStrip(collapseWhitespace(replaced))
+    val n = v.length
+    val label = AnswerLabel
+    val L = label.length
+    val l0 = label.charAt(0)
+    // detection pass — the composition strip(collapse(replace(label,"\n\n")))
+    // is identity iff: no label occurrence, no edge whitespace, no
+    // whitespace char other than ' ', no "  " run. One scan, no copy; this
+    // runs on every extracted field and the hot content strings are KBs of
+    // Persian text, so the naive 3-copy composition is the extract stage's
+    // dominant allocation
+    var clean = true
+    var prevSpace = false
+    var i = 0
+    while (clean && i < n) {
+      val c = v.charAt(i)
+      if (c == ' ') { if (prevSpace || i == 0 || i == n - 1) clean = false; prevSpace = true }
+      else if (isPySpace(c)) clean = false
+      else {
+        if (c == l0 && i + L <= n && v.regionMatches(i, label, 0, L)) clean = false
+        prevSpace = false
+      }
+      i += 1
+    }
+    if (clean) return v
+    // build pass — a label occurrence behaves as a whitespace run member
+    // (replace→"\n\n" then \s+→' ' then strip), merged left-to-right
+    // non-overlapping exactly like String.replace
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      val c = v.charAt(i)
+      if (c == l0 && i + L <= n && v.regionMatches(i, label, 0, L)) {
+        pendingSpace = true; i += L
+      } else if (isPySpace(c)) {
+        pendingSpace = true; i += 1
+      } else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        sb.append(c); pendingSpace = false; i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Metadata char filter (/root/reference/src/parser.py:56,286):
