@@ -119,16 +119,30 @@ object FrontierCrawl {
           resultsAll = appendOpt(resultsAll, st.read(snap, "results"))
           metricsAll = appendOpt(metricsAll, st.read(snap, "metrics"))
         case None =>
+          // the frontier checkpoint is the round's big job: it populates
+          // the fused pages-pass cache (classify+extract+outlinks). The
+          // four accumulator checkpoints after it are independent CACHE
+          // READS — submitted as concurrent Spark jobs so the drain pays
+          // ~one small-job latency instead of four (per-round driver
+          // latency is the fixed cost that dominates small rounds)
           frontier = out.newFrontier.localCheckpoint(true).as[FrontierEntry]
-          seenDeltas = seenDeltas :+ out.newSeenKeys.localCheckpoint(true)
-          seen = Some(seenDeltas.reduce(_.union(_)))
-          scheduleAll = appendOpt(scheduleAll, scheduledR.localCheckpoint(true))
-          resultsAll = appendOpt(resultsAll, out.results.localCheckpoint(true))
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val fSeen = Future(out.newSeenKeys.localCheckpoint(true))
+          val fSched = Future(scheduledR.localCheckpoint(true))
+          val fResults = Future(out.results.localCheckpoint(true))
           // extraction already ran inside the round's single fused pages
           // pass (FrontierRound `processed` cache) — checkpointing it here
           // is a cache read, not a new pages scan
-          extractedAll = appendOpt(extractedAll, out.extracted.toDF().localCheckpoint(true))
-          metricsAll = appendOpt(metricsAll, out.metrics.toDF().localCheckpoint(true))
+          val fExtracted = Future(out.extracted.toDF().localCheckpoint(true))
+          val fMetrics = Future(out.metrics.toDF().localCheckpoint(true))
+          seenDeltas = seenDeltas :+ Await.result(fSeen, Duration.Inf)
+          seen = Some(seenDeltas.reduce(_.union(_)))
+          scheduleAll = appendOpt(scheduleAll, Await.result(fSched, Duration.Inf))
+          resultsAll = appendOpt(resultsAll, Await.result(fResults, Duration.Inf))
+          extractedAll = appendOpt(extractedAll, Await.result(fExtracted, Duration.Inf))
+          metricsAll = appendOpt(metricsAll, Await.result(fMetrics, Duration.Inf))
       }
       out.caches.foreach(_.unpersist(false))
       round += 1
