@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.Extractor
-import graft.ops.{Ann, Dedup, TextStats}
+import graft.ops.{Ann, Curation, Dedup, TextStats}
 import graft.text.JalaliDate
 import graft.url.Urls
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -254,6 +254,31 @@ object SparkEntry {
       Dedup.clusterAssign(p1.union(p2)).select(col("id"), col("cluster_rep"))
     }),
 
+    "pipeline_curate" -> ((s, dir) => {
+      // the composed curation pipeline, oracle-exactly: the corpus is
+      // CONSTRUCTED (40 md5-derived tokens per doc — byte-identical
+      // construction in the DuckDB oracle, and random enough that distinct
+      // docs share no word-shingles; the real `documents` table can't
+      // oracle this because it contains genuine data-dependent near-dups
+      // whose transitive clusters SQL can't reproduce). Planted: exact
+      // copies at +10^7 (killed by keep-first) and near copies at +2*10^7
+      // (text ⊕ text: word-3-shingle jaccard exactly 38/40 = 0.95 — LSH
+      // collision certain at 16 bands — killed by the cluster collapse).
+      // Survivors = the originals, recomputed stage-by-stage in SQL.
+      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val text = array_join(transform(sequence(lit(0), lit(39)),
+        j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
+          j.cast("string"))), 1, 8)), " ")
+      val d = ids.select(col("doc_id"), text.as("text"))
+      val exactCopies = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val nearCopies = d.select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      Curation.curate(d.union(exactCopies).union(nearCopies), "doc_id", "text",
+        Curation.Config(langs = Set("latin"), minTokens = 10, maxTokens = 200,
+          jaccardThreshold = 0.9))
+    }),
+
     // ---- similarity search ----
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -482,6 +507,18 @@ object SparkEntry {
          (SELECT qid, neighbor_id,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored) WHERE rank <= 5""",
+
+    "pipeline_curate" ->
+      """WITH d AS (SELECT o_orderkey AS doc_id,
+           array_to_string(list_transform(range(0, 40),
+             j -> substr(md5(CAST(o_orderkey AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 8)),
+             ' ') AS text
+           FROM orders WHERE o_orderkey < 4000)
+         SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0
+           THEN 'unknown' ELSE 'latin' END AS lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
+         FROM d""",
 
     "ann_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

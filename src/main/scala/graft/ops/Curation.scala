@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline — the composition a corpus
+  * builder runs over crawled text before tokenization (builder-prompt
+  * first-class ops wired together; each stage is the already-tested
+  * operator, the value here is the composed single-plan dataflow):
+  *
+  *   1. annotate: language id + whitespace token count + quality features
+  *      (one codegen'd projection — no extra scans)
+  *   2. filter: language allowlist, token budget window (F3's shape)
+  *   3. exact dedup: keep-first by content hash (optional; W1/A1)
+  *   4. near-dup collapse: MinHash-LSH candidate pairs → verified Jaccard →
+  *      transitive cluster assignment → keep each cluster's smallest id
+  *
+  * Everything stays one declarative plan per stage: the only shuffles are
+  * the dedup window, the (band, hash) LSH self-join, and the cluster-label
+  * iterations — each already shaped for 100 TB (no all-pairs, no collect).
+  */
+object Curation {
+
+  final case class Config(
+      langs: Set[String] = Set("latin"),
+      minTokens: Int = 1,
+      maxTokens: Int = Int.MaxValue,
+      exactDedup: Boolean = true,
+      nearDup: Boolean = true,
+      minhashHashes: Int = 64,
+      minhashBands: Int = 16,
+      jaccardThreshold: Double = 0.9,
+      shingleSize: Int = 3)
+
+  /** Returns the curated corpus: (idCol, textCol, lang, n_tokens) for every
+    * surviving document.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val annotated = docs.select(
+      col(idCol), col(textCol),
+      TextStats.langIdByScript(col(textCol)).as("lang"),
+      TextStats.tokenCountWs(col(textCol)).as("n_tokens"))
+
+    val filtered = annotated
+      .filter(col("lang").isin(cfg.langs.toSeq: _*))
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
+
+    val exact =
+      if (cfg.exactDedup) Dedup.exactKeepFirst(filtered, textCol, idCol)
+      else filtered
+
+    if (!cfg.nearDup) exact.select(col(idCol), col("lang"), col("n_tokens"))
+    else {
+      val pairs = Dedup.minhashLshPairs(exact, textCol, idCol,
+        cfg.minhashHashes, cfg.minhashBands, cfg.jaccardThreshold, cfg.shingleSize)
+      Dedup.keepClusterRepresentatives(exact, pairs, idCol)
+        .select(col(idCol), col("lang"), col("n_tokens"))
+    }
+  }
+}

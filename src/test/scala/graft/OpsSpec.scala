@@ -143,6 +143,24 @@ class OpsSpec extends SparkTestBase {
     assert(pairs == (0L until 40L).map(i => (i, i + 1000L)).toSet)
   }
 
+  test("curation pipeline: filters + exact dedup + near-dup collapse compose") {
+    import graft.ops.Curation
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), // survives (representative)
+      (2L, base), // exact dup of 1 → keep-first kills
+      (3L, base + " " + base), // near dup of 1 → cluster collapse kills
+      (4L, "سند فارسی بدون حروف لاتین برای فیلتر زبان " * 3), // non-latin → lang filter
+      (5L, "too short"), // 2 tokens < minTokens
+      (6L, "a completely different document about spark catalyst plans and shuffles here")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(langs = Set("latin"), minTokens = 5, maxTokens = 100,
+        jaccardThreshold = 0.6))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 6L))
+  }
+
   test("multimodal plumbing: deterministic stub features, exact schema") {
     val media = Multimodal.withFakePayload(docs.select($"doc_id"))
     val feats = Multimodal.extractFeatures(spark, media).cache()
