@@ -52,11 +52,18 @@ final class FrontierStore(spark: SparkSession, root: String) {
   def commit(round: Int, tables: Map[String, DataFrame],
       aliases: Map[String, String] = Map.empty): Snapshot = {
     val dir = roundDir(round)
-    val paths = tables.map { case (name, df) =>
+    // table writes run as CONCURRENT Spark jobs (they are independent —
+    // mostly cache reads of the round's fused pages pass), so a snapshot
+    // pays ~one job latency instead of |tables|; the manifest is only
+    // published after every write has finished, preserving atomicity
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = tables.toSeq.map { case (name, df) =>
       val p = new Path(dir, name).toString
-      df.write.mode(SaveMode.Overwrite).parquet(p)
-      name -> p
-    } ++ aliases
+      Future { df.write.mode(SaveMode.Overwrite).parquet(p); name -> p }
+    }
+    val paths = writes.map(Await.result(_, Duration.Inf)).toMap ++ aliases
     val tmp = new Path(root, s"_tmp/manifest-$round.json")
     fs.mkdirs(tmp.getParent)
     fs.mkdirs(manifestDir)
