@@ -67,9 +67,14 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val all = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // persist the train slice: it feeds the init orderBy + `iters` partial-sum
+    // passes — without persistence that is (iters+1) full corpus scans at
+    // trainModulus=1. The slice is sampled precisely so it fits (disk-backed
+    // when it doesn't).
     val train = (if (trainModulus > 1)
       all.filter(pmod(xxhash64($"id"), lit(trainModulus)) === 0) else all)
       .as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def normalize(v: Array[Float]): Array[Float] = {
       var s = 0.0; var i = 0
@@ -122,6 +127,7 @@ object Ann {
       merged.foreach { case (c, mean) => next(c) = normalize(mean) }
       centroids = next
     }
+    train.unpersist(false)
     centroids
   }
 

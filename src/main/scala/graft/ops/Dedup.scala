@@ -18,9 +18,9 @@ object Dedup {
   /** Exact duplicate groups by content hash (A1 generalized):
     * groupBy(hash).count >= 2.
     */
-  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
       .filter(col("dup_count") >= 2)
 
   /** Keep-first dedup (W1 made deterministic): one row per content hash,
@@ -39,6 +39,13 @@ object Dedup {
     * a declarative self-join keyed on (band, band_hash) and the verify step
     * re-joins the shingle table for candidates only. At scale the shuffle
     * carries (band, hash, id) triples — never the documents.
+    *
+    * EAGER: the shingle table must be cached across the band + verify
+    * joins; to avoid leaking that cache to callers (a curation sweep over
+    * thresholds would accumulate executor storage) the verified pairs are
+    * materialized with localCheckpoint and the cache is released before
+    * returning. Pair output is tiny relative to the corpus (deduped
+    * candidates only), so the checkpoint is cheap at any scale.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -72,7 +79,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    val verified = candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .as[(Long, Long, Array[String], Array[String])]
@@ -82,6 +89,9 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= jaccardThreshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
+      .localCheckpoint(true)
+    shingled.unpersist(false)
+    verified
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash per doc (typed map),
@@ -156,6 +166,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterAssign: label propagation NOT converged after $maxIter " +
+          s"iterations ($changed labels still changing) — some near-dup " +
+          "chains longer than maxIter keep multiple representatives; " +
+          "raise maxIter for adversarially deep pair graphs")
     labels
   }
 

@@ -32,6 +32,11 @@ final class CuckooFilter private (
 
   def size: Long = count
   def capacity: Long = numBuckets.toLong * SlotsPerBucket
+  /** Overflow-stash occupancy — a health metric: non-trivial stash size at
+    * sub-capacity load means the caller is feeding correlated hash bits
+    * (see SeenSet.bucketOf) and probe cost is degrading toward O(stash).
+    */
+  def stashSize: Int = stash.length
 
   private def slotBase(bucket: Int) = bucket * SlotsPerBucket
 
@@ -63,17 +68,25 @@ final class CuckooFilter private (
 
   def insert(key: String): Boolean = insertHash(hash64(key))
 
-  def insertHash(h: Long): Boolean = {
-    val fp = fingerprint(h)
-    val i1 = bucketIndex(h, numBuckets)
+  def insertHash(h: Long): Boolean =
+    insertPair(bucketIndex(h, numBuckets), fingerprint(h), h)
+
+  /** Shared insert with the full kick loop — used by both single-key insert
+    * and mergeFrom (a merge without kicking overflows to the stash at
+    * moderate load, defeating the capacity design exactly when the
+    * distributed aggregation path merges per-task partials). `i1` must be
+    * one of fp's two legal buckets; the kick chain preserves that invariant
+    * for every displaced fingerprint, so stash entries stay probeable.
+    */
+  private def insertPair(i1: Int, fp: Char, seed: Long): Boolean = {
     if (bucketInsert(i1, fp)) { count += 1; return true }
     val i2 = altIndex(i1, fp, numBuckets)
     if (bucketInsert(i2, fp)) { count += 1; return true }
     // kick loop
-    var idx = if ((h & 1L) == 0L) i1 else i2
+    var idx = if ((seed & 1L) == 0L) i1 else i2
     var f = fp
     var kicks = 0
-    val rnd = new java.util.Random(h)
+    val rnd = new java.util.Random(seed)
     while (kicks < MaxKicks) {
       val base = slotBase(idx)
       val victim = base + rnd.nextInt(SlotsPerBucket)
@@ -120,8 +133,7 @@ final class CuckooFilter private (
     require(other.numBuckets == numBuckets, "cuckoo merge: size mismatch")
     var ok = true
     other.stash.foreach { case (b, f) =>
-      if (bucketInsert(b, f) || bucketInsert(altIndex(b, f, numBuckets), f)) count += 1
-      else { stash += ((b, f)); count += 1; ok = false }
+      ok &= insertPair(b, f, (b.toLong << 16) | f.toLong)
     }
     var b = 0
     while (b < other.numBuckets) {
@@ -132,9 +144,9 @@ final class CuckooFilter private (
         if (fp != EmptyFp) {
           // re-insert by reconstructing one of its two buckets: the stored
           // bucket IS one of them; altIndex is an involution, so inserting
-          // at (b, fp) directly preserves lookup correctness.
-          if (bucketInsert(b, fp) || bucketInsert(altIndex(b, fp, numBuckets), fp)) count += 1
-          else { stash += ((b, fp)); count += 1; ok = false }
+          // at (b, fp) — with the full kick loop — preserves lookup
+          // correctness and keeps merge from stashing below capacity.
+          ok &= insertPair(b, fp, (b.toLong << 16) | fp.toLong)
         }
         i += 1
       }

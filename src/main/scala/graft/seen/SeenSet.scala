@@ -38,9 +38,19 @@ object SeenSet extends Serializable {
   /** Deterministic bucket of a url_key (same function driver- and
     * executor-side — NOT Spark's xxhash64, which is not callable from plain
     * JVM code).
+    *
+    * Derived from the HIGH half of the same 64-bit hash the cuckoo filter
+    * consumes: the filter's bucketIndex uses the LOW bits (h & (nb-1)), so
+    * taking the Spark bucket from the low bits as well would fix them per
+    * bucket and leave only numBuckets/buckets primary cuckoo buckets
+    * reachable inside each filter — kick-loop failures and O(n) stash
+    * growth far below nominal capacity. rotateRight(h, 32) makes the two
+    * bucket choices independent (fingerprint uses bits 48-63; with 16-bit
+    * filter indexes the three draws stay disjoint up to 2^16 buckets).
     */
   def bucketOf(key: String, buckets: Int): Int =
-    Math.floorMod(CuckooFilter.hash64(key), buckets.toLong).toInt
+    Math.floorMod(java.lang.Long.rotateRight(CuckooFilter.hash64(key), 32),
+      buckets.toLong).toInt
 
   /** Build the per-bucket filters with one groupBy aggregation. */
   def buildBucketFilters(seenKeys: DataFrame, buckets: Int,

@@ -59,11 +59,20 @@ final class FrontierStore(spark: SparkSession, root: String) {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.{Failure, Success, Try}
     val writes = tables.toSeq.map { case (name, df) =>
       val p = new Path(dir, name).toString
       Future { df.write.mode(SaveMode.Overwrite).parquet(p); name -> p }
     }
-    val paths = writes.map(Await.result(_, Duration.Inf)).toMap ++ aliases
+    // gather EVERY future before returning or throwing: if one write fails
+    // while siblings are still in flight, an immediate re-commit of the same
+    // round must not race two Overwrite jobs on the same paths — so lift to
+    // Try (Future.sequence over Trys never short-circuits), await all, then
+    // surface the first failure
+    val settled = Await.result(
+      Future.sequence(writes.map(_.transform(t => Success(t)))), Duration.Inf)
+    settled.collectFirst { case Failure(e) => e }.foreach(e => throw e)
+    val paths = settled.collect { case Success(kv) => kv }.toMap ++ aliases
     val tmp = new Path(root, s"_tmp/manifest-$round.json")
     fs.mkdirs(tmp.getParent)
     fs.mkdirs(manifestDir)
@@ -80,25 +89,43 @@ final class FrontierStore(spark: SparkSession, root: String) {
   }
 
   /** Latest committed snapshot = the max-round manifest, ignoring any
-    * orphan _tmp/rounds data and any half-written tmp manifests.
+    * orphan _tmp/rounds data and any half-written tmp manifests. Falls back
+    * to the round-1-era single-manifest layout (root/manifest.json) when no
+    * versioned manifest exists — a store committed by the old layout must
+    * resume from its real round, not silently restart from round 0 and
+    * overwrite prior data.
     */
   def latest(): Option[Snapshot] = {
-    if (!fs.exists(manifestDir)) return None
-    val ManifestName = """manifest-r(\d+)\.json""".r
-    val rounds = fs.listStatus(manifestDir).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case ManifestName(r) => Some(r.toInt)
-        case _ => None
+    val rounds =
+      if (!fs.exists(manifestDir)) Seq.empty
+      else {
+        val ManifestName = """manifest-r(\d+)\.json""".r
+        fs.listStatus(manifestDir).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case ManifestName(r) => Some(r.toInt)
+            case _ => None
+          }
+        }
       }
-    }
-    if (rounds.isEmpty) return None
-    val in = fs.open(manifestPath(rounds.max))
-    val bytes = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    Some(parseManifest(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)))
+    val path =
+      if (rounds.nonEmpty) manifestPath(rounds.max)
+      else {
+        val legacy = new Path(root, "manifest.json")
+        if (!fs.exists(legacy)) return None
+        legacy
+      }
+    Some(parseManifest(readFully(path)))
+  }
+
+  private def readFully(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   def read(snapshot: Snapshot, table: String): DataFrame =

@@ -163,4 +163,18 @@ class FrontierSpec extends SparkTestBase {
     val metrics = st2.read(last, "metrics")
     assert(metrics.count() > 0)
   }
+
+  test("latest() falls back to the legacy single-manifest layout") {
+    // a store committed by the round-1-era layout (root/manifest.json, no
+    // manifests/ dir) must resume from its real round — silently returning
+    // None would restart from round 0 and overwrite prior round data
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy-store").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest.json"),
+      s"""{"round": 3, "tables": {"frontier": "$dir/rounds/r00003/frontier"}}""")
+    val store = new FrontierStore(spark, dir)
+    val snap = store.latest().get
+    assert(snap.round == 3)
+    assert(snap.tables("frontier").endsWith("r00003/frontier"))
+  }
 }

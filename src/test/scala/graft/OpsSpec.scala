@@ -30,7 +30,7 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("exact dedup: groups and keep-first find precisely the planted dups") {
-    val groups = Dedup.exactDupGroups(docs, "text").collect()
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
     assert(groups.length == 10)
     groups.foreach(r => assert(r.getAs[Long]("dup_count") == 2))
     val kept = Dedup.exactKeepFirst(docs, "text", "doc_id")

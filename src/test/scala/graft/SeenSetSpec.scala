@@ -59,6 +59,20 @@ class SeenSetSpec extends SparkTestBase {
     assert(keys.forall(f.mightContain), "overflow must spill to stash, not drop")
   }
 
+  test("bucketOf is independent of the filter's bucket bits: stash ~empty at design load") {
+    // 64 Spark buckets × ~800 keys, each filter sized for 800 (≈0.78 load).
+    // bucketOf must draw on DIFFERENT hash bits than CuckooFilter.bucketIndex:
+    // if the Spark bucket fixed the filter's low index bits, only nb/64
+    // primary cuckoo buckets would be reachable per filter and the kick loop
+    // would overflow to the stash far below nominal capacity.
+    val keys = (1 to 64 * 800).map(i => Urls.sha256Hex(s"load$i"))
+    val filters = SeenSet.buildBucketFilters(keysDf(keys).repartition(8),
+      buckets = 64, expectedPerBucket = 800)
+    assert(filters.size == 64, "all 64 buckets populated")
+    val totalStash = filters.values.map(CuckooFilter.deserialize(_).stashSize).sum
+    assert(totalStash == 0, s"stash must stay empty at design load, got $totalStash")
+  }
+
   test("notSeenCuckoo equals the exact anti-join (and the bloom path)") {
     val spark0 = spark
     import spark0.implicits._
