@@ -126,15 +126,45 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // operator-inventory timings
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // operator-inventory timings — PROBE-GATED (BENCH_r02 lesson: the r2
+    // query suite ran through a host-degraded window and recorded 9-15x
+    // stall-inflated garbage as the round's official numbers). Pass 1 warms
+    // every query ungated (JIT + parquet footers + plan caches); pass 2
+    // times each query inside BenchGate with light probes (single-run,
+    // short cooldown — 40+ queries must stay cheap) and records a per-query
+    // certification flag so a reader can tell a real regression from an
+    // uncertifiable window.
+    val threads = math.min(cpus.toInt, 16)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val queryFilter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = names.filter(n => queryFilter.forall(_.contains(n)))
+    selected.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = selected.map { name =>
+      val (secs, cert) = BenchGate.gated(s"query:$name", threads,
+        maxAttempts = 3, cooldownMs = 5000L, probeMinOf = 1, maxWaits = 6) {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> (secs, cert)
+    }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val queryTotal = if (results.nonEmpty) results.values.sum else 0.0
+    val qCert = results.map { case (k, (_, c)) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val queryTotal = results.map(_._2._1).sum
+    val uncertified = results.collect { case (k, (_, false)) => k }
+
+    if (queryFilter.isDefined) {
+      // spot-measurement mode: queries only, no headline/drain
+      println(s"""{"metric":"query_spot","query_total_seconds":$queryTotal,"queries":$qs,"query_certified":$qCert,"uncertified":${uncertified.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      spark.stop(); return
+    }
 
     // headline: one large frontier-round fetch+extract (the BASELINE.json
     // metric: URLs fetched+extracted/sec + frontier-round wall-time);
@@ -144,20 +174,30 @@ object Bench {
     Bench.singleRound(spark, 20000, 32, cpus.toInt,
       pagesDir + "-warm")
     new scala.reflect.io.Directory(new java.io.File(pagesDir + "-warm")).deleteRecursively()
-    // best-of-3: the host shows intermittent multi-second stalls (see
-    // BENCH/BASELINE.md protocol), so a single round is a lottery
-    val headline = (1 to 3).map { _ =>
-      Bench.singleRound(spark, 200000, 128, cpus.toInt, pagesDir)
+    // probe-gated best-of-3: the host shows intermittent multi-second
+    // stalls (see BENCH/BASELINE.md protocol), so a single round is a
+    // lottery and an ungated one can record a stalled window as the result
+    var headlineCert = true
+    val headline = (1 to 3).map { i =>
+      val (r, c) = BenchGate.gated(s"round#$i", threads, maxAttempts = 3,
+        cooldownMs = 10000L, probeMinOf = 1, maxWaits = 6) {
+        Bench.singleRound(spark, 200000, 128, cpus.toInt, pagesDir)
+      }
+      headlineCert &&= c
+      r
     }
     val (roundUrls, roundSecs) = headline.minBy(_._2)
     new scala.reflect.io.Directory(new java.io.File(pagesDir)).deleteRecursively()
     val ups = roundUrls / roundSecs
 
     // secondary: the multi-round politeness drain (round-loop wall time)
-    val (urls, rounds, secs) = crawlDrain(spark, details = 20000,
-      hosts = 32, partitions = cpus.toInt)
+    val ((urls, rounds, secs), drainCert) =
+      BenchGate.gated("drain", threads, maxAttempts = 3,
+        cooldownMs = 10000L, probeMinOf = 1, maxWaits = 6) {
+        crawlDrain(spark, details = 20000, hosts = 32, partitions = cpus.toInt)
+      }
 
-    println(s"""{"metric":"crawl_urls_per_sec","value":$ups,"unit":"urls/sec","round_urls":$roundUrls,"round_seconds":$roundSecs,"drain_urls":$urls,"drain_rounds":$rounds,"drain_seconds":$secs,"drain_urls_per_sec":${urls / secs},"query_total_seconds":$queryTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"crawl_urls_per_sec","value":$ups,"unit":"urls/sec","round_urls":$roundUrls,"round_seconds":$roundSecs,"round_certified":$headlineCert,"drain_urls":$urls,"drain_rounds":$rounds,"drain_seconds":$secs,"drain_urls_per_sec":${urls / secs},"drain_certified":$drainCert,"query_total_seconds":$queryTotal,"queries":$qs,"query_certified":$qCert,"uncertified":${uncertified.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,94 +46,10 @@ object ScalingBench {
     s
   }
 
-  // ---- throttle probe -----------------------------------------------------
+  // ---- throttle probe (shared with Bench.main — see BenchGate) ------------
 
-  /** Raw-JVM arithmetic probe: `threads` x 300M splitmix-ish iterations
-    * (equal work per thread), no allocation. Clean host ≈ 0.75-0.9s at 4
-    * AND at 16 threads (within physical cores); stall episodes show
-    * 1.2-10x that — and some episodes starve only high-thread-count
-    * processes, so certification must probe at the workload's own level.
-    */
-  private def probeSecs(threads: Int): Double = {
-    def once(): Double = {
-      val ts = (0 until threads).map { k =>
-        new Thread(new Runnable {
-          def run(): Unit = {
-            var h = k.toLong; var i = 0L
-            while (i < 300000000L) { h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29; i += 1 }
-            if (h == 42L) println(h)
-          }
-        })
-      }
-      val t0 = System.nanoTime()
-      ts.foreach(_.start()); ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
-    math.min(once(), once())
-  }
-
-  /** Memory-bandwidth probe: `threads` x repeated 64 MB arraycopy. The
-    * host's degraded mode can throttle MEMORY BANDWIDTH while register-only
-    * arithmetic stays clean (measured: 4-thread memprobe 0.16-0.28s clean
-    * vs 1.3-2.4s during an episode that left the cpu probe at 0.86s), and
-    * Spark stages are allocation-heavy — so certification needs both.
-    */
-  private def memProbeSecs(threads: Int): Double = {
-    def once(): Double = {
-      val ts = (0 until threads).map { _ =>
-        new Thread(new Runnable {
-          def run(): Unit = {
-            val src = new Array[Long](8 * 1024 * 1024)
-            val dst = new Array[Long](8 * 1024 * 1024)
-            var it = 0
-            while (it < 6) { System.arraycopy(src, 0, dst, 0, src.length); it += 1 }
-            if (dst(1) == 42L) println("x")
-          }
-        })
-      }
-      val t0 = System.nanoTime()
-      ts.foreach(_.start()); ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
-    math.min(once(), once())
-  }
-
-  private val CleanProbe = sys.env.getOrElse("SPARK_GRAFT_PROBE_CLEAN", "0.95").toDouble
-  // clean: ~0.16-0.28s at 4 threads, ~0.43s at 16 (socket-saturated)
-  private def cleanMem(threads: Int): Double =
-    if (threads <= 4) sys.env.getOrElse("SPARK_GRAFT_MEMPROBE_CLEAN_N", "0.5").toDouble
-    else sys.env.getOrElse("SPARK_GRAFT_MEMPROBE_CLEAN_4N", "0.8").toDouble
-  private val MaxAttempts = 8
-
-  /** Run `work` in a certified-clean window: wait until the pre-probe is
-    * clean, run, then discard the measurement (and retry) if the post-probe
-    * shows the host stalled during it. Returns the measurement plus whether
-    * it was certified (false only if attempts ran out — flagged in the md).
-    */
-  private def gated[T](label: String, threads: Int)(work: => T): (T, Boolean) = {
-    var attempt = 0
-    while (attempt < MaxAttempts) {
-      attempt += 1
-      def clean(): (Boolean, String) = {
-        val cpu = probeSecs(threads)
-        val mem = memProbeSecs(threads)
-        (cpu <= CleanProbe && mem <= cleanMem(threads), f"cpu=$cpu%.2fs mem=$mem%.2fs")
-      }
-      var (preOk, preMsg) = clean()
-      var waits = 0
-      while (!preOk && waits < 10) {
-        Console.err.println(s"[gate] $label pre-probe $preMsg dirty; cooling down")
-        Thread.sleep(20000); waits += 1
-        val p = clean(); preOk = p._1; preMsg = p._2
-      }
-      val out = work
-      val (postOk, postMsg) = clean()
-      if (preOk && postOk) return (out, true)
-      Console.err.println(s"[gate] $label post-probe $postMsg dirty; discarding run (attempt $attempt)")
-    }
-    Console.err.println(s"[gate] $label attempts exhausted; last run UNCERTIFIED")
-    (work, false)
-  }
+  private def gated[T](label: String, threads: Int)(work: => T): (T, Boolean) =
+    BenchGate.gated(label, threads)(work)
 
   // ---- workloads ----------------------------------------------------------
 
