@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.Extractor
-import graft.ops.{Ann, Curation, Dedup, TextStats}
+import graft.ops.{Ann, Curation, Dedup, Search, TextStats}
 import graft.text.JalaliDate
 import graft.url.Urls
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -347,6 +347,27 @@ object SparkEntry {
       "o_custkey", "o_orderkey", chunkSize = 7)
       .select(col("o_orderkey"), col("o_custkey"), col("chunk"))),
 
+    // ---- scored retrieval (the reference's primary read path) ----
+    "search_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      // multi-field corpus constructed deterministically from documents.text
+      // (the reference indexes question/answer/content; the synthetic table
+      // has one text column, so fields = positional token slices — identical
+      // construction in the DuckDB oracle)
+      val toks = split(col("text"), " ")
+      val docs3 = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(toks, 1, 8), " ").as("question"),
+        array_join(slice(toks, 9, 12), " ").as("answer"),
+        array_join(slice(toks, lit(21), greatest(size(toks) - 20, lit(0))), " ")
+          .as("content"))
+      val queries = Seq((1L, "spark shuffle"), (2L, "hash join table"),
+        (3L, "window agg data"), (4L, "vector")).toDF("query_id", "qtext")
+      Search.bm25TopK(docs3,
+        Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
+          Search.Field("content", 2.0)),
+        queries, k = 10, minScore = 1.0)
+    }),
+
     // ---- text analysis ----
     "text_lang_id" -> ((s, dir) => t(s, dir, "documents")
       .groupBy(TextStats.langIdByScript(col("text")).as("pred_lang"))
@@ -599,6 +620,54 @@ object SparkEntry {
          CAST((row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1)
            // 7 AS INT) AS chunk
          FROM orders""",
+
+    "search_bm25_topk" ->
+      """WITH docs3 AS (
+           SELECT doc_id,
+             array_to_string(toks[1:8], ' ') AS question,
+             array_to_string(toks[9:20], ' ') AS answer,
+             array_to_string(toks[21:len(toks)], ' ') AS content
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         fields(field, boost) AS (VALUES ('question', CAST(5.0 AS DOUBLE)),
+           ('answer', CAST(3.0 AS DOUBLE)), ('content', CAST(2.0 AS DOUBLE))),
+         tok AS (
+           SELECT d.doc_id, f.field,
+             unnest(string_split(lower(CASE f.field
+               WHEN 'question' THEN d.question
+               WHEN 'answer' THEN d.answer
+               ELSE d.content END), ' ')) AS term
+           FROM docs3 d, fields f),
+         tok2 AS (SELECT * FROM tok WHERE len(term) > 0),
+         tf AS (SELECT field, doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2, 3),
+         dlen AS (SELECT field, doc_id, count(*) AS dl FROM tok2 GROUP BY 1, 2),
+         stats AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
+         avgl AS (SELECT field, avg(dl) AS avgdl FROM dlen GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         queries(query_id, qtext) AS (VALUES (1, 'spark shuffle'), (2, 'hash join table'),
+           (3, 'window agg data'), (4, 'vector')),
+         qterm AS (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS term FROM queries),
+         scored AS (
+           SELECT q.query_id, t.doc_id,
+             round(sum(fb.boost
+               * ln(CAST(1.0 AS DOUBLE) + (n.n - s.df + CAST(0.5 AS DOUBLE))
+                    / (s.df + CAST(0.5 AS DOUBLE)))
+               * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                     + CAST(0.75 AS DOUBLE) * dl.dl / a.avgdl))), 6) AS score
+           FROM qterm q
+           JOIN tf t ON q.term = t.term
+           JOIN stats s ON s.field = t.field AND s.term = t.term
+           JOIN dlen dl ON dl.field = t.field AND dl.doc_id = t.doc_id
+           JOIN avgl a ON a.field = t.field
+           JOIN fields fb ON fb.field = t.field
+           CROSS JOIN n
+           GROUP BY 1, 2)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM scored WHERE score >= 1.0)
+         WHERE rank <= 10""",
 
     "text_lang_id" ->
       """SELECT CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0

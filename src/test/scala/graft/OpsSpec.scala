@@ -161,6 +161,44 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Set(1L, 6L))
   }
 
+  test("bm25 retrieval: field boosts rank question > answer > content; min_score floors") {
+    import graft.ops.Search
+    val fields = Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
+      Search.Field("content", 2.0))
+    val docs = Seq(
+      (1L, "spark shuffle", "x y", "z z z"), // terms in question (boost 5)
+      (2L, "x y", "spark shuffle", "z z z"), // terms in answer (boost 3)
+      (3L, "x y", "a b", "spark shuffle z"), // terms in content (boost 2)
+      (4L, "x y", "a b", "z w v")            // no match
+    ).toDF("doc_id", "question", "answer", "content")
+    val queries = Seq((1L, "spark shuffle")).toDF("query_id", "qtext")
+    val out = Search.bm25TopK(docs, fields, queries, k = 10, minScore = 0.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    // same tf/df per clause, so the boost ordering decides
+    assert(out.keySet == Set(1L, 2L, 3L), "non-matching doc must not appear")
+    assert(out(1L)._1 == 1 && out(2L)._1 == 2 && out(3L)._1 == 3)
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+
+    // min_score floor: raise it above the content-only doc's score
+    val floored = Search.bm25TopK(docs, fields, queries, k = 10,
+      minScore = out(3L)._2 + 0.001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(floored == Set(1L, 2L))
+
+    // idf: a query term every doc contains scores below a rare one at equal boost
+    val docs2 = Seq(
+      (1L, "common rare"), (2L, "common x"), (3L, "common y"), (4L, "common z")
+    ).toDF("doc_id", "question")
+    val q2 = Seq((1L, "common"), (2L, "rare")).toDF("query_id", "qtext")
+    val byQ = Search.bm25TopK(docs2, Seq(Search.Field("question", 1.0)), q2,
+      k = 10, minScore = 0.0)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    val commonTop = byQ(1L).map(_.getAs[Double]("score")).max
+    val rareTop = byQ(2L).map(_.getAs[Double]("score")).max
+    assert(rareTop > commonTop, s"rare=$rareTop common=$commonTop")
+  }
+
   test("multimodal plumbing: deterministic stub features, exact schema") {
     val media = Multimodal.withFakePayload(docs.select($"doc_id"))
     val feats = Multimodal.extractFeatures(spark, media).cache()
