@@ -45,10 +45,25 @@ object ProfileExtract {
         acc += graft.html.HtmlDom.parse(texts(i)).map(_.tag.length).getOrElse(0); i += 1
       }; acc
     }
+    time("container-parse-only") {
+      var acc = 0L; var i = 0
+      while (i < texts.length) {
+        acc += (graft.html.HtmlDom.parseContainer(texts(i), "mvcContainer-1286") match {
+          case graft.html.HtmlDom.FoundContainer(e) => e.tag.length
+          case _ => 0
+        }); i += 1
+      }; acc
+    }
     time("full-extract (pre-decoded)") {
       var acc = 0L; var i = 0
       while (i < texts.length) {
         acc += Extractor.extract(rows(i).url, "x", texts(i)).content.length; i += 1
+      }; acc
+    }
+    time("full-extract (full parse)") {
+      var acc = 0L; var i = 0
+      while (i < texts.length) {
+        acc += Extractor.extractViaFullParse(rows(i).url, "x", texts(i)).content.length; i += 1
       }; acc
     }
 

@@ -79,68 +79,108 @@ object Extractor extends Serializable {
   private val QuestionPath = ContentPath ++ Seq(0, 2, 0) // /div/div[2]/div parser.py:358
   private val AnswerPath = ContentPath ++ Seq(0, 4, 0) // /div/div[4]/div parser.py:367
 
-  /** Full parse — mirrors HTMLParser.parse error handling: any failure to
-    * build a tree yields the full-sentinel row (parser.py:248-256); missing
-    * sections yield per-field sentinels (parser.py:212-234).
+  private def fullSentinelRow(url: String, fileId: String): Extracted =
+    Extracted(url, fileId, QuestionSentinel, AnswerSentinel, ContentSentinel,
+      Unknown, Unknown, DefaultDate, DefaultDate)
+
+  /** Tree parsed but XPaths all miss: per-field fallbacks
+    * (question/answer sentinels; content = "q a"; metadata defaults).
+    */
+  private def noContainerRow(url: String, fileId: String): Extracted = {
+    val q = QuestionSentinel
+    val a = AnswerSentinel
+    val c = PyText.normalizeField(s"$q $a")
+    Extracted(url, fileId, PyText.normalizeField(q), PyText.normalizeField(a), c,
+      Unknown, Unknown, DefaultDate, DefaultDate)
+  }
+
+  private def fromContainer(url: String, fileId: String, container: Element): Extracted = {
+    val fileNumber = extractAt(container, FileNumberPath) match {
+      case Some(v) if v.nonEmpty =>
+        PyText.cleanMetadataField(v) // applied twice in the reference
+      case _ => Unknown
+    }
+    val opinionNumber = extractAt(container, OpinionNumberPath) match {
+      case Some(v) if v.nonEmpty => PyText.cleanMetadataField(v)
+      case _ => Unknown
+    }
+    // opinion_date: raw text → regex search → process_date
+    // (parser.py:297-322); no match or missing → default dates
+    val date: JDate = extractAt(container, OpinionDatePath) match {
+      case Some(v) if v.nonEmpty =>
+        JalaliDate.searchDatePattern(v) match {
+          case Some(ymd) =>
+            val (sh, gr) = JalaliDate.processDate(ymd)
+            JDate(sh, gr)
+          case None => JDate(DefaultDate, DefaultDate)
+        }
+      case _ => JDate(DefaultDate, DefaultDate)
+    }
+    // q/a/content use the FUSED walk+normalize (textContentNormalized): the
+    // naive composition copies each KB-scale content string four times and
+    // is the extract stage's dominant allocation. The Boolean is the
+    // reference's nonEmpty test on the pre-normalization cleaned value.
+    def normalizedAt(steps: Seq[Int]): Option[(String, Boolean)] =
+      resolvePath(container, steps).headOption.map(_.textContentNormalized)
+    val question = normalizedAt(QuestionPath) match {
+      case Some((norm, true)) => norm
+      case _ => PyText.normalizeField(QuestionSentinel)
+    }
+    val answer = normalizedAt(AnswerPath) match {
+      case Some((norm, true)) => norm
+      case _ => PyText.normalizeField(AnswerSentinel)
+    }
+    val content = normalizedAt(ContentPath) match {
+      case Some((norm, true)) => norm
+      case _ =>
+        // fallback composes the RAW cleaned values (parser.py:231) — a
+        // label could span the "q a" join, so normalized pieces cannot be
+        // concatenated; re-walk the two subtrees on this rare path
+        val questionRaw = extractAt(container, QuestionPath)
+          .filter(_.nonEmpty).getOrElse(QuestionSentinel)
+        val answerRaw = extractAt(container, AnswerPath)
+          .filter(_.nonEmpty).getOrElse(AnswerSentinel)
+        PyText.normalizeField(s"$questionRaw $answerRaw")
+    }
+    Extracted(url, fileId, question, answer, content,
+      fileNumber, opinionNumber, date.shamsi, date.gregorian)
+  }
+
+  /** Streaming parse + extract — mirrors HTMLParser.parse error handling:
+    * any failure to build a tree yields the full-sentinel row
+    * (parser.py:248-256); missing sections yield per-field sentinels
+    * (parser.py:212-234). Only the mvcContainer subtree is materialized
+    * (HtmlDom.parseContainer): everything before it is scanned without
+    * node allocation, everything after its close tag is never touched —
+    * the extract stage is allocation-bandwidth-bound at scale, and the
+    * ~6 consumed paths all live under this one div.
     */
   def extract(url: String, fileId: String, htmlText: String): Extracted = {
+    val result =
+      try HtmlDom.parseContainer(htmlText, ContainerId)
+      catch { case _: Throwable => HtmlDom.EmptyDoc }
+    result match {
+      case HtmlDom.EmptyDoc => fullSentinelRow(url, fileId)
+      case HtmlDom.NoContainer => noContainerRow(url, fileId)
+      case HtmlDom.FoundContainer(container) => fromContainer(url, fileId, container)
+    }
+  }
+
+  /** The same extraction over the FULL-tree parser — the reference path the
+    * streaming parse must be observably equivalent to (ExtractorSpec
+    * "streaming == full" exercises both over fixtures + adversarial HTML).
+    */
+  private[graft] def extractViaFullParse(url: String, fileId: String,
+      htmlText: String): Extracted = {
     val rootOpt =
       try HtmlDom.parse(htmlText)
       catch { case _: Throwable => None }
     rootOpt match {
-      case None =>
-        Extracted(url, fileId, QuestionSentinel, AnswerSentinel, ContentSentinel,
-          Unknown, Unknown, DefaultDate, DefaultDate)
+      case None => fullSentinelRow(url, fileId)
       case Some(root) =>
-        val containerOpt = root.findById(ContainerId)
-        containerOpt match {
-          case None =>
-            // tree parsed but XPaths all miss: per-field fallbacks
-            // (question/answer sentinels; content = "q a"; metadata defaults)
-            val q = QuestionSentinel
-            val a = AnswerSentinel
-            val c = PyText.normalizeField(s"$q $a")
-            Extracted(url, fileId, PyText.normalizeField(q), PyText.normalizeField(a), c,
-              Unknown, Unknown, DefaultDate, DefaultDate)
-          case Some(container) =>
-            val fileNumber = extractAt(container, FileNumberPath) match {
-              case Some(v) if v.nonEmpty =>
-                PyText.cleanMetadataField(v) // applied twice in the reference
-              case _ => Unknown
-            }
-            val opinionNumber = extractAt(container, OpinionNumberPath) match {
-              case Some(v) if v.nonEmpty => PyText.cleanMetadataField(v)
-              case _ => Unknown
-            }
-            // opinion_date: raw text → regex search → process_date
-            // (parser.py:297-322); no match or missing → default dates
-            val date: JDate = extractAt(container, OpinionDatePath) match {
-              case Some(v) if v.nonEmpty =>
-                JalaliDate.searchDatePattern(v) match {
-                  case Some(ymd) =>
-                    val (sh, gr) = JalaliDate.processDate(ymd)
-                    JDate(sh, gr)
-                  case None => JDate(DefaultDate, DefaultDate)
-                }
-              case _ => JDate(DefaultDate, DefaultDate)
-            }
-            val questionRaw = extractAt(container, QuestionPath) match {
-              case Some(v) if v.nonEmpty => v
-              case _ => QuestionSentinel
-            }
-            val answerRaw = extractAt(container, AnswerPath) match {
-              case Some(v) if v.nonEmpty => v
-              case _ => AnswerSentinel
-            }
-            val contentRaw = extractAt(container, ContentPath) match {
-              case Some(v) if v.nonEmpty => v
-              case _ => s"$questionRaw $answerRaw" // parser.py:231
-            }
-            Extracted(url, fileId,
-              PyText.normalizeField(questionRaw),
-              PyText.normalizeField(answerRaw),
-              PyText.normalizeField(contentRaw),
-              fileNumber, opinionNumber, date.shamsi, date.gregorian)
+        root.findById(ContainerId) match {
+          case None => noContainerRow(url, fileId)
+          case Some(container) => fromContainer(url, fileId, container)
         }
     }
   }

@@ -163,6 +163,9 @@ object FrontierRound {
       prebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): Dataset[FrontierEntry] = {
     import spark.implicits._
     if (seenKeys == null) return candidates
+    if (cfg.cuckooSeenBuckets > 0)
+      return graft.seen.SeenSet.notSeenCuckooBucketed(spark, candidates, seenKeys,
+        cfg.cuckooSeenBuckets, cfg.cuckooExpectedPerBucket, cfg.seenJoinHint)
     val bloomOpt =
       if (!cfg.useBloomPrefilter) None
       else prebuiltBloom.orElse {

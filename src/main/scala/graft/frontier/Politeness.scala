@@ -40,7 +40,17 @@ final case class PolitenessConfig(
     // while the seen table fits, whose driver-side build is another fixed
     // per-round cost; at 10^10 keys the seen side outgrows broadcast and
     // the shuffle path is the only one anyway
-    seenJoinHint: Option[String] = None)
+    seenJoinHint: Option[String] = None,
+    // > 0 routes the seen prefilter through the bucket-LOCAL cuckoo probe
+    // (SeenSet.notSeenCuckooBucketed: per-bucket filters built as one
+    // distributed aggregation, candidates cogrouped with their bucket's
+    // filter — nothing collected or broadcast) instead of the broadcast
+    // Bloom. The 10^10-key path: a 1%-fpp Bloom over 10^10 keys is ~12 GB
+    // (unbroadcastable) while bucketed cuckoo filters stream executor-to-
+    // executor. In this local build the filters are rebuilt per call; a
+    // deployment persists them as a table bucketed by `bucket`
+    cuckooSeenBuckets: Int = 0,
+    cuckooExpectedPerBucket: Long = 1L << 16)
 
 /** Parsed robots rules for one host. */
 final case class HostRules(

@@ -20,20 +20,36 @@ object HtmlDom {
 
   sealed trait Node
   final case class Text(value: String) extends Node
+  /** Zero-copy text node used by the streaming container parse: a span of
+    * the ORIGINAL document string, decoded lazily during text walks.
+    * `entityDecode` is true only when the span actually contains '&' (and
+    * is never set for script/style raw text, which lxml leaves undecoded) —
+    * so the common case appends straight from the source with no substring
+    * or decode copy.
+    */
+  final class TextSpan(val doc: String, val start: Int, val end: Int,
+      val entityDecode: Boolean) extends Node
   final class Element(val tag: String, val attrs: Map[String, String]) extends Node {
     val children: ArrayBuffer[Node] = new ArrayBuffer[Node]()
 
     def elementChildren(childTag: String): IndexedSeq[Element] =
       children.collect { case e: Element if e.tag == childTag => e }.toIndexedSeq
 
-    /** lxml `text_content()`: all descendant text in document order. */
-    def textContent: String = {
-      val sb = new java.lang.StringBuilder
+    private def appendTo(sb: java.lang.StringBuilder): Unit = {
       def walk(n: Node): Unit = n match {
         case Text(v) => sb.append(v)
+        case t: TextSpan =>
+          if (t.entityDecode) sb.append(decodeEntities(t.doc.substring(t.start, t.end)))
+          else sb.append(t.doc, t.start, t.end)
         case e: Element => e.children.foreach(walk)
       }
       walk(this)
+    }
+
+    /** lxml `text_content()`: all descendant text in document order. */
+    def textContent: String = {
+      val sb = new java.lang.StringBuilder
+      appendTo(sb)
       sb.toString
     }
 
@@ -45,11 +61,7 @@ object HtmlDom {
       */
     def textContentCleaned: String = {
       val sb = new java.lang.StringBuilder
-      def walk(n: Node): Unit = n match {
-        case Text(v) => sb.append(v)
-        case e: Element => e.children.foreach(walk)
-      }
-      walk(this)
+      appendTo(sb)
       var i = 0
       var j = sb.length
       while (i < j && graft.text.PyText.isPySpace(sb.charAt(i))) i += 1
@@ -59,6 +71,59 @@ object HtmlDom {
       var k = 0
       while (k < out.length) { if (out(k) == '\n') out(k) = ' '; k += 1 }
       new String(out)
+    }
+
+    /** Fused `textContentCleaned` + `PyText.normalizeField` + the
+      * pre-normalization emptiness test, in two buffer passes instead of
+      * four copies (walk → strip+\n-replace copy → String → normalize
+      * copy). Returns (normalized, cleanedNonEmpty): the Boolean is the
+      * reference's `if v.nonEmpty` test on the CLEANED (pre-normalize)
+      * value, which gates the per-field sentinel fallback.
+      *
+      * Label matching runs over the \n-as-space view (the composition
+      * replaces '\n' with ' ' BEFORE the label replace, so a label broken
+      * across a newline must still match) — spec-pinned equal to
+      * normalizeField(textContentCleaned) in TextSpec.
+      */
+    def textContentNormalized: (String, Boolean) = {
+      val sb = new java.lang.StringBuilder
+      appendTo(sb)
+      var i = 0
+      var j = sb.length
+      while (i < j && graft.text.PyText.isPySpace(sb.charAt(i))) i += 1
+      while (j > i && graft.text.PyText.isPySpace(sb.charAt(j - 1))) j -= 1
+      if (i >= j) return ("", false)
+      val label = graft.text.PyText.AnswerLabel
+      val L = label.length
+      val l0 = label.charAt(0)
+      def chAt(k: Int): Char = {
+        val c = sb.charAt(k)
+        if (c == '\n') ' ' else c
+      }
+      def labelAt(k: Int): Boolean = {
+        if (k + L > j) return false
+        var t = 0
+        while (t < L) {
+          if (chAt(k + t) != label.charAt(t)) return false
+          t += 1
+        }
+        true
+      }
+      val out = new java.lang.StringBuilder(j - i)
+      var pendingSpace = false
+      var k = i
+      while (k < j) {
+        val c = chAt(k)
+        if (c == l0 && labelAt(k)) { pendingSpace = true; k += L }
+        else if (graft.text.PyText.isPySpace(c)) { pendingSpace = true; k += 1 }
+        else {
+          if (pendingSpace && out.length > 0) out.append(' ')
+          out.append(c)
+          pendingSpace = false
+          k += 1
+        }
+      }
+      (out.toString, true)
     }
 
     /** First element (document order, self included) with the given id. */
@@ -208,6 +273,250 @@ object HtmlDom {
         Some(root)
       }
     } else Some(root)
+  }
+
+  // ---- streaming container parse ------------------------------------------
+
+  /** Outcome of [[parseContainer]], mirroring the full parse's three
+    * observable cases: no parseable document (lxml raises), a document whose
+    * id lookup misses, or the materialized container subtree.
+    */
+  sealed trait ContainerResult
+  case object EmptyDoc extends ContainerResult
+  case object NoContainer extends ContainerResult
+  final case class FoundContainer(el: Element) extends ContainerResult
+
+  private final class TagScan {
+    var tagEnd = 0
+    var selfClosed = false
+    var next = 0
+    var idStart = -1 // -1 = no id attr; start==end==0 = valueless id attr
+    var idEnd = -1
+  }
+
+  /** Attribute-region scan with the EXACT traversal of parseOpenTag, but no
+    * Map/Element allocation — records only where the tag name ends, whether
+    * the tag self-closes, where scanning resumes, and the (raw) value span
+    * of the last `id` attribute (last wins, like the attr-map overwrite).
+    */
+  private def scanTag(html: String, lt: Int, out: TagScan): Unit = {
+    val n = html.length
+    var i = lt + 1
+    while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
+    out.tagEnd = i
+    out.selfClosed = false
+    out.idStart = -1
+    out.idEnd = -1
+    var done = false
+    while (!done && i < n) {
+      while (i < n && html.charAt(i).isWhitespace) i += 1
+      if (i >= n) done = true
+      else html.charAt(i) match {
+        case '>' => i += 1; done = true
+        case '/' =>
+          if (i + 1 < n && html.charAt(i + 1) == '>') { out.selfClosed = true; i += 2; done = true }
+          else i += 1
+        case _ =>
+          val nameStart = i
+          while (i < n && !html.charAt(i).isWhitespace &&
+            html.charAt(i) != '=' && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+          val nameEnd = i
+          while (i < n && html.charAt(i).isWhitespace) i += 1
+          var vS = -1
+          var vE = -1
+          if (i < n && html.charAt(i) == '=') {
+            i += 1
+            while (i < n && html.charAt(i).isWhitespace) i += 1
+            if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+              val q = html.charAt(i)
+              i += 1
+              vS = i
+              while (i < n && html.charAt(i) != q) i += 1
+              vE = i
+              if (i < n) i += 1
+            } else {
+              vS = i
+              while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>') i += 1
+              vE = i
+            }
+          }
+          if (nameEnd - nameStart == 2 && html.regionMatches(true, nameStart, "id", 0, 2)) {
+            if (vS >= 0) { out.idStart = vS; out.idEnd = vE }
+            else { out.idStart = 0; out.idEnd = 0 } // valueless attr → ""
+          }
+      }
+    }
+    out.next = i
+  }
+
+  /** Streaming single-subtree parse — the extract-stage scale path. The
+    * extractor reads ~6 positional paths under ONE container div
+    * (parser.py:337-358), so building a full DOM for the page is pure
+    * allocation bandwidth: this scanner skips everything before the
+    * `id`-matched element without allocating nodes (a tag-name stack is the
+    * only state), materializes ONLY the container's subtree — with
+    * [[TextSpan]] zero-copy text nodes — and STOPS at the subtree's close
+    * tag, never touching the rest of the document.
+    *
+    * Observable-equivalence contract with the full parse (spec-enforced,
+    * ExtractorSpec "streaming == full"): for every input,
+    * parse(html).flatMap(_.findById(id)) and this function agree on
+    * EmptyDoc / NoContainer / the container's extracted text content —
+    * including the lxml edge cases: bare-text wrapping (→ NoContainer),
+    * whitespace/empty/null input (→ EmptyDoc), stray close tags that pop
+    * ancestors (ends the subtree here exactly where the full parse would
+    * re-parent subsequent content OUTSIDE the container), raw script/style
+    * text (undecoded), void/self-closing tags, entity-bearing id values.
+    */
+  def parseContainer(html: String, id: String): ContainerResult = {
+    if (html == null) return EmptyDoc
+    val n = html.length
+    val tags = ArrayBuffer[String]("#document")
+    val els = ArrayBuffer[Element](null.asInstanceOf[Element])
+    var containerIdx = -1
+    var container: Element = null
+    var sawElement = false
+    var hasText = false
+    val scan = new TagScan
+    var i = 0
+
+    def appendSpan(start: Int, end: Int): Unit = {
+      if (end <= start) return
+      if (container != null) {
+        val a = html.indexOf('&', start)
+        els(els.length - 1).children += new TextSpan(html, start, end, a >= 0 && a < end)
+      } else if (!sawElement && !hasText) {
+        // bare-text detection (lxml wraps element-free text; only fully
+        // empty input raises) — decode first: "&nbsp;" is all-whitespace
+        val dec = decodeEntities(html.substring(start, end))
+        var k = 0
+        while (!hasText && k < dec.length) {
+          if (!graft.text.PyText.isPySpace(dec.charAt(k))) hasText = true
+          k += 1
+        }
+      }
+    }
+
+    // raw text until the matching close tag, case-insensitive; returns the
+    // span end (exclusive) and advances past the close tag via the caller
+    def rawTextEnd(tag: String, from: Int): Int = {
+      val closeTag = "</" + tag
+      var j = from
+      var found = -1
+      while (found < 0 && j < n) {
+        val k = html.indexOf('<', j)
+        if (k < 0) j = n
+        else if (html.regionMatches(true, k, closeTag, 0, closeTag.length)) found = k
+        else j = k + 1
+      }
+      found
+    }
+
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { appendSpan(i, n); i = n }
+      else {
+        if (lt > i) appendSpan(i, lt)
+        if (lt + 1 >= n) { appendSpan(lt, lt + 1); i = n }
+        else html.charAt(lt + 1) match {
+          case '!' =>
+            if (html.startsWith("<!--", lt)) {
+              val end = html.indexOf("-->", lt + 4)
+              i = if (end < 0) n else end + 3
+            } else {
+              val end = html.indexOf('>', lt)
+              i = if (end < 0) n else end + 1
+            }
+          case '?' =>
+            val end = html.indexOf('>', lt)
+            i = if (end < 0) n else end + 1
+          case '/' =>
+            val end = html.indexOf('>', lt)
+            if (end < 0) i = n
+            else {
+              val tag = html.substring(lt + 2, end).trim.toLowerCase
+              val idx = tags.lastIndexWhere(_ == tag)
+              if (idx > 0) {
+                // popping the container frame (or an ancestor) means the
+                // subtree is complete: the full parse would re-parent
+                // everything after this point OUTSIDE the container
+                if (containerIdx >= 0 && idx <= containerIdx)
+                  return FoundContainer(container)
+                tags.remove(idx, tags.length - idx)
+                els.remove(idx, els.length - idx)
+              }
+              i = end + 1
+            }
+          case c if c.isLetter =>
+            sawElement = true
+            scanTag(html, lt, scan)
+            if (container == null) {
+              val isContainer = scan.idStart >= 0 && {
+                val raw = html.substring(scan.idStart, scan.idEnd)
+                (if (raw.indexOf('&') >= 0) decodeEntities(raw) else raw) == id
+              }
+              if (isContainer) {
+                // build the container itself with full attrs (one per page)
+                val (el, selfClosed, next) = parseOpenTag(html, lt)
+                container = el
+                i = next
+                if (selfClosed || voidTags.contains(el.tag))
+                  return FoundContainer(container)
+                if (rawTextTags.contains(el.tag)) {
+                  val found = rawTextEnd(el.tag, i)
+                  if (found < 0) {
+                    if (i < n) el.children += new TextSpan(html, i, n, false)
+                  } else if (found > i)
+                    el.children += new TextSpan(html, i, found, false)
+                  return FoundContainer(container)
+                }
+                tags += el.tag
+                els += el
+                containerIdx = tags.length - 1
+              } else {
+                val tag = html.substring(lt + 1, scan.tagEnd).toLowerCase
+                i = scan.next
+                if (!scan.selfClosed && !voidTags.contains(tag)) {
+                  if (rawTextTags.contains(tag)) {
+                    val found = rawTextEnd(tag, i)
+                    if (found < 0) i = n
+                    else {
+                      val end = html.indexOf('>', found)
+                      i = if (end < 0) n else end + 1
+                    }
+                  } else { tags += tag; els += null.asInstanceOf[Element] }
+                }
+              }
+            } else {
+              // build mode: inner attrs are never read by the extractor —
+              // skip the Map, keep the traversal identical
+              val tag = html.substring(lt + 1, scan.tagEnd).toLowerCase
+              val el = new Element(tag, Map.empty)
+              els(els.length - 1).children += el
+              i = scan.next
+              if (!scan.selfClosed && !voidTags.contains(tag)) {
+                if (rawTextTags.contains(tag)) {
+                  val found = rawTextEnd(tag, i)
+                  if (found < 0) {
+                    if (i < n) el.children += new TextSpan(html, i, n, false)
+                    i = n
+                  } else {
+                    if (found > i) el.children += new TextSpan(html, i, found, false)
+                    val end = html.indexOf('>', found)
+                    i = if (end < 0) n else end + 1
+                  }
+                } else { tags += tag; els += el }
+              }
+            }
+          case _ =>
+            appendSpan(lt, lt + 1)
+            i = lt + 1
+        }
+      }
+    }
+    if (container != null) FoundContainer(container)
+    else if (!sawElement && !hasText) EmptyDoc
+    else NoContainer
   }
 
   /** Parse an open tag starting at `lt`; returns (element, selfClosed, nextIndex). */

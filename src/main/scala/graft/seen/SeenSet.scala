@@ -52,17 +52,76 @@ object SeenSet extends Serializable {
     Math.floorMod(java.lang.Long.rotateRight(CuckooFilter.hash64(key), 32),
       buckets.toLong).toInt
 
-  /** Build the per-bucket filters with one groupBy aggregation. */
-  def buildBucketFilters(seenKeys: DataFrame, buckets: Int,
-      expectedPerBucket: Long): Map[Int, Array[Byte]] = {
+  /** Per-bucket filters as a DISTRIBUTED (bucket, filter) frame — one
+    * groupBy aggregation whose output never touches the driver. This is the
+    * 10^10-key shape: at 64 buckets × 10^10/64 keys the serialized filters
+    * total tens of GB, which stay as 64 rows spread over executors (and, on
+    * a real deployment, persist as a table bucketed by `bucket` so
+    * successive rounds probe without rebuilding).
+    */
+  def bucketFiltersDF(seenKeys: DataFrame, buckets: Int,
+      expectedPerBucket: Long): DataFrame = {
     val agg = udaf(new CuckooSeenAggregator(expectedPerBucket))
     val bucketUdf = udf((k: String) => bucketOf(k, buckets))
     seenKeys
       .groupBy(bucketUdf(col("url_key")).as("bucket"))
       .agg(agg(col("url_key")).as("filter"))
+  }
+
+  /** Driver-side map of the per-bucket filters — ONLY for specs and
+    * small-mode probes (the collect here is exactly what the scale path
+    * must avoid; see notSeenCuckooBucketed).
+    */
+  def buildBucketFilters(seenKeys: DataFrame, buckets: Int,
+      expectedPerBucket: Long): Map[Int, Array[Byte]] =
+    bucketFiltersDF(seenKeys, buckets, expectedPerBucket)
       .collect()
       .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
       .toMap
+
+  /** Bucket-LOCAL cuckoo prefilter with no driver materialization — the
+    * scale path: candidates and filters are cogrouped on the bucket key, so
+    * each task deserializes ONLY its buckets' filters (once per bucket, not
+    * per row — evidenced by `deserCounter`) and probes its candidates
+    * against them. Filter bytes move executor→executor through one
+    * exchange keyed on bucket; nothing is collected or broadcast. Probe
+    * verdicts keep the Bloom-path contract: "definitely new" skips the
+    * shuffle, "maybe seen" takes the exact left-anti join — no approximate
+    * DROP decisions, ever.
+    *
+    * The flagged frame is localCheckpoint-ed (eager) because both branches
+    * consume it: without materialization each branch would recompute the
+    * full aggregation + cogroup. Per-round candidate sets are the outlink
+    * frontier — bounded and tiny next to the corpus.
+    */
+  def notSeenCuckooBucketed(
+      spark: SparkSession,
+      candidates: Dataset[FrontierEntry],
+      seenKeys: DataFrame, // single column url_key
+      buckets: Int = 64,
+      expectedPerBucket: Long = 1L << 16,
+      exactJoinHint: Option[String] = None,
+      deserCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    val filters = bucketFiltersDF(seenKeys, buckets, expectedPerBucket)
+      .as[(Int, Array[Byte])]
+    val candByBucket = candidates.groupByKey(e => bucketOf(e.url_key, buckets))
+    val filtByBucket = filters.groupByKey(_._1)
+    val flagged = candByBucket.cogroup(filtByBucket) { (_, cands, filts) =>
+      val f = filts.map { t =>
+        deserCounter.foreach(_.add(1L))
+        CuckooFilter.deserialize(t._2)
+      }.reduceOption { (a, x) => a.mergeFrom(x); a }
+      f match {
+        case None => cands.map(e => (e, false))
+        case Some(cf) => cands.map(e => (e, cf.mightContain(e.url_key)))
+      }
+    }.localCheckpoint(true)
+    val definitelyNew = flagged.filter(!_._2).map(_._1)
+    val maybe = flagged.filter(_._2).map(_._1)
+    val seenSide = exactJoinHint.foldLeft(seenKeys.select(col("url_key")))(_.hint(_))
+    definitelyNew.union(
+      maybe.join(seenSide, Seq("url_key"), "left_anti").as[FrontierEntry])
   }
 
   /** Cuckoo-prefiltered not-seen: candidates whose bucket filter says

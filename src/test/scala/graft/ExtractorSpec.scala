@@ -181,4 +181,51 @@ class ExtractorSpec extends AnyFunSuite {
     // single space; &zwnj; survives
     assert(e.question == "alpha & beta \u200cend")
   }
+
+  test("streaming == full: parseContainer extraction equals the full-tree path") {
+    // fixture pages of every variant (normal / degenerate / error) plus
+    // adversarial HTML targeting the streaming parser's skip/build/stop
+    // transitions
+    val cfg = graft.fixtures.FixtureConfig(seed = 7L, hosts = 4,
+      totalDetails = 120, wordScale = 2)
+    val fixturePages = (0 until 120).map { i =>
+      val h = if (i < 60) 0 else 1 + (i % 3)
+      graft.fixtures.FixtureGen.detailHtml(cfg, h, i % cfg.hostCounts(h))
+    }
+    val c = "mvcContainer-1286"
+    val adversarial = Seq(
+      "", "   \n\t ", "plain text no tags", "&nbsp;&nbsp;", "&amp;",
+      "<", "a<", "<3 not a tag", "<!doctype html><!-- c --><?pi?>",
+      s"""<div id="$c">x</div>""",
+      s"""<div ID='$c'>case-insensitive attr</div>""",
+      s"""<div id=$c>unquoted</div>""",
+      s"""<div id="$c"/>""", // self-closed container
+      s"""<p><div id="mvcContainer&#45;1286">entity in id</div></p>""",
+      s"""<div id="wrong"><div id="$c">nested find</div></div>""",
+      s"""<div id="$c"><b>one</b><div>two</div></div><div id="$c">second</div>""",
+      // stray close tags popping out of the container mid-subtree
+      s"""<html><body><div id="$c"><div>in</div></body><div>out</div></html>""",
+      s"""<section><div id="$c"><span>a</span></section><div>after</div>""",
+      // unclosed container (EOF inside subtree)
+      s"""<div id="$c"><div>never closed""",
+      // raw-text handling: fake tags inside script, script inside container,
+      // container-looking markup inside script BEFORE the real container
+      s"""<script>var a = "<div id=\\"$c\\">fake</div>";</script><div id="$c">real</div>""",
+      s"""<div id="$c"><script>if (a<b) {x()}</script><div>t</div></div>""",
+      s"""<style>.x{}</style><div id="$c"><style>#y</style>z</div>""",
+      // entities in text, void tags, comments inside the subtree
+      s"""<div id="$c">a&amp;b<br>c<!-- gone --><img src=x>d&#65;&nbsp;e</div>""",
+      // whitespace-heavy + Persian text + newline collapse
+      s"""<div id="$c">\n  \u0633\u0637\u0631 \u0627\u0648\u0644\n\u0633\u0637\u0631 \u062f\u0648\u0645  \n</div>""",
+      // attributes after id, valueless attrs, '/' noise
+      s"""<div class="k" id="$c" hidden data-x=1/ ><i>v</i></div>""",
+      // deep unrelated chrome before the container (skip-mode exercise)
+      ("<header><nav>" + (1 to 50).map(k => s"<a href='/$k'>l$k</a>").mkString +
+        s"</nav></header><main><div id='$c'><div>payload</div></div></main>"))
+    (fixturePages ++ adversarial).zipWithIndex.foreach { case (html, i) =>
+      val a = Extractor.extract(s"u$i", s"f$i", html)
+      val b = Extractor.extractViaFullParse(s"u$i", s"f$i", html)
+      assert(a == b, s"mismatch on input #$i: ${html.take(120)}")
+    }
+  }
 }

@@ -68,4 +68,36 @@ class HtmlDomSpec extends AnyFunSuite {
     val root = HtmlDom.parse("<div><script>if (a<b) {x()}</script>t</div>").get
     assert(root.textContent == "if (a<b) {x()}t")
   }
+
+  test("textContentNormalized == normalizeField ∘ textContentCleaned (fusion pin)") {
+    import graft.text.PyText
+    val label = PyText.AnswerLabel
+    val labelWithNewline = label.replaceFirst(" ", "\n") // must still match post \n→' '
+    val cases = Seq(
+      "<div>plain text</div>",
+      "<div>  edge   spaces \n and\truns  </div>",
+      s"<div>$label after-label</div>",
+      s"<div>before $label</div>",
+      s"<div>$label</div>", // label-only → empty normalized, nonEmpty cleaned
+      s"<div>a $labelWithNewline b</div>",
+      s"<div>x${label}${label}y</div>", // adjacent labels
+      "<div>  </div>", // NBSP-only → cleaned empty
+      "<div></div>",
+      "<div>a&amp;b &nbsp; c&#65;</div>",
+      "<div>multi<span>nested $ text</span><i>\nnodes</i></div>",
+      s"<div>half نظریه مشورتی اداره truncated</div>")
+    cases.foreach { html =>
+      val el = HtmlDom.parse(html).get
+      val cleaned = el.textContentCleaned
+      val expected = (PyText.normalizeField(cleaned), cleaned.nonEmpty)
+      assert(el.textContentNormalized == expected, s"on: $html")
+    }
+    // spans from the streaming parse must behave identically
+    val viaStream = HtmlDom.parseContainer(
+      s"""<p>skip</p><div id="c">a $labelWithNewline b&amp;c  </div><p>after</p>""", "c")
+      .asInstanceOf[HtmlDom.FoundContainer].el
+    val cleanedS = viaStream.textContentCleaned
+    assert(viaStream.textContentNormalized ==
+      (PyText.normalizeField(cleanedS), cleanedS.nonEmpty))
+  }
 }

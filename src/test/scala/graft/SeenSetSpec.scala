@@ -87,4 +87,37 @@ class SeenSetSpec extends SparkTestBase {
     assert(viaCuckoo == exact)
     assert(viaBloom == exact)
   }
+
+  test("bucket-local probe: parity with exact anti-join, no driver materialization") {
+    val spark0 = spark
+    import spark0.implicits._
+    val seen = (1 to 900).map(i => Urls.sha256Hex(s"b$i"))
+    val cand = (700 to 1600).map(i => Urls.sha256Hex(s"b$i")) // overlap 700-900
+    val exact = entries(cand).join(keysDf(seen), Seq("url_key"), "left_anti")
+      .as[FrontierEntry].collect().map(_.url_key).toSet
+
+    // accumulator evidence of the bucket-LOCAL contract: filters are
+    // deserialized on EXECUTORS (a driver-side map would never touch the
+    // accumulator) and at most once per (bucket, consuming-task) — not once
+    // per candidate row
+    val deser = spark.sparkContext.longAccumulator("cuckoo-deser")
+    val viaBucketed = SeenSet.notSeenCuckooBucketed(spark,
+      entries(cand).repartition(8), keysDf(seen).repartition(8),
+      buckets = 16, expectedPerBucket = 256, deserCounter = Some(deser))
+      .collect().map(_.url_key).toSet
+    assert(viaBucketed == exact)
+    assert(deser.value > 0, "filters must be probed executor-side")
+    assert(deser.value <= 16, s"once per bucket, not per row: ${deser.value}")
+
+    // the distributed filter frame itself never collects: it is a plain
+    // DataFrame whose rows live in executor partitions
+    val filtersDf = SeenSet.bucketFiltersDF(keysDf(seen), 16, 256)
+    assert(filtersDf.count() == 16)
+
+    // the FrontierRound config flag routes through the same path
+    val viaFlag = FrontierRound.notSeen(spark, entries(cand), keysDf(seen),
+      PolitenessConfig(cuckooSeenBuckets = 16, cuckooExpectedPerBucket = 256))
+      .collect().map(_.url_key).toSet
+    assert(viaFlag == exact)
+  }
 }
