@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.Extractor
-import graft.ops.{Ann, Curation, Dedup, Search, TextStats}
+import graft.ops.{Ann, Curation, Dedup, Search, TextStats, Tokenize}
 import graft.text.JalaliDate
 import graft.url.Urls
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -314,6 +314,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("cosine"))
     }),
 
+    "ann_ivf_clustered" -> ((s, dir) => {
+      // the at-scale IVF layout: corpus written partitioned by cid once,
+      // search scans only probed partitions (partition pruning — the plan
+      // shows PartitionFilters; OpsSpec asserts it). Exhaustive probe
+      // (nprobe == nlist) is EXACT → same oracle as ann_ivf_topk.
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_clustered"
+      val centroids = Ann.writeClustered(emb, path, nlist = 8, iters = 3)
+      Ann.ivfTopKClustered(s, path, centroids, emb.filter(col("vec_id") < 5),
+        k = 5, nprobe = 8)
+        .select(col("qid"), col("neighbor_id"), col("rank"))
+    }),
+
+    "tokenize_vocab" -> ((s, dir) =>
+      Tokenize.buildVocab(t(s, dir, "documents"), "text", vocabSize = 30)),
+
+    "tokenize_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = Tokenize.buildVocab(docs, "text", vocabSize = 30)
+      Tokenize.encodeWithStats(docs, "text", "doc_id", vocab)
+    }),
+
     "ann_lsh_pairs" -> ((s, dir) =>
       // no oracle (hash-derived hyperplanes); OpsSpec verifies vs brute force
       Ann.lshCandidatePairs(t(s, dir, "embeddings"),
@@ -562,6 +584,48 @@ object SparkEntry {
     "dedup_embedding_cosine" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
          CAST(1.0 AS DOUBLE) AS cosine FROM embeddings""",
+
+    "ann_ivf_clustered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.qid)
+         SELECT qid, neighbor_id, rank FROM
+         (SELECT qid, neighbor_id,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5""",
+
+    "tokenize_vocab" ->
+      """SELECT token, CAST(rn AS INT) AS token_id, n_occurrences FROM
+         (SELECT token, count(*) AS n_occurrences,
+            row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          WHERE len(token) > 0 GROUP BY token)
+         WHERE rn <= 30""",
+
+    "tokenize_encode" ->
+      """WITH base AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           FROM documents),
+         vocab AS (
+           SELECT token, CAST(rn AS INT) AS token_id FROM
+           (SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+            FROM (SELECT unnest(toks) AS token FROM base) GROUP BY token)
+           WHERE rn <= 30),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+           FROM base),
+         enc AS (
+           SELECT t.doc_id,
+             list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids
+           FROM tok t LEFT JOIN vocab v USING (token)
+           GROUP BY t.doc_id)
+         SELECT doc_id, token_ids,
+           CAST(len(token_ids) AS INT) AS n_tokens,
+           CAST(len(list_filter(token_ids, x -> x = 0)) AS INT) AS n_unk
+         FROM enc""",
 
     "url_canonicalize" ->
       """SELECT o_orderkey,

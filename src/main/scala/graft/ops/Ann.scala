@@ -156,29 +156,50 @@ object Ann {
     val centroids = kmeansCentroids(corpus, nlist, iters, idCol, vecCol, trainModulus)
     val cB = spark.sparkContext.broadcast(centroids)
 
-    def probes(v: Array[Float], n: Int): Array[Int] = {
-      val cs = cB.value
-      val dots = cs.indices.map { c =>
-        val cv = cs(c); var d = 0.0; var s = 0.0; var i = 0
-        while (i < v.length) { d += cv(i).toDouble * v(i); s += v(i).toDouble * v(i); i += 1 }
-        (c, if (s == 0) 0.0 else d / math.sqrt(s))
-      }
-      dots.sortBy { case (c, d) => (-d, c) }.take(n).map(_._1).toArray
-    }
-
-    // (cid, qid, qv) — each query replicated to its nprobe lists
-    val queryProbes = queries
-      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, qv) => probes(qv, nprobe).iterator.map(c => (c, qid, qv)) }
-      .toDF("cid", "qid", "qv")
+    val queryProbes = queryProbesDF(queries, cB, nprobe, idCol, vecCol)
 
     val assigned = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (probes(v, 1)(0), id, v) }
+      .map { case (id, v) => (nearestProbes(cB.value, v, 1)(0), id, v) }
       .toDF("cid", "id", "v")
 
+    rankProbed(assigned, queryProbes, k)
+  }
+
+  /** Top-`n` probe lists for a raw vector against normalized centroids
+    * (cosine order; deterministic tie-break on centroid index).
+    */
+  private[ops] def nearestProbes(cs: Array[Array[Float]], v: Array[Float],
+      n: Int): Array[Int] = {
+    val dots = cs.indices.map { c =>
+      val cv = cs(c); var d = 0.0; var s = 0.0; var i = 0
+      while (i < v.length) { d += cv(i).toDouble * v(i); s += v(i).toDouble * v(i); i += 1 }
+      (c, if (s == 0) 0.0 else d / math.sqrt(s))
+    }
+    dots.sortBy { case (c, d) => (-d, c) }.take(n).map(_._1).toArray
+  }
+
+  /** (cid, qid, qv) — each query replicated to its nprobe lists. */
+  private def queryProbesDF(queries: DataFrame,
+      cB: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      nprobe: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        nearestProbes(cB.value, qv, nprobe).iterator.map(c => (c, qid, qv))
+      }
+      .toDF("cid", "qid", "qv")
+  }
+
+  /** Probe join + per-query rank shared by the one-shot and the
+    * clustered-table IVF paths.
+    */
+  private def rankProbed(assigned: DataFrame, queryProbes: DataFrame,
+      k: Int): DataFrame = {
     val scored = assigned.join(broadcast(queryProbes), Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", cosine(col("v"), col("qv")))
@@ -188,6 +209,61 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Materialize the IVF layout: assign every corpus vector to its nearest
+    * coarse centroid and write parquet PARTITIONED BY cid — the one-time
+    * ingest that makes searches read only their probed lists. Returns the
+    * trained centroids (persist them alongside the table; they are KBs).
+    * At 100 TB this is the difference between scanning the corpus per
+    * query batch (ivfTopK) and scanning nprobe/nlist of it.
+    */
+  def writeClustered(
+      corpus: DataFrame,
+      path: String,
+      nlist: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainModulus: Int = 1): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, vecCol, trainModulus)
+    val cB = spark.sparkContext.broadcast(centroids)
+    corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestProbes(cB.value, v, 1)(0), id, v) }
+      .toDF("cid", "id", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cid").parquet(path)
+    centroids
+  }
+
+  /** IVF search over a [[writeClustered]] table: the probed-cid filter is a
+    * PARTITION filter on the clustered layout, so the scan touches only the
+    * union of the queries' nprobe lists (PartitionFilters in the plan —
+    * PLANS.md), never the whole corpus. With nprobe == nlist it is
+    * exhaustive and equals bruteForceTopK exactly (the oracle config).
+    */
+  def ivfTopKClustered(
+      spark: org.apache.spark.sql.SparkSession,
+      clusteredPath: String,
+      centroids: Array[Array[Float]],
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cB = spark.sparkContext.broadcast(centroids)
+    val queryProbes = queryProbesDF(queries, cB, nprobe, idCol, vecCol)
+    // the probed cid set is queries×nprobe ints — driver-side by design
+    // (it must become a partition-pruning predicate)
+    val cids = queryProbes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(clusteredPath)
+      .filter(col("cid").isin(cids: _*))
+    rankProbed(assigned, queryProbes, k)
   }
 
   /** LSH (random-hyperplane) approximate neighbor candidates: vectors

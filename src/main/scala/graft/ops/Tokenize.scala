@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus tokenization — the stage a training-data pipeline runs on
+  * `Curation.curate`'s survivors (builder-prompt first-class surface;
+  * reference analog: the token budgeting around the embedding client,
+  * /root/reference/src/processor.py:199 + embedding.py:24, which counts
+  * but never materializes ids — a training pipeline needs the ids).
+  *
+  * Two declarative stages, both 100 TB-shaped:
+  *  - [[buildVocab]]: one tokenize pass + hash partial-aggregation, rank
+  *    by (count desc, token) — deterministic ids, ties broken
+  *    lexicographically. The vocab is human-scale (top-N), the corpus
+  *    never shuffles except the (token) aggregation itself.
+  *  - [[encode]]: posexplode + broadcast vocab join + re-assemble in
+  *    position order. Out-of-vocab tokens map to `unkId` (id 0 by
+  *    convention here, real ids start at 1). The only wide operation is
+  *    the per-document re-assembly groupBy, keyed on the document id —
+  *    the same key the corpus is already laid out by.
+  */
+object Tokenize {
+
+  /** Top-`vocabSize` whitespace tokens as (token, token_id, n_occurrences),
+    * ids 1..vocabSize assigned by (count desc, token asc) — fully
+    * deterministic, so two runs (or two engines) agree exactly.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("token"))
+    // the rank window runs over vocab candidates, not the corpus: at scale
+    // pre-filter with an approximate threshold before the single-partition
+    // window (count >= min keeps the window input human-scale)
+    counts
+      .withColumn("token_id", row_number().over(w))
+      .filter(col("token_id") <= vocabSize)
+      .select(col("token"), col("token_id"), col("n_occurrences"))
+  }
+
+  /** Encode each document as array<int> of vocab ids (OOV → `unkId`),
+    * preserving token order. The vocab side is broadcast (top-N is always
+    * small); the corpus explodes, joins map-side, and reassembles grouped
+    * by its own id — no corpus-wide shuffle beyond that groupBy.
+    */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, unkId: Int = 0): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    toks
+      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(unkId)))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("ordered"))
+      .select(col(idCol),
+        transform(col("ordered"), x => x.getField("tid")).as("token_ids"))
+  }
+
+  /** encode + per-doc stats in one result: (id, token_ids, n_tokens,
+    * n_unk) — the budget/oov columns every downstream consumer filters on
+    * (F3's shape over ids instead of text).
+    */
+  def encodeWithStats(docs: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, unkId: Int = 0): DataFrame =
+    encode(docs, textCol, idCol, vocab, unkId)
+      .select(col(idCol), col("token_ids"),
+        size(col("token_ids")).as("n_tokens"),
+        size(filter(col("token_ids"), x => x === unkId)).as("n_unk"))
+}

@@ -133,6 +133,60 @@ class OpsSpec extends SparkTestBase {
     assert(sameCluster >= 8, s"ivf same-cluster top-1: $sameCluster/10")
   }
 
+  test("ivf clustered table: exhaustive == brute force; probe filter prunes partitions") {
+    val vecs = (0 until 100).map { i =>
+      val cluster = i / 5
+      val v = Array.tabulate(64) { d =>
+        val base = ((Sketches.mix(cluster * 131L + d) >>> 16) % 1000L) / 500.0f - 1.0f
+        val noise = ((Sketches.mix(i * 7793L + d) >>> 16) % 100L) / 5000.0f
+        base + noise
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter($"vec_id" < 6)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-clustered").toString
+    val centroids = Ann.writeClustered(vecs, path, nlist = 8, iters = 3)
+
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    // exhaustive probe over the clustered layout reproduces brute force
+    val brute = asSet(Ann.bruteForceTopK(vecs, queries, k = 3))
+    val clustered = asSet(Ann.ivfTopKClustered(spark, path, centroids, queries,
+      k = 3, nprobe = 8))
+    assert(clustered == brute)
+
+    // nprobe=1: the scan must carry a cid PARTITION filter (pruned layout —
+    // only the probed lists are read, the point of the clustered table)
+    val pruned = Ann.ivfTopKClustered(spark, path, centroids,
+      vecs.filter($"vec_id" === 0L), k = 3, nprobe = 1)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") &&
+      planStr.contains("cid"), s"no cid partition filter in:\n${planStr.take(800)}")
+    assert(pruned.collect().nonEmpty)
+  }
+
+  test("tokenize: deterministic vocab ranks, order-preserving encode, OOV → 0") {
+    import graft.ops.Tokenize
+    val docs = Seq(
+      (1L, "a b a c a b"),     // a:3 b:2 c:1
+      (2L, "b rare a"),
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = Tokenize.buildVocab(docs, "text", vocabSize = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // count desc, token asc: a(4) → 1, b(3) → 2, c(1) vs rare(1) tie → c first
+    assert(vocab == Map("a" -> 1, "b" -> 2, "c" -> 3))
+
+    val enc = Tokenize.encodeWithStats(docs, "text", "doc_id",
+      Tokenize.buildVocab(docs, "text", 3))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[scala.collection.Seq[Int]]("token_ids").toSeq,
+          r.getAs[Int]("n_tokens"), r.getAs[Int]("n_unk"))).toMap
+    assert(enc(1L)._1 == Seq(1, 2, 1, 3, 1, 2)) // order preserved
+    assert(enc(2L)._1 == Seq(2, 0, 1)) // "rare" is OOV → 0
+    assert(enc(2L)._2 == 3 && enc(2L)._3 == 1)
+    assert(!enc.contains(3L)) // token-free doc encodes to no row
+  }
+
   test("embedding near-dup: planted identical vectors are exactly recovered") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => ((Sketches.mix(i * 977L + d) >>> 16) % 1000L) / 500.0f - 1.0f))
