@@ -80,6 +80,23 @@ object StreamOps {
       .flatMap(identity)
   }
 
+  /** Streaming URL-seen dedup — the streaming twin of J1's anti-join: keep
+    * the FIRST arrival of each canonical url_key, dropping any duplicate
+    * that arrives within the watermark delay
+    * (`dropDuplicatesWithinWatermark`, so the per-key state is evicted once
+    * event time passes — bounded state, unlike a plain streaming
+    * dropDuplicates whose state grows forever; at 10^10 urls the
+    * watermark-evicted form is the only viable one, with the cumulative
+    * history handled by the batch seen-set on round boundaries).
+    */
+  def streamingNotSeen(pages: DataFrame, lateness: String = "10 minutes"): DataFrame = {
+    val keyUdf = udf((u: String) => Urls.urlKey(u))
+    pages
+      .withColumn("url_key", keyUdf(col("url")))
+      .withWatermark("warc_ts", lateness)
+      .dropDuplicatesWithinWatermark("url_key")
+  }
+
   /** Incremental crawl processing: treat arriving pages as a stream; each
     * micro-batch runs the batch extraction stage and writes to the results
     * sink — the foreachBatch shape SURVEY.md §2.8 prescribes for binding

@@ -58,6 +58,21 @@ class FrontierSpec extends SparkTestBase {
     assert(engSeen == sim.seen)
   }
 
+  test("bucket-local cuckoo seen strategy: full crawl matches the simulator too") {
+    // the cuckooSeenBuckets flag swaps the Bloom prefilter for the
+    // distributed bucket-cogroup probe; crawl ordering and the final seen
+    // set must be indistinguishable (prefilters never make DROP decisions)
+    val (sim, eng) = runBoth(PolitenessConfig(defaultBudget = 7, saltBuckets = 4,
+      useBloomPrefilter = false, cuckooSeenBuckets = 8,
+      cuckooExpectedPerBucket = 256))
+    val engSeen = eng.seenKeys.collect().map(_.getString(0)).toSet
+    assert(engSeen == sim.seen)
+    val engSched = eng.schedule.select(col("round"), col("host"), col("slot"), col("url"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val simSched = sim.schedule.map(f => (f.round, f.host, f.slot, f.url)).toSet
+    assert(engSched == simSched)
+  }
+
   test("extracted url set equals simulator's; extraction is byte-identical") {
     val (sim, eng) = defaultRun
     val engExtract = eng.extracted.collect()

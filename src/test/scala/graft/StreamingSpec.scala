@@ -70,6 +70,37 @@ class StreamingSpec extends SparkTestBase {
     assert(rates.contains(("h2.ir", 1L)))
   }
 
+  test("streaming url dedup: first arrival survives, canonical-equal urls collide") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[graft.model.PageRow]
+    val dedup = StreamOps.streamingNotSeen(stream.toDF(), "2 minutes")
+    val query = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val base = 1700000040000L
+    def page(url: String, off: Long) = graft.model.PageRow(
+      url, new java.sql.Timestamp(base + off * 1000), Array.emptyByteArray, null, "fa")
+    // u1 arrives twice in batch 1 (exact dup) and once more in batch 2;
+    // u2's second form differs only pre-canonicalization (host case) —
+    // url_key is over the canonical form, so it must collide too
+    stream.addData(Seq(
+      page("https://h1.ir/a?IdeaId=1", 0),
+      page("https://h1.ir/a?IdeaId=1", 10),
+      page("https://h2.ir/b", 5),
+      page("HTTPS://H2.IR/b", 20)))
+    query.processAllAvailable()
+    stream.addData(Seq(
+      page("https://h1.ir/a?IdeaId=1", 30), // still within watermark → dropped
+      page("https://h3.ir/c", 40)))
+    query.processAllAvailable()
+    query.stop()
+
+    val urls = spark.table("dedup_out").select("url").collect().map(_.getString(0))
+    assert(urls.length == 3, urls.mkString(","))
+    assert(urls.count(_.toLowerCase.contains("h2.ir")) == 1)
+    assert(urls.exists(_.contains("h1.ir")) && urls.exists(_.contains("h3.ir")))
+  }
+
   test("stateful politeness admission spans micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(String, String, Long)]
