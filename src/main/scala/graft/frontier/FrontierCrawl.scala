@@ -102,14 +102,29 @@ object FrontierCrawl {
           // seen is committed as this round's DELTA; the manifest carries
           // the full part list (no distinct/rewrite of the cumulative set —
           // retries may duplicate keys, harmless for anti-join/bloom)
-          val newParts = seenParts :+ st.tablePath(round, "seen_delta")
-          val snap = st.commit(round, Map(
+          // seen-part compaction: when the prior delta list has grown past
+          // the threshold, fold those on-disk parts into one table written
+          // as part of THIS round's commit (concurrent with the round's own
+          // tables, same atomic manifest publish — a crash before publish
+          // leaves only an ignored orphan). The current round's delta stays
+          // its own part, so the compacted read never re-derives newSeenKeys
+          val compactNow = cfg.compactSeenParts > 0 &&
+            seenParts.length >= cfg.compactSeenParts
+          val baseTables = Map(
             "frontier" -> out.newFrontier.toDF(),
             "seen_delta" -> out.newSeenKeys,
             "extracted" -> out.extracted.toDF(),
             "results" -> out.results,
             "scheduled" -> scheduledR,
-            "metrics" -> out.metrics.toDF()),
+            "metrics" -> out.metrics.toDF())
+          val tables =
+            if (compactNow)
+              baseTables + ("seen_compacted" -> spark.read.parquet(seenParts: _*))
+            else baseTables
+          val newParts =
+            (if (compactNow) Vector(st.tablePath(round, "seen_compacted"))
+             else seenParts) :+ st.tablePath(round, "seen_delta")
+          val snap = st.commit(round, tables,
             aliases = Map("seen_parts" -> newParts.mkString(";")))
           seenParts = newParts
           frontier = st.read(snap, "frontier").as[FrontierEntry]

@@ -50,7 +50,16 @@ final case class PolitenessConfig(
     // executor. In this local build the filters are rebuilt per call; a
     // deployment persists them as a table bucketed by `bucket`
     cuckooSeenBuckets: Int = 0,
-    cuckooExpectedPerBucket: Long = 1L << 16)
+    cuckooExpectedPerBucket: Long = 1L << 16,
+    // > 0 bounds the stored seen-set's manifest part list: when the prior
+    // rounds' delta list reaches this length, the next commit folds them
+    // into one compacted table (written concurrently with the round's own
+    // tables, inside the same atomic manifest publish). Without it a
+    // 10^4-round crawl accumulates 10^4 parquet directories whose listing/
+    // open cost dominates the resume scan and every per-round seen read —
+    // the classic small-files failure. Amortized rewrite volume is
+    // O(R²/threshold); the threshold trades that against part count
+    compactSeenParts: Int = 0)
 
 /** Parsed robots rules for one host. */
 final case class HostRules(

@@ -26,10 +26,22 @@ object Dedup {
   /** Keep-first dedup (W1 made deterministic): one row per content hash,
     * lowest id wins — reference kept ES's arbitrary first hit
     * (dedupe_id_ara.py:183-188); we fix the tiebreak.
+    *
+    * Two-phase `min_by` aggregation, NOT a `row_number` window: a window
+    * partitioned by content hash must co-locate and sort every copy of a
+    * hot hash on one task — a boilerplate page duplicated 10^8 times at
+    * 100 TB is a straggler/OOM. `min_by(struct(row), id)` gets map-side
+    * partial aggregation (each input partition reduces its local copies to
+    * one survivor candidate before the exchange), so the shuffle carries at
+    * most one row per (input partition × hash) and the hot key reduces in
+    * parallel. idCol must be unique (it is the keep-first key), which makes
+    * the min_by deterministic.
     */
   def exactKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(md5(col(textCol)).as("__content_hash"))
+      .agg(min_by(rowStruct, col(idCol)).as("__keep"))
+      .select(df.columns.map(c => col("__keep").getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** MinHash + LSH banding candidate pairs with verified shingle-Jaccard.

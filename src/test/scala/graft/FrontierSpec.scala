@@ -179,6 +179,35 @@ class FrontierSpec extends SparkTestBase {
     assert(metrics.count() > 0)
   }
 
+  test("seen-part compaction: bounded manifest part list, crawl + resume unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-store").toString
+    val polPlain = PolitenessConfig(defaultBudget = 7, saltBuckets = 4)
+    val pol = polPlain.copy(compactSeenParts = 2)
+
+    // ground truth: uninterrupted storeless crawl, no compaction
+    val full = FrontierCrawl.run(spark, pagesDf, cfg.seeds, None, RobotsRules.empty, polPlain, 50)
+    val fullSeen = full.seenKeys.collect().map(_.getString(0)).toSet
+
+    // killed after 2 rounds + resumed, compacting whenever the prior delta
+    // list reaches 2 — every round past r1 folds the list, so the crawl
+    // exercises compact-on-commit and resume-from-compacted repeatedly
+    val store = new FrontierStore(spark, dir)
+    FrontierCrawl.run(spark, pagesDf, cfg.seeds, Some(store), RobotsRules.empty, pol, 2)
+    val resumed = FrontierCrawl.run(spark, pagesDf, cfg.seeds, Some(store), RobotsRules.empty, pol, 50)
+    val resumedSeen = resumed.seenKeys.collect().map(_.getString(0)).toSet
+    assert(resumedSeen == fullSeen)
+
+    // the manifest's part list is bounded by threshold + 1, not O(rounds),
+    // and the on-disk parts alone reproduce the full seen set
+    val snap = store.latest().get
+    assert(snap.round > 2)
+    val parts = snap.tables("seen_parts").split(";").filter(_.nonEmpty)
+    assert(parts.length <= pol.compactSeenParts + 1, parts.mkString(";"))
+    val diskSeen = spark.read.parquet(parts.toSeq: _*)
+      .select("url_key").distinct().collect().map(_.getString(0)).toSet
+    assert(diskSeen == fullSeen)
+  }
+
   test("latest() falls back to the legacy single-manifest layout") {
     // a store committed by the round-1-era layout (root/manifest.json, no
     // manifests/ dir) must resume from its real round — silently returning

@@ -39,6 +39,32 @@ class OpsSpec extends SparkTestBase {
     (0L until 10L).foreach(i => assert(kept.contains(i) && !kept.contains(100L + i)))
   }
 
+  test("exact keep-first: two-phase min_by agg matches a window keep-first on a hot key") {
+    // skew fixture: one boilerplate text duplicated 5000x (the 100 TB
+    // failure mode for a window partitioned by content hash) + uniques
+    val spark2 = spark
+    import spark2.implicits._
+    val hot = (0L until 5000L).map(i => (i, "boilerplate error page body", s"m$i"))
+    val uniq = (5000L until 5200L).map(i => (i, s"unique text $i", s"m$i"))
+    val skewed = (hot ++ uniq).toDF("doc_id", "text", "meta").repartition(8)
+    val kept = Dedup.exactKeepFirst(skewed, "text", "doc_id")
+    // reference semantics: row_number window keep-first
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val ref = skewed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val keptRows = kept.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val refRows = ref.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(keptRows == refRows)
+    assert(keptRows.size == 201 && keptRows.exists(_._1 == 0L))
+    // plan shape: an aggregate with a partial (map-side combine) phase and
+    // NO window/global-sort over the content hash — the skew-tolerance claim
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Aggregate"), plan)
+    assert(plan.toLowerCase.contains("partial"), plan)
+  }
+
   test("minhash LSH: finds all exact dups and near-dups above threshold") {
     // exact ground truth: word-shingle jaccard >= 0.8, computed scalar-side
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
