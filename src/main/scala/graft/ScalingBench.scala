@@ -31,6 +31,7 @@ object ScalingBench {
   private val PagesDirB = "/dev/shm/graft-scale-pages-b"
   private val PagesDirB2 = "/dev/shm/graft-scale-pages-b2"
   private val PagesDirB4 = "/dev/shm/graft-scale-pages-b4"
+  private val PagesDirB8 = "/dev/shm/graft-scale-pages-b8"
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -109,6 +110,29 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // spot remeasure: SPARK_GRAFT_SCALE_B_ONLY="details:reps[,details:reps...]"
+    // times ONLY those workload-B pairs (probe-gated, same protocol), prints
+    // per-row results to stderr + a JSON line, and does NOT rewrite
+    // BENCH/BASELINE.md — for re-checking a single suspect row in a clean
+    // window without a full suite run
+    sys.env.get("SPARK_GRAFT_SCALE_B_ONLY").foreach { spec =>
+      val rows = spec.split(",").map { s =>
+        val Array(d, k) = s.split(":"); (d.trim.toInt, k.trim.toInt) }
+      val out = rows.map { case (d, k) =>
+        val dir = s"/dev/shm/graft-scale-pages-spot-$d"
+        new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+        locally { val s = session(16); try Bench.singleRound(s, d, 128, 16, dir)
+          finally s.stop() } // build + warm
+        var urls = 0L
+        val (tN, t4N, cert) = bestPair(s"spot@$d", k) { c =>
+          val (u, t) = roundAt(c, d, dir); urls = u; t }
+        val eff = (tN / t4N) / 4.0
+        Console.err.println(f"[spot] details=$d urls=$urls N=$tN%.1fs 4N=$t4N%.1fs eff=$eff%.2f cert=$cert")
+        f"""{"details":$d,"urls":$urls,"t_n":$tN%.3f,"t_4n":$t4N%.3f,"eff":$eff%.3f,"certified":$cert}"""
+      }
+      println(s"""{"metric":"scaling_spot","rows":[${out.mkString(",")}]}""")
+      return
+    }
     val extractN = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRACT", "400000").toInt
     val roundN = sys.env.getOrElse("SPARK_GRAFT_SCALE_DETAILS", "200000").toInt
     val roundN2 = roundN * 2
@@ -157,7 +181,7 @@ object ScalingBench {
     // sizes while W grows linearly — the measured form of the "fixed cost
     // vanishes at 10^7-10^9-URL rounds" argument
     val sweep = Seq((roundN, PagesDirB, 3), (roundN * 2, PagesDirB2, 3),
-      (roundN * 4, PagesDirB4, 3))
+      (roundN * 4, PagesDirB4, 3), (roundN * 8, PagesDirB8, 2))
     sweep.foreach { case (_, dir, _) =>
       new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively() }
     locally { val s = session(n4); try {
@@ -290,7 +314,7 @@ ${roundRows.map(r => f"         || ${r.urls} | ${r.tN}%.1f | ${r.t4N}%.1f | ${r.
          |Decomposing each size's (N, 4N) pair as T_k = F + W/k: the fixed
          |per-round job cost stays a few seconds
          |(F = ${roundRows.map(r => f"${r.fFixed}%.1f").mkString(", ")}s —
-         |it does NOT scale with round size across the 4x sweep) while the
+         |it does NOT scale with round size across the 8x sweep) while the
          |scaling work W grows with urls
          |(${roundRows.map(r => f"${r.w}%.0f").mkString(", ")} core·s) —
          |i.e. the sub-0.8 efficiencies at sandbox sizes are stage-barrier /

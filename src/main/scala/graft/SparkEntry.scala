@@ -243,6 +243,19 @@ object SparkEntry {
       Dedup.simhashPairs(doubledDocs(s, dir), "text", "doc_id", maxHamming = 2)
         .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)),
 
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      // incremental ingest path: the base corpus is band-INDEXED once, then
+      // a delta batch (planted +100000 copies) probes the index without the
+      // corpus being re-shingled. Oracled like dedup_minhash_lsh: restricted
+      // to the planted pairs, which the probe must all find at jaccard 1.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = base.withColumn("doc_id", col("doc_id") + 100000L)
+      val index = Dedup.lshBandIndex(base, "text", "doc_id", numHashes = 64, bands = 16)
+      Dedup.minhashLshPairsIncremental(base, index, delta, "text", "doc_id",
+        numHashes = 64, bands = 16, jaccardThreshold = 0.8)
+        .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)
+    }),
+
     "dedup_cluster_assign" -> ((s, dir) => {
       // transitive near-dup clustering over a deterministic pair graph:
       // every doc pairs with its +100000 copy; even docs chain one further
@@ -390,6 +403,25 @@ object SparkEntry {
         queries, k = 10, minScore = 1.0)
     }),
 
+    "search_batch_stats" -> ((s, dir) => {
+      import s.implicits._
+      // the batch-search stream's summary envelope (total hits over the
+      // min_score floor, yielded rows after the max_results cap, max score)
+      // over the same constructed multi-field corpus as search_bm25_topk
+      val toks = split(col("text"), " ")
+      val docs3 = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(toks, 1, 8), " ").as("question"),
+        array_join(slice(toks, 9, 12), " ").as("answer"),
+        array_join(slice(toks, lit(21), greatest(size(toks) - 20, lit(0))), " ")
+          .as("content"))
+      val queries = Seq((1L, "spark shuffle"), (2L, "hash join table"),
+        (3L, "window agg data"), (4L, "vector")).toDF("query_id", "qtext")
+      Search.bm25QueryStats(docs3,
+        Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
+          Search.Field("content", 2.0)),
+        queries, maxResults = 5, minScore = 1.0)
+    }),
+
     // ---- text analysis ----
     "text_lang_id" -> ((s, dir) => t(s, dir, "documents")
       .groupBy(TextStats.langIdByScript(col("text")).as("pred_lang"))
@@ -409,6 +441,52 @@ object SparkEntry {
     "text_token_count" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextStats.tokenCountWs(col("text")).as("n_ws_tokens")))
   )
+
+  // shared BM25 oracle CTE chain (identical corpus/query construction and
+  // scoring arithmetic for every search_* oracle; DOUBLE casts keep DuckDB's
+  // decimal literals from diverging from Spark's IEEE doubles)
+  private val bm25ScoredCte: String =
+    """WITH docs3 AS (
+           SELECT doc_id,
+             array_to_string(toks[1:8], ' ') AS question,
+             array_to_string(toks[9:20], ' ') AS answer,
+             array_to_string(toks[21:len(toks)], ' ') AS content
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         fields(field, boost) AS (VALUES ('question', CAST(5.0 AS DOUBLE)),
+           ('answer', CAST(3.0 AS DOUBLE)), ('content', CAST(2.0 AS DOUBLE))),
+         tok AS (
+           SELECT d.doc_id, f.field,
+             unnest(string_split(lower(CASE f.field
+               WHEN 'question' THEN d.question
+               WHEN 'answer' THEN d.answer
+               ELSE d.content END), ' ')) AS term
+           FROM docs3 d, fields f),
+         tok2 AS (SELECT * FROM tok WHERE len(term) > 0),
+         tf AS (SELECT field, doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2, 3),
+         dlen AS (SELECT field, doc_id, count(*) AS dl FROM tok2 GROUP BY 1, 2),
+         stats AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
+         avgl AS (SELECT field, avg(dl) AS avgdl FROM dlen GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         queries(query_id, qtext) AS (VALUES (1, 'spark shuffle'), (2, 'hash join table'),
+           (3, 'window agg data'), (4, 'vector')),
+         qterm AS (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS term FROM queries),
+         scored AS (
+           SELECT q.query_id, t.doc_id,
+             round(sum(fb.boost
+               * ln(CAST(1.0 AS DOUBLE) + (n.n - s.df + CAST(0.5 AS DOUBLE))
+                    / (s.df + CAST(0.5 AS DOUBLE)))
+               * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                     + CAST(0.75 AS DOUBLE) * dl.dl / a.avgdl))), 6) AS score
+           FROM qterm q
+           JOIN tf t ON q.term = t.term
+           JOIN stats s ON s.field = t.field AND s.term = t.term
+           JOIN dlen dl ON dl.field = t.field AND dl.doc_id = t.doc_id
+           JOIN avgl a ON a.field = t.field
+           JOIN fields fb ON fb.field = t.field
+           CROSS JOIN n
+           GROUP BY 1, 2)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -645,6 +723,12 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
          CAST(0 AS INT) AS hamming FROM documents""",
 
+    "dedup_incremental_lsh" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+         CAST(1.0 AS DOUBLE) AS jaccard FROM documents
+         WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+           x -> len(x) > 0)) > 0""",
+
     "dedup_cluster_assign" ->
       """SELECT doc_id AS id, doc_id AS cluster_rep FROM documents
          UNION ALL
@@ -686,52 +770,20 @@ object SparkEntry {
          FROM orders""",
 
     "search_bm25_topk" ->
-      """WITH docs3 AS (
-           SELECT doc_id,
-             array_to_string(toks[1:8], ' ') AS question,
-             array_to_string(toks[9:20], ' ') AS answer,
-             array_to_string(toks[21:len(toks)], ' ') AS content
-           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         fields(field, boost) AS (VALUES ('question', CAST(5.0 AS DOUBLE)),
-           ('answer', CAST(3.0 AS DOUBLE)), ('content', CAST(2.0 AS DOUBLE))),
-         tok AS (
-           SELECT d.doc_id, f.field,
-             unnest(string_split(lower(CASE f.field
-               WHEN 'question' THEN d.question
-               WHEN 'answer' THEN d.answer
-               ELSE d.content END), ' ')) AS term
-           FROM docs3 d, fields f),
-         tok2 AS (SELECT * FROM tok WHERE len(term) > 0),
-         tf AS (SELECT field, doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2, 3),
-         dlen AS (SELECT field, doc_id, count(*) AS dl FROM tok2 GROUP BY 1, 2),
-         stats AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
-         avgl AS (SELECT field, avg(dl) AS avgdl FROM dlen GROUP BY 1),
-         n AS (SELECT count(*) AS n FROM documents),
-         queries(query_id, qtext) AS (VALUES (1, 'spark shuffle'), (2, 'hash join table'),
-           (3, 'window agg data'), (4, 'vector')),
-         qterm AS (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS term FROM queries),
-         scored AS (
-           SELECT q.query_id, t.doc_id,
-             round(sum(fb.boost
-               * ln(CAST(1.0 AS DOUBLE) + (n.n - s.df + CAST(0.5 AS DOUBLE))
-                    / (s.df + CAST(0.5 AS DOUBLE)))
-               * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
-               / (t.tf + CAST(1.2 AS DOUBLE)
-                  * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-                     + CAST(0.75 AS DOUBLE) * dl.dl / a.avgdl))), 6) AS score
-           FROM qterm q
-           JOIN tf t ON q.term = t.term
-           JOIN stats s ON s.field = t.field AND s.term = t.term
-           JOIN dlen dl ON dl.field = t.field AND dl.doc_id = t.doc_id
-           JOIN avgl a ON a.field = t.field
-           JOIN fields fb ON fb.field = t.field
-           CROSS JOIN n
-           GROUP BY 1, 2)
+      s"""$bm25ScoredCte
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
            FROM scored WHERE score >= 1.0)
          WHERE rank <= 10""",
+
+    "search_batch_stats" ->
+      s"""$bm25ScoredCte
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+           count(*) AS total_count,
+           least(count(*), 5) AS relevant_count,
+           round(max(score), 6) AS max_score
+         FROM scored WHERE score >= 1.0 GROUP BY 1""",
 
     "text_lang_id" ->
       """SELECT CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0

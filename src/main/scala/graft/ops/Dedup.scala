@@ -58,6 +58,9 @@ object Dedup {
     * materialized with localCheckpoint and the cache is released before
     * returning. Pair output is tiny relative to the corpus (deduped
     * candidates only), so the checkpoint is cheap at any scale.
+    * `eager = false` skips the checkpoint and returns the LIVE plan (for
+    * plan audits/composition); the shingle cache then stays live for the
+    * caller to release.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -66,7 +69,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       jaccardThreshold: Double = 0.5,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      eager: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = df.sparkSession
     import spark.implicits._
@@ -101,9 +105,139 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= jaccardThreshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
-      .localCheckpoint(true)
-    shingled.unpersist(false)
-    verified
+    if (!eager) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      shingled.unpersist(false)
+      out
+    }
+  }
+
+  /** LSH band index of a corpus: one (band, band_hash, id) row per band of
+    * each document's minhash signature — the PERSISTED artifact that makes
+    * near-dup detection incremental. At 100 TB the corpus is indexed once
+    * (and appended to as batches land); writing this frame bucketed by
+    * (band, band_hash) lets every future delta probe join it without the
+    * corpus ever being re-shingled or re-shuffled.
+    */
+  def lshBandIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, Sketches.shingles(if (t == null) "" else t, shingleSize)) }
+      .filter(_._2.nonEmpty)
+      .flatMap { case (id, sh) =>
+        Sketches.bandHashes(Sketches.minhashSignature(sh, numHashes), bands)
+          .iterator.zipWithIndex.map { case (h, b) => (b, h, id) }
+      }
+      .toDF("band", "band_hash", "id")
+  }
+
+  /** Incremental near-dup pairs: a NEW batch against a persisted band index
+    * — the operation a daily ingest actually performs at 100 TB, where
+    * re-running pair detection over the cumulative corpus
+    * (O(corpus + delta) per day) is not an option.
+    *
+    * Shuffle shape: the delta's band table is broadcast into the index join,
+    * so the corpus-sized `bandIndex` NEVER shuffles (with the index written
+    * bucketed by (band, band_hash) the probe is also scan-pruned); the
+    * within-delta self-join shuffles only delta bands. Verification
+    * re-shingles candidate docs ONLY: delta texts (cached, they are the
+    * small batch) plus the corpus rows semi-joined down to candidate index
+    * ids. Emits (id_a, id_b, jaccard) with id_a < id_b, restricted to pairs
+    * touching the delta; identical hash seeds make the result bit-equal to
+    * the batch operator's pairs on corpus ∪ delta filtered to delta ids
+    * (spec-pinned).
+    *
+    * EAGER like [[minhashLshPairs]]: returns a localCheckpoint so the
+    * delta-shingle cache is released before returning.
+    */
+  def minhashLshPairsIncremental(
+      corpus: DataFrame,
+      bandIndex: DataFrame,
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.5,
+      shingleSize: Int = 3,
+      eager: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = delta.sparkSession
+    import spark.implicits._
+
+    val deltaSh = delta.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, Sketches.shingles(if (t == null) "" else t, shingleSize)) }
+      .toDF("id", "sh")
+      .filter(size(col("sh")) > 0)
+      .cache()
+
+    val deltaBanded = deltaSh.as[(Long, Array[String])]
+      .flatMap { case (id, sh) =>
+        Sketches.bandHashes(Sketches.minhashSignature(sh, numHashes), bands)
+          .iterator.zipWithIndex.map { case (h, b) => (b, h, id) }
+      }
+      .toDF("band", "band_hash", "id")
+
+    // delta vs index: broadcast the human/batch-sized delta bands — the
+    // corpus-sized index side stays exchange-free
+    val vsIndex = bandIndex
+      .join(broadcast(deltaBanded.withColumnRenamed("id", "delta_id")),
+        Seq("band", "band_hash"))
+      .select(least(col("delta_id"), col("id")).as("id_a"),
+        greatest(col("delta_id"), col("id")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+
+    val within = deltaBanded.as("l")
+      .join(deltaBanded.as("r"), Seq("band", "band_hash"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+
+    val candidates = vsIndex.unionByName(within).dropDuplicates("id_a", "id_b")
+
+    // shingles for candidate ids only: delta side from the cache, index side
+    // re-derived from the corpus slice the candidates name (left_semi keeps
+    // the corpus scan pruned to candidate ids)
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val indexIds = candIds.join(deltaSh.select("id"), Seq("id"), "left_anti")
+    val corpusSh = corpus
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .join(indexIds, Seq("id"), "left_semi")
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, Sketches.shingles(if (t == null) "" else t, shingleSize)) }
+      .toDF("id", "sh")
+    val allSh = deltaSh.unionByName(corpusSh)
+
+    val verified = candidates
+      .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .map { case (idB, idA, shA, shB) =>
+        (idA, idB, Sketches.jaccard(shA, shB))
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= jaccardThreshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+    if (!eager) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      deltaSh.unpersist(false)
+      out
+    }
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash per doc (typed map),

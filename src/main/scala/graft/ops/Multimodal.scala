@@ -63,6 +63,69 @@ object Multimodal {
       }
   }
 
+  /** Attach deterministic fake media METADATA (dims, duration, codec) —
+    * the typed columns a real ingest carries next to the payload.
+    */
+  def withFakeMeta(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    withFakePayload(df, idCol)
+      .withColumn("width", ((pmod(xxhash64(col(idCol), lit(1)), lit(8)) + 1) * 160).cast("int"))
+      .withColumn("height", ((pmod(xxhash64(col(idCol), lit(2)), lit(8)) + 1) * 90).cast("int"))
+      .withColumn("duration_ms",
+        when(col("media_type") === "image", lit(0L))
+          .otherwise((pmod(xxhash64(col(idCol), lit(3)), lit(20)) + 1) * 1000L))
+      .withColumn("codec",
+        when(col("media_type") === "image", lit("png"))
+          .when(col("media_type") === "audio", lit("opus"))
+          .otherwise(lit("h264")))
+
+  /** Frame sampling for video rows: one output row per sampled timestamp
+    * (every `everyMs`, starting at 0, inclusive of t=0). The EXPLODE is
+    * fully declarative — `posexplode(sequence(...))` over the metadata
+    * duration, codegen'd, no UDF — so Catalyst prunes/pushes around it and
+    * the payload column is carried, not shuffled, until a downstream op
+    * needs it. The per-frame decode is the stub (a real pipeline swaps the
+    * frame-payload expression for a codec call inside the downstream
+    * feature stage; frame extraction itself stays this plan shape).
+    *
+    * Output: (doc_id, frame_idx, frame_ts_ms, frame_payload).
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("payload"), col("duration_ms"),
+        posexplode(sequence(lit(0L),
+          floor(col("duration_ms") / lit(everyMs)).cast("long"))))
+      .withColumn("frame_idx", col("pos").cast("int"))
+      .withColumn("frame_ts_ms", col("col") * lit(everyMs))
+      // STUB decode: deterministic per-frame bytes derived from payload+idx
+      .withColumn("frame_payload",
+        sha2(concat(col("payload"), col("frame_idx").cast("string")), 256).cast("binary"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_ts_ms"), col("frame_payload"))
+
+  /** Resize stage for image rows: mapPartitions batch shape (a real image
+    * library initializes its decoder once per partition and processes the
+    * partition as a batch — same contract as [[extractFeatures]]); the
+    * pixel resample is the stub. Metadata is updated for real: downstream
+    * consumers see the target dims.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (real decoder/encoder handle would live here)
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, payload) =>
+          // STUB resample: deterministic bytes keyed by payload + dims
+          val resized = digest.digest(
+            payload ++ s"-${targetW}x$targetH".getBytes("UTF-8"))
+          (id, targetW, targetH, resized)
+        }
+      }
+      .toDF("doc_id", "width", "height", "payload")
+  }
+
   /** Deterministic stand-in for pixel/waveform feature extraction. */
   private def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

@@ -54,6 +54,58 @@ object Search {
       minScore: Double = 0.0,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val scored = bm25Scored(docs, fields, queries, idCol, queryIdCol,
+      queryTextCol, k1, b)
+      .filter(col("score") >= minScore)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryIdCol), col("id").as(idCol),
+        col("score"), col("rank"))
+  }
+
+  /** Per-query envelope of the reference's batch search stream
+    * (elasticsearch_service.py:487-560): `total_count` = hits clearing the
+    * min_score floor (ES `track_total_hits` with `min_score` applied),
+    * `relevant_count` = rows the stream actually yields after the
+    * max_results cap, `max_score` for the caller's score-tier picker
+    * (html_converter.py:433-437 tiers min_score by the query's phrase
+    * count). One hash aggregation over the scored candidates — no window,
+    * no per-query scroll.
+    */
+  def bm25QueryStats(
+      docs: DataFrame,
+      fields: Seq[Field],
+      queries: DataFrame,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext",
+      maxResults: Int = 100,
+      minScore: Double = 0.0,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Scored(docs, fields, queries, idCol, queryIdCol, queryTextCol, k1, b)
+      .filter(col("score") >= minScore)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("total_count"),
+        least(count(lit(1)), lit(maxResults.toLong)).as("relevant_count"),
+        round(max(col("score")), 6).as("max_score"))
+      .select(col("qid").as(queryIdCol), col("total_count"),
+        col("relevant_count"), col("max_score"))
+
+  /** Shared scoring core: (qid, id, score) for every (query, doc) pair with
+    * at least one matching term, score rounded to 6 decimals.
+    */
+  private def bm25Scored(
+      docs: DataFrame,
+      fields: Seq[Field],
+      queries: DataFrame,
+      idCol: String,
+      queryIdCol: String,
+      queryTextCol: String,
+      k1: Double,
+      b: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -91,18 +143,11 @@ object Search {
     val tfSat = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
 
-    val scored = joined
+    joined
       .withColumn("ts", col("boost") * idf * tfSat)
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("ts")).as("score_raw"))
       .withColumn("score", round(col("score_raw"), 6))
-      .filter(col("score") >= minScore)
-
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as(queryIdCol), col("id").as(idCol),
-        col("score"), col("rank"))
+      .select(col("qid"), col("id"), col("score"))
   }
 }

@@ -65,6 +65,38 @@ class OpsSpec extends SparkTestBase {
     assert(plan.toLowerCase.contains("partial"), plan)
   }
 
+  test("incremental LSH: delta vs persisted index == batch pairs restricted to the delta") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpusRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    // delta batch: an exact copy of one corpus doc, a near-dup of another
+    // (one word changed), an identical within-delta twin pair, and a unique
+    val mutated = { val w = corpusRows(1)._2.split(" "); w(3) = "MUTATED"; w.mkString(" ") }
+    val delta = Seq(
+      (10000L, corpusRows(0)._2),
+      (10001L, mutated),
+      (10002L, "delta twin delta twin delta twin delta twin delta twin words"),
+      (10003L, "delta twin delta twin delta twin delta twin delta twin words"),
+      (10004L, "wholly unique delta content nothing like the corpus at all here")
+    ).toDF("doc_id", "text")
+    val index = Dedup.lshBandIndex(docs, "text", "doc_id")
+    val inc = Dedup.minhashLshPairsIncremental(docs, index, delta, "text", "doc_id",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the batch operator over corpus ∪ delta, restricted to
+    // pairs touching the delta — same hash seeds, so exact equality holds
+    val deltaIds = (10000L to 10004L).toSet
+    val batch = Dedup.minhashLshPairs(docs.unionByName(delta), "text", "doc_id",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => deltaIds(p._1) || deltaIds(p._2)).toSet
+    assert(inc == batch)
+    assert(inc.contains((corpusRows(0)._1, 10000L, 1.0))) // exact copy vs index
+    assert(inc.contains((10002L, 10003L, 1.0)))           // within-delta twins
+    assert(inc.exists(p => p._2 == 10001L || p._1 == 10001L)) // near-dup found
+    assert(!inc.exists(p => p._1 == 10004L || p._2 == 10004L)) // unique stays unpaired
+  }
+
   test("minhash LSH: finds all exact dups and near-dups above threshold") {
     // exact ground truth: word-shingle jaccard >= 0.8, computed scalar-side
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
@@ -279,6 +311,31 @@ class OpsSpec extends SparkTestBase {
     assert(rareTop > commonTop, s"rare=$rareTop common=$commonTop")
   }
 
+  test("bm25 batch stats: total/relevant/max_score agree with the scored top-k") {
+    import graft.ops.Search
+    val fields = Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
+      Search.Field("content", 2.0))
+    val docs = Seq(
+      (1L, "spark shuffle", "x y", "z z z"),
+      (2L, "x y", "spark shuffle", "z z z"),
+      (3L, "x y", "a b", "spark shuffle z"),
+      (4L, "x y", "a b", "z w v")
+    ).toDF("doc_id", "question", "answer", "content")
+    val queries = Seq((1L, "spark shuffle"), (2L, "nomatch")).toDF("query_id", "qtext")
+    // cap below the hit count: total_count keeps the full floor-clearing
+    // count while relevant_count reports what the stream would yield
+    val stats = Search.bm25QueryStats(docs, fields, queries,
+        maxResults = 2, minScore = 0.0)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("total_count"), r.getAs[Long]("relevant_count"),
+          r.getAs[Double]("max_score"))).toMap
+    assert(stats.keySet == Set(1L)) // no-hit query yields no envelope row
+    assert(stats(1L)._1 == 3L && stats(1L)._2 == 2L)
+    val top = Search.bm25TopK(docs, fields, queries, k = 1, minScore = 0.0)
+      .collect().head.getAs[Double]("score")
+    assert(stats(1L)._3 == top)
+  }
+
   test("multimodal plumbing: deterministic stub features, exact schema") {
     val media = Multimodal.withFakePayload(docs.select($"doc_id"))
     val feats = Multimodal.extractFeatures(spark, media).cache()
@@ -290,6 +347,42 @@ class OpsSpec extends SparkTestBase {
     assert(row.feature.toSeq == again.feature.toSeq)
     assert(row.feature.length == 8)
     assert(Set("image", "audio", "video").contains(row.media_type))
+  }
+
+  test("multimodal frame-sample + resize: exact counts, declarative explode, deterministic") {
+    val media = Multimodal.withFakeMeta(docs.select($"doc_id")).cache()
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L).cache()
+    // every video row yields floor(duration/1000)+1 frames, inclusive of t=0
+    val durs = media.filter($"media_type" === "video")
+      .select($"doc_id", $"duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durs.nonEmpty)
+    val counts = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == durs.keySet)
+    durs.foreach { case (id, d) => assert(counts(id) == d / 1000L + 1L, s"doc $id") }
+    val someId = durs.keySet.head
+    val ts = frames.filter($"doc_id" === someId).orderBy("frame_idx")
+      .select("frame_ts_ms").collect().map(_.getLong(0))
+    assert(ts.head == 0L && ts.zipWithIndex.forall { case (t, i) => t == i * 1000L })
+    // determinism: same frame payloads on re-run
+    val p1 = frames.filter($"doc_id" === someId && $"frame_idx" === 0)
+      .collect().head.getAs[Array[Byte]]("frame_payload").toSeq
+    val p2 = Multimodal.sampleFrames(media, 1000L)
+      .filter($"doc_id" === someId && $"frame_idx" === 0)
+      .collect().head.getAs[Array[Byte]]("frame_payload").toSeq
+    assert(p1 == p2 && p1.nonEmpty)
+    // the explode is codegen'd sequence/posexplode, not a UDF stage
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+
+    val resized = Multimodal.resizeImages(spark, media, 320, 180).cache()
+    assert(resized.count() == media.filter($"media_type" === "image").count())
+    resized.collect().foreach { r =>
+      assert(r.getAs[Int]("width") == 320 && r.getAs[Int]("height") == 180)
+      assert(r.getAs[Array[Byte]]("payload").length == 32) // sha256 stub bytes
+    }
+    media.unpersist(false); frames.unpersist(false); resized.unpersist(false)
   }
 
   test("text stats: token counts, quality bounds, fingerprint stability") {
