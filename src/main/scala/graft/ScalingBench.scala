@@ -309,7 +309,9 @@ ${roundRows.map(r => f"         || ${r.urls} | ${r.tN}%.1f | ${r.t4N}%.1f | ${r.
          |${roundRows.map(r => f"${r.eff}%.2f").mkString(" → ")}**
          |(best-of-K per size; the host's in-run stalls can evade the
          |probe gate, so treat any non-monotone row as noise and the
-         |F/W decomposition below as the signal).
+         |F/W decomposition below as the signal; the largest-size row is
+         |additionally bandwidth-bound — see the B2 addendum's per-phase
+         |split and bandwidth correlation).
          |
          |Decomposing each size's (N, 4N) pair as T_k = F + W/k: the fixed
          |per-round job cost stays a few seconds
@@ -356,7 +358,17 @@ ${drainRows.map(r => f"         || ${r.details} details | ${r.urls} | ${r.rounds
          |compute/shuffle-bound, the comparable regime for throughput.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // hand-written `## ... addendum` sections (A2/B2 operator-isolation and
+    // bandwidth-correlation analyses) must survive regeneration — carry
+    // them over from the existing file before overwriting
+    val addenda = {
+      val p = Paths.get("BENCH/BASELINE.md")
+      if (!Files.exists(p)) Seq.empty[String]
+      else Files.readString(p).split("(?m)^(?=## )").toSeq.filter(
+        _.linesIterator.nextOption().exists(_.toLowerCase.contains("addendum")))
+    }
+    Files.writeString(Paths.get("BENCH/BASELINE.md"),
+      md + addenda.map("\n" + _).mkString)
     val sweepJson = roundRows.map(r =>
       s"""{"urls":${r.urls},"t_n":${r.tN},"t_4n":${r.t4N},"eff":${r.eff},"fixed_s":${r.fFixed},"work_core_s":${r.w}}""")
       .mkString("[", ",", "]")
