@@ -298,6 +298,40 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
     }),
 
+    "pipeline_curate_delta" -> ((s, dir) => {
+      // incremental curation, oracle-exactly: corpus = the same constructed
+      // md5-token docs as pipeline_curate; delta = exact copies (+1e7 — die
+      // via the content-hash anti-join), near copies (+2e7, text⊕text — die
+      // via the persisted-index probe + cluster collapse), and FRESH docs
+      // (+3e7, '-f-' token seed — unique, survive). The corpus itself is
+      // never re-curated: only its dedupBase + band index are consumed.
+      // Survivors = the fresh docs, reconstructed stage-exactly in SQL.
+      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val text = array_join(transform(sequence(lit(0), lit(39)),
+        j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
+          j.cast("string"))), 1, 8)), " ")
+      val d = ids.select(col("doc_id"), text.as("text")).localCheckpoint(true)
+      val cfgC = Curation.Config(langs = Set("latin"), minTokens = 10,
+        maxTokens = 200, jaccardThreshold = 0.9)
+      val corpusExact = Curation.dedupBase(d, "doc_id", "text", cfgC)
+        .localCheckpoint(true)
+      val index = Dedup.lshBandIndex(corpusExact, "text", "doc_id",
+        cfgC.minhashHashes, cfgC.minhashBands, cfgC.shingleSize)
+        .localCheckpoint(true)
+      val exactCopies = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val nearCopies = d.select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      val freshText = array_join(transform(sequence(lit(0), lit(39)),
+        j => substring(md5(concat(col("doc_id").cast("string"), lit("-f-"),
+          j.cast("string"))), 1, 8)), " ")
+      val fresh = ids.select((col("doc_id") + 30000000L).as("doc_id"))
+        .select(col("doc_id"), freshText.as("text"))
+      val delta = exactCopies.union(nearCopies).union(fresh).localCheckpoint(true)
+      Curation.curateDelta(corpusExact, index, delta, "doc_id", "text", cfgC)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+    }),
+
     // ---- similarity search ----
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -646,6 +680,18 @@ object SparkEntry {
            THEN 'unknown' ELSE 'latin' END AS lang,
          len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
          FROM d""",
+
+    "pipeline_curate_delta" ->
+      """WITH f AS (SELECT o_orderkey + 30000000 AS doc_id,
+           array_to_string(list_transform(range(0, 40),
+             j -> substr(md5(CAST(o_orderkey + 30000000 AS VARCHAR) || '-f-' || CAST(j AS VARCHAR)), 1, 8)),
+             ' ') AS text
+           FROM orders WHERE o_orderkey < 4000)
+         SELECT doc_id, text,
+         CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0
+           THEN 'unknown' ELSE 'latin' END AS lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
+         FROM f""",
 
     "ann_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

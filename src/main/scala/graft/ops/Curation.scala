@@ -42,6 +42,28 @@ object Curation {
       shingleSize: Int = 3,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK)
 
+  /** Stages 1-3 (annotate → filter → exact keep-first): the artifact an
+    * incremental deployment PERSISTS — together with its
+    * [[Dedup.lshBandIndex]] — so daily deltas fold in via [[curateDelta]]
+    * without re-running the pipeline over the corpus. (The near-dup stage
+    * needs the exact stage, NOT the final survivors: batch pair generation
+    * runs over every exact-stage row, including docs later collapsed as
+    * near-dup cluster members, and a future delta doc may chain through
+    * exactly such a member.)
+    */
+  def dedupBase(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val annotated = docs.select(
+      col(idCol), col(textCol),
+      TextStats.langIdByScript(col(textCol)).as("lang"),
+      TextStats.tokenCountWs(col(textCol)).as("n_tokens"))
+    val filtered = annotated
+      .filter(col("lang").isin(cfg.langs.toSeq: _*))
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
+    if (cfg.exactDedup) Dedup.exactKeepFirst(filtered, textCol, idCol)
+    else filtered
+  }
+
   /** Returns the curated corpus: (idCol, textCol, lang, n_tokens) for every
     * surviving document — tokenizer-ready (the curated TEXT rides along;
     * the consumer a curation pipeline always has next is tokenization, so
@@ -50,18 +72,7 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val outCols = Seq(col(idCol), col(textCol), col("lang"), col("n_tokens"))
-    val annotated = docs.select(
-      col(idCol), col(textCol),
-      TextStats.langIdByScript(col(textCol)).as("lang"),
-      TextStats.tokenCountWs(col(textCol)).as("n_tokens"))
-
-    val filtered = annotated
-      .filter(col("lang").isin(cfg.langs.toSeq: _*))
-      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
-
-    val exact =
-      if (cfg.exactDedup) Dedup.exactKeepFirst(filtered, textCol, idCol)
-      else filtered
+    val exact = dedupBase(docs, idCol, textCol, cfg)
 
     if (!cfg.nearDup) exact.select(outCols: _*)
     else {
@@ -75,6 +86,58 @@ object Curation {
         .select(outCols: _*)
         .localCheckpoint(true)
       exactP.unpersist(false)
+      out
+    }
+  }
+
+  /** Incremental curation — fold a NEW batch into an existing curated
+    * corpus without re-scanning it: the operation a daily 100 TB ingest
+    * actually performs (batch-re-curating the cumulative corpus per day is
+    * O(corpus) per day; this is O(delta + candidates)).
+    *
+    * Inputs are the batch run's persisted artifacts:
+    * `corpusExact` = [[dedupBase]] of the corpus, `corpusIndex` = its
+    * [[Dedup.lshBandIndex]] (same minhash/band/shingle params as `cfg`).
+    *
+    * Contract:
+    *   - every delta id sorts AFTER every corpus id (ingest order), so
+    *     existing survivors are never retracted — a delta doc can only lose
+    *   - exact duplicates of the corpus die via a content-hash anti-join
+    *     (only 32-byte hash rows cross the exchange; a deployment that
+    *     buckets the persisted hash column removes the corpus-side
+    *     exchange entirely)
+    *   - near-dups: [[Dedup.minhashLshPairsIncremental]] probes the index
+    *     with the delta's bands BROADCAST (the corpus never re-shingles or
+    *     shuffles); corpus ids then ride the pair graph as plain nodes, so
+    *     any delta doc whose transitive cluster touches the corpus — or a
+    *     smaller delta id — drops out via [[Dedup.keepClusterRepresentatives]]
+    *     (corpus "losers" are not in the delta frame; nothing is retracted)
+    *   - append-only corner: a delta doc bridging two previously separate
+    *     corpus clusters dies but does NOT retroactively merge them (a
+    *     batch re-run would); CurationSpec pins batch equivalence away
+    *     from that corner
+    *
+    * Returns the delta's surviving rows (idCol, textCol, lang, n_tokens) —
+    * append them to the curated corpus, and their band rows to the index.
+    */
+  def curateDelta(corpusExact: DataFrame, corpusIndex: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val outCols = Seq(col(idCol), col(textCol), col("lang"), col("n_tokens"))
+    val deltaExact = dedupBase(delta, idCol, textCol, cfg)
+    val fresh = deltaExact.join(
+      corpusExact.select(md5(col(textCol)).as("__corpus_hash")).distinct(),
+      md5(col(textCol)) === col("__corpus_hash"), "left_anti")
+    if (!cfg.nearDup) fresh.select(outCols: _*)
+    else {
+      val freshP = fresh.persist(cfg.storage)
+      val pairs = Dedup.minhashLshPairsIncremental(corpusExact, corpusIndex,
+        freshP, textCol, idCol, cfg.minhashHashes, cfg.minhashBands,
+        cfg.jaccardThreshold, cfg.shingleSize)
+      val out = Dedup.keepClusterRepresentatives(freshP, pairs, idCol)
+        .select(outCols: _*)
+        .localCheckpoint(true)
+      freshP.unpersist(false)
       out
     }
   }

@@ -273,6 +273,49 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Set(1L, 6L))
   }
 
+  test("incremental curation: delta vs persisted base == batch curate restricted to delta") {
+    import graft.ops.Curation
+    val cfg = Curation.Config(langs = Set("latin"), minTokens = 5, maxTokens = 100,
+      jaccardThreshold = 0.6)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "a completely different document about spark catalyst plans and shuffles here"
+    val corpus = Seq(
+      (1L, base),            // survivor (representative)
+      (2L, base),            // exact loser
+      (3L, base + " " + base), // near-dup loser — stays in the EXACT stage
+      (4L, "سند فارسی بدون حروف لاتین برای فیلتر زبان " * 3),
+      (5L, "too short"),
+      (6L, other)            // survivor
+    ).toDF("doc_id", "text")
+    val fresh = "entirely new delta prose on cuckoo filters bloom sketches and seen sets"
+    val delta = Seq(
+      (101L, base),              // exact copy of a corpus survivor → dies
+      (102L, base + " extra"),   // near-dup of survivor 1 → dies
+      (103L, base + " " + base + " word"), // near-dup of corpus LOSER 3 → chains → dies
+      (104L, fresh),             // new; twin of 105 → survives (smaller id)
+      (105L, fresh),             // exact twin of 104 → dies
+      (106L, "another wholly original delta document mentioning broadcast joins and aqe"),
+      (107L, "متن فارسی دیگری برای فیلتر زبان اینجا هست " * 2) // lang filter
+    ).toDF("doc_id", "text")
+
+    val corpusExact = Curation.dedupBase(corpus, "doc_id", "text", cfg)
+      .localCheckpoint(true)
+    val index = graft.ops.Dedup.lshBandIndex(corpusExact, "text", "doc_id",
+      cfg.minhashHashes, cfg.minhashBands, cfg.shingleSize).localCheckpoint(true)
+    val deltaOut = Curation.curateDelta(corpusExact, index, delta, "doc_id", "text", cfg)
+    val deltaRows = deltaOut.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(deltaRows.map(_._1) == Set(104L, 106L))
+
+    // batch equivalence: curate(corpus ∪ delta) == old survivors ∪ delta out
+    val batch = Curation.curate(corpus.unionByName(delta), "doc_id", "text", cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val old = Curation.curate(corpus, "doc_id", "text", cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(old.map(_._1) == Set(1L, 6L))
+    assert(batch == old ++ deltaRows)
+  }
+
   test("bm25 retrieval: field boosts rank question > answer > content; min_score floors") {
     import graft.ops.Search
     val fields = Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
