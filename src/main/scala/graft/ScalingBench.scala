@@ -133,6 +133,23 @@ object ScalingBench {
       println(s"""{"metric":"scaling_spot","rows":[${out.mkString(",")}]}""")
       return
     }
+    // drain spot mode: SPARK_GRAFT_SCALE_DRAIN_ONLY="details:reps[,...]"
+    // times ONLY those workload-C drains (same protocol), prints per-row
+    // results + a JSON line, does not rewrite BENCH/BASELINE.md
+    sys.env.get("SPARK_GRAFT_SCALE_DRAIN_ONLY").foreach { spec =>
+      val rows = spec.split(",").map { s =>
+        val Array(d, k) = s.split(":"); (d.trim.toInt, k.trim.toInt) }
+      val out = rows.map { case (d, k) =>
+        var urls = 0L; var rounds = 0
+        val (tN, t4N, cert) = bestPair(s"drain-spot@$d", k) { c =>
+          val (u, r, t) = drainAt(c, d); urls = u; rounds = r; t }
+        val eff = (tN / t4N) / 4.0
+        Console.err.println(f"[drain-spot] details=$d urls=$urls rounds=$rounds N=$tN%.1fs 4N=$t4N%.1fs eff=$eff%.2f cert=$cert")
+        f"""{"details":$d,"urls":$urls,"rounds":$rounds,"t_n":$tN%.3f,"t_4n":$t4N%.3f,"eff":$eff%.3f,"certified":$cert}"""
+      }
+      println(s"""{"metric":"drain_spot","rows":[${out.mkString(",")}]}""")
+      return
+    }
     val extractN = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRACT", "400000").toInt
     val roundN = sys.env.getOrElse("SPARK_GRAFT_SCALE_DETAILS", "200000").toInt
     val roundN2 = roundN * 2

@@ -383,6 +383,15 @@ object SparkEntry {
       Tokenize.encodeWithStats(docs, "text", "doc_id", vocab)
     }),
 
+    "tokenize_chunk" -> ((s, dir) => {
+      // fixed-length training windows over the encoded corpus: seqLen 16,
+      // overlap 4 (stride 12), tail chunks kept at >= 8 ids
+      val docs = t(s, dir, "documents")
+      val vocab = Tokenize.buildVocab(docs, "text", vocabSize = 30)
+      val enc = Tokenize.encode(docs, "text", "doc_id", vocab)
+      Tokenize.chunkForTraining(enc, "doc_id", seqLen = 16, overlap = 4, minLen = 8)
+    }),
+
     "ann_lsh_pairs" -> ((s, dir) =>
       // no oracle (hash-derived hyperplanes); OpsSpec verifies vs brute force
       Ann.lshCandidatePairs(t(s, dir, "embeddings"),
@@ -750,6 +759,31 @@ object SparkEntry {
            CAST(len(token_ids) AS INT) AS n_tokens,
            CAST(len(list_filter(token_ids, x -> x = 0)) AS INT) AS n_unk
          FROM enc""",
+
+    "tokenize_chunk" ->
+      """WITH base AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           FROM documents),
+         vocab AS (
+           SELECT token, CAST(rn AS INT) AS token_id FROM
+           (SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+            FROM (SELECT unnest(toks) AS token FROM base) GROUP BY token)
+           WHERE rn <= 30),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+           FROM base),
+         enc AS (
+           SELECT t.doc_id,
+             list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids
+           FROM tok t LEFT JOIN vocab v USING (token)
+           GROUP BY t.doc_id),
+         chunks AS (
+           SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+             token_ids[CAST(c*12 + 1 AS BIGINT) : CAST(c*12 + 16 AS BIGINT)] AS token_ids
+           FROM enc, unnest(range(0, CAST(ceil(len(token_ids) / 12.0) AS BIGINT))) AS t(c)
+           WHERE len(token_ids) > 0)
+         SELECT doc_id, chunk_idx, token_ids FROM chunks
+         WHERE len(token_ids) >= 8""",
 
     "url_canonicalize" ->
       """SELECT o_orderkey,

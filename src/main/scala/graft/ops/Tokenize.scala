@@ -72,4 +72,32 @@ object Tokenize {
       .select(col(idCol), col("token_ids"),
         size(col("token_ids")).as("n_tokens"),
         size(filter(col("token_ids"), x => x === unkId)).as("n_unk"))
+
+  /** Split encoded documents into fixed-length training chunks — the
+    * long-document step before batching: one row per window of `seqLen`
+    * ids, consecutive windows sharing `overlap` ids (stride =
+    * seqLen - overlap, starts at 0, stride, 2·stride, …; the tail chunk is
+    * shorter and kept only if ≥ `minLen`). Fully declarative:
+    * posexplode(sequence) over the per-doc chunk count + a positional
+    * slice — codegen'd, no UDF, no shuffle at all (chunking is
+    * embarrassingly row-local; the explode multiplies rows in place).
+    * Output: (idCol, chunk_idx, token_ids).
+    */
+  def chunkForTraining(encoded: DataFrame, idCol: String, seqLen: Int,
+      overlap: Int = 0, minLen: Int = 1): DataFrame = {
+    require(overlap >= 0 && overlap < seqLen, "need 0 <= overlap < seqLen")
+    require(minLen >= 1 && minLen <= seqLen, "need 1 <= minLen <= seqLen")
+    val stride = seqLen - overlap
+    encoded
+      .withColumn("__n", size(col("token_ids")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("token_ids"),
+        posexplode(sequence(lit(0L),
+          floor((col("__n") - 1) / lit(stride)).cast("long"))))
+      .withColumn("chunk_idx", col("pos").cast("int"))
+      .withColumn("__start", (col("col") * lit(stride)).cast("int"))
+      .withColumn("__chunk", slice(col("token_ids"), col("__start") + 1, lit(seqLen)))
+      .filter(size(col("__chunk")) >= minLen)
+      .select(col(idCol), col("chunk_idx"), col("__chunk").as("token_ids"))
+  }
 }

@@ -428,6 +428,27 @@ class OpsSpec extends SparkTestBase {
     media.unpersist(false); frames.unpersist(false); resized.unpersist(false)
   }
 
+  test("tokenize chunking: stride windows with overlap, tail policy, shuffle-free plan") {
+    import graft.ops.Tokenize
+    val enc = Seq(
+      (1L, (1 to 30).toArray),  // starts 0,12,24 → lens 16,16,6 (tail < minLen dropped)
+      (2L, (1 to 16).toArray),  // second start's 4-id tail dropped → one chunk
+      (3L, (1 to 7).toArray),   // whole doc below minLen → no rows
+      (4L, Array.empty[Int])    // empty → filtered
+    ).toDF("doc_id", "token_ids")
+    val out = Tokenize.chunkForTraining(enc, "doc_id", seqLen = 16, overlap = 4, minLen = 8)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Int](2)).toMap
+    assert(rows.keySet == Set((1L, 0), (1L, 1), (2L, 0)))
+    assert(rows((1L, 0)) == (1 to 16))
+    assert(rows((1L, 1)) == (13 to 28)) // stride 12: shares 4 ids with chunk 0
+    assert(rows((1L, 1)).take(4) == rows((1L, 0)).takeRight(4))
+    assert(rows((2L, 0)) == (1 to 16))
+    // chunking is row-local: the plan has no Exchange at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("text stats: token counts, quality bounds, fingerprint stability") {
     val df = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
