@@ -126,6 +126,9 @@ object FrontierCrawl {
              else seenParts) :+ st.tablePath(round, "seen_delta")
           val snap = st.commit(round, tables,
             aliases = Map("seen_parts" -> newParts.mkString(";")))
+          // the folded parts are unreferenced by the just-published
+          // manifest (resume reads the newest), so reclaim their disk now
+          if (compactNow) st.gc(seenParts)
           seenParts = newParts
           frontier = st.read(snap, "frontier").as[FrontierEntry]
           seen = Some(spark.read.parquet(seenParts: _*))

@@ -131,6 +131,19 @@ final class FrontierStore(spark: SparkSession, root: String) {
   def read(snapshot: Snapshot, table: String): DataFrame =
     spark.read.parquet(snapshot.tables(table))
 
+  /** Best-effort GC of data dirs the LATEST manifest no longer references
+    * (e.g. seen-delta parts folded into a compacted table). Resume always
+    * reads the newest manifest, so deleting these is safe; a crash
+    * mid-delete just leaves ignorable orphans. Without it, compaction
+    * bounds the manifest part LIST but folded dirs accumulate on disk
+    * forever (a 10^4-round crawl leaks 10^4 dirs).
+    */
+  def gc(paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      try fs.delete(new Path(p), true)
+      catch { case _: Throwable => () }
+    }
+
   /** J7 keyed upsert against the latest snapshot: the new version of
     * `table` = latest version with `updates` merged by `key` (replaced
     * where matched, appended where new). Include the result in the next

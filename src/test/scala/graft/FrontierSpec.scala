@@ -206,6 +206,12 @@ class FrontierSpec extends SparkTestBase {
     val diskSeen = spark.read.parquet(parts.toSeq: _*)
       .select("url_key").distinct().collect().map(_.getString(0)).toSet
     assert(diskSeen == fullSeen)
+
+    // folded parts are GC'd from disk (round 0/1 deltas folded at round 2):
+    // compaction bounds the part LIST and reclaims the folded dirs
+    assert(!new java.io.File(s"$dir/rounds/r00000/seen_delta").exists,
+      "folded seen_delta dir should be deleted by store.gc")
+    assert(!new java.io.File(s"$dir/rounds/r00001/seen_delta").exists)
   }
 
   test("latest() falls back to the legacy single-manifest layout") {
