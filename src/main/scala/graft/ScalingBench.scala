@@ -375,14 +375,19 @@ ${drainRows.map(r => f"         || ${r.details} details | ${r.urls} | ${r.rounds
          |compute/shuffle-bound, the comparable regime for throughput.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
-    // hand-written `## ... addendum` sections (A2/B2 operator-isolation and
-    // bandwidth-correlation analyses) must survive regeneration — carry
-    // them over from the existing file before overwriting
+    // hand-written sections (A2/B2/B3/C2 operator-isolation and bandwidth
+    // analyses) must survive regeneration. STRUCTURAL carry-over: any `## `
+    // section of the existing file whose heading the freshly generated
+    // template does not produce is preserved verbatim — no naming
+    // convention to forget (a keyword filter re-created the silent-loss bug
+    // for the first differently-titled section)
+    val generatedHeads = md.linesIterator.filter(_.startsWith("## ")).toSet
     val addenda = {
       val p = Paths.get("BENCH/BASELINE.md")
       if (!Files.exists(p)) Seq.empty[String]
       else Files.readString(p).split("(?m)^(?=## )").toSeq.filter(
-        _.linesIterator.nextOption().exists(_.toLowerCase.contains("addendum")))
+        _.linesIterator.nextOption().exists(h =>
+          h.startsWith("## ") && !generatedHeads.contains(h)))
     }
     Files.writeString(Paths.get("BENCH/BASELINE.md"),
       md + addenda.map("\n" + _).mkString)

@@ -780,7 +780,8 @@ object SparkEntry {
          chunks AS (
            SELECT doc_id, CAST(c AS INT) AS chunk_idx,
              token_ids[CAST(c*12 + 1 AS BIGINT) : CAST(c*12 + 16 AS BIGINT)] AS token_ids
-           FROM enc, unnest(range(0, CAST(ceil(len(token_ids) / 12.0) AS BIGINT))) AS t(c)
+           FROM enc, unnest(range(0, CASE WHEN len(token_ids) <= 16 THEN 1
+             ELSE CAST(ceil((len(token_ids) - 16) / 12.0) AS BIGINT) + 1 END)) AS t(c)
            WHERE len(token_ids) > 0)
          SELECT doc_id, chunk_idx, token_ids FROM chunks
          WHERE len(token_ids) >= 8""",
@@ -859,11 +860,13 @@ object SparkEntry {
 
     "search_batch_stats" ->
       s"""$bm25ScoredCte
-         SELECT CAST(query_id AS BIGINT) AS query_id,
-           count(*) AS total_count,
-           least(count(*), 5) AS relevant_count,
-           round(max(score), 6) AS max_score
-         FROM scored WHERE score >= 1.0 GROUP BY 1""",
+         SELECT CAST(q.query_id AS BIGINT) AS query_id,
+           coalesce(s.tc, 0) AS total_count,
+           least(coalesce(s.tc, 0), 5) AS relevant_count,
+           s.ms AS max_score
+         FROM queries q LEFT JOIN (
+           SELECT query_id, count(*) AS tc, round(max(score), 6) AS ms
+           FROM scored WHERE score >= 1.0 GROUP BY 1) s USING (query_id)""",
 
     "text_lang_id" ->
       """SELECT CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0

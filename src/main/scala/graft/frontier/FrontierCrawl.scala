@@ -56,6 +56,9 @@ object FrontierCrawl {
       case Some(snap) =>
         val st = store.get
         val parts = snap.tables.getOrElse("seen_parts", "").split(";").filter(_.nonEmpty)
+        // a crash between a compacting commit's publish and its gc leaves
+        // folded dirs orphaned with no future reclaim — sweep them now
+        if (cfg.compactSeenParts > 0) st.gcUnreferencedSeenParts(parts.toSet)
         val seenDf = if (parts.isEmpty) None else Some(spark.read.parquet(parts.toSeq: _*))
         (snap.round + 1, st.read(snap, "frontier").as[FrontierEntry], seenDf, parts.toVector)
       case None =>

@@ -91,9 +91,15 @@ object Curation {
   }
 
   /** Incremental curation — fold a NEW batch into an existing curated
-    * corpus without re-scanning it: the operation a daily 100 TB ingest
-    * actually performs (batch-re-curating the cumulative corpus per day is
-    * O(corpus) per day; this is O(delta + candidates)).
+    * corpus without re-CURATING it: all per-doc compute (shingling,
+    * minhashing, banding, pair verification) is O(delta + candidates);
+    * batch re-curation is O(corpus) compute per day. Two corpus READS
+    * remain, both reducible at rest: the exact-dup check reads one hash
+    * column (32 bytes/doc when `content_hash` is persisted on
+    * `corpusExact` — pass it and the text column never loads), and the
+    * near-dup verification joins candidate index ids back to corpus text
+    * (bucket `corpusExact` by `idCol` at rest to make that join
+    * exchange-free; the join output — not the scan — is candidate-only).
     *
     * Inputs are the batch run's persisted artifacts:
     * `corpusExact` = [[dedupBase]] of the corpus, `corpusIndex` = its
@@ -125,8 +131,14 @@ object Curation {
       cfg: Config = Config()): DataFrame = {
     val outCols = Seq(col(idCol), col(textCol), col("lang"), col("n_tokens"))
     val deltaExact = dedupBase(delta, idCol, textCol, cfg)
-    val fresh = deltaExact.join(
-      corpusExact.select(md5(col(textCol)).as("__corpus_hash")).distinct(),
+    // exact-dup check: prefer a persisted `content_hash` column on
+    // corpusExact (column-pruned 32-byte scan) over recomputing md5 from
+    // the corpus TEXT (which drags the full text column through the scan)
+    val corpusHashes =
+      (if (corpusExact.columns.contains("content_hash"))
+        corpusExact.select(col("content_hash").as("__corpus_hash"))
+      else corpusExact.select(md5(col(textCol)).as("__corpus_hash"))).distinct()
+    val fresh = deltaExact.join(corpusHashes,
       md5(col(textCol)) === col("__corpus_hash"), "left_anti")
     if (!cfg.nearDup) fresh.select(outCols: _*)
     else {

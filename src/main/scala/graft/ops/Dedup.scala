@@ -59,8 +59,9 @@ object Dedup {
     * returning. Pair output is tiny relative to the corpus (deduped
     * candidates only), so the checkpoint is cheap at any scale.
     * `eager = false` skips the checkpoint and returns the LIVE plan (for
-    * plan audits/composition); the shingle cache then stays live for the
-    * caller to release.
+    * plan audits/composition); no cache is taken in that mode — the shingle
+    * table recomputes per action, which is the explicit trade for getting
+    * an inspectable plan with nothing left behind on executors.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -75,19 +76,10 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val shingled = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, Sketches.shingles(if (t == null) "" else t, shingleSize)) }
-      .toDF("id", "sh")
-      .filter(size(col("sh")) > 0)
-      .cache()
+    val shingled0 = shingleTable(df, textCol, idCol, shingleSize)
+    val shingled = if (eager) shingled0.cache() else shingled0
 
-    val banded = shingled.as[(Long, Array[String])]
-      .flatMap { case (id, sh) =>
-        val bh = Sketches.bandHashes(Sketches.minhashSignature(sh, numHashes), bands)
-        bh.iterator.zipWithIndex.map { case (h, b) => (b, h, id) }
-      }
-      .toDF("band", "band_hash", "id")
+    val banded = bandTable(shingled, numHashes, bands)
 
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("band", "band_hash"))
@@ -128,13 +120,33 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    bandTable(shingleTable(df, textCol, idCol, shingleSize), numHashes, bands)
+  }
+
+  /** (id, sh) shingle rows — the ONE place the shingle pipeline lives: the
+    * batch, index, and incremental operators' bit-equality contract depends
+    * on them sharing this and [[bandTable]] exactly.
+    */
+  private def shingleTable(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
         (id, Sketches.shingles(if (t == null) "" else t, shingleSize)) }
-      .filter(_._2.nonEmpty)
+      .toDF("id", "sh")
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** (band, band_hash, id) rows from a shingle table — shared minhash +
+    * banding kernel (see [[shingleTable]]).
+    */
+  private def bandTable(shingled: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val spark = shingled.sparkSession
+    import spark.implicits._
+    shingled.as[(Long, Array[String])]
       .flatMap { case (id, sh) =>
         Sketches.bandHashes(Sketches.minhashSignature(sh, numHashes), bands)
           .iterator.zipWithIndex.map { case (h, b) => (b, h, id) }
@@ -176,20 +188,10 @@ object Dedup {
     val spark = delta.sparkSession
     import spark.implicits._
 
-    val deltaSh = delta.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        (id, Sketches.shingles(if (t == null) "" else t, shingleSize)) }
-      .toDF("id", "sh")
-      .filter(size(col("sh")) > 0)
-      .cache()
+    val deltaSh0 = shingleTable(delta, textCol, idCol, shingleSize)
+    val deltaSh = if (eager) deltaSh0.cache() else deltaSh0
 
-    val deltaBanded = deltaSh.as[(Long, Array[String])]
-      .flatMap { case (id, sh) =>
-        Sketches.bandHashes(Sketches.minhashSignature(sh, numHashes), bands)
-          .iterator.zipWithIndex.map { case (h, b) => (b, h, id) }
-      }
-      .toDF("band", "band_hash", "id")
+    val deltaBanded = bandTable(deltaSh, numHashes, bands)
 
     // delta vs index: broadcast the human/batch-sized delta bands — the
     // corpus-sized index side stays exchange-free
@@ -213,13 +215,10 @@ object Dedup {
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val indexIds = candIds.join(deltaSh.select("id"), Seq("id"), "left_anti")
-    val corpusSh = corpus
+    val prunedCorpus = corpus
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .join(indexIds, Seq("id"), "left_semi")
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        (id, Sketches.shingles(if (t == null) "" else t, shingleSize)) }
-      .toDF("id", "sh")
+    val corpusSh = shingleTable(prunedCorpus, "t", "id", shingleSize)
     val allSh = deltaSh.unionByName(corpusSh)
 
     val verified = candidates

@@ -90,10 +90,13 @@ object Multimodal {
     * Output: (doc_id, frame_idx, frame_ts_ms, frame_payload).
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
-    media.filter(col("media_type") === "video")
+    media.filter(col("media_type") === "video" && col("duration_ms") > 0)
       .select(col("doc_id"), col("payload"), col("duration_ms"),
+        // sample in [0, duration): a clip of duration d has no frame AT
+        // t = d — a real decoder would hit EOF there — so the last sampled
+        // timestamp is the largest multiple of everyMs strictly below d
         posexplode(sequence(lit(0L),
-          floor(col("duration_ms") / lit(everyMs)).cast("long"))))
+          floor((col("duration_ms") - 1) / lit(everyMs)).cast("long"))))
       .withColumn("frame_idx", col("pos").cast("int"))
       .withColumn("frame_ts_ms", col("col") * lit(everyMs))
       // STUB decode: deterministic per-frame bytes derived from payload+idx

@@ -84,15 +84,25 @@ object Search {
       maxResults: Int = 100,
       minScore: Double = 0.0,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame =
-    bm25Scored(docs, fields, queries, idCol, queryIdCol, queryTextCol, k1, b)
-      .filter(col("score") >= minScore)
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("total_count"),
-        least(count(lit(1)), lit(maxResults.toLong)).as("relevant_count"),
-        round(max(col("score")), 6).as("max_score"))
-      .select(col("qid").as(queryIdCol), col("total_count"),
-        col("relevant_count"), col("max_score"))
+      b: Double = 0.75): DataFrame = {
+    val stats =
+      bm25Scored(docs, fields, queries, idCol, queryIdCol, queryTextCol, k1, b)
+        .filter(col("score") >= minScore)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("__tc"), round(max(col("score")), 6).as("__ms"))
+    // EVERY query gets an envelope row — a no-hit query reports
+    // (total_count = 0, relevant_count = 0, max_score = null), matching the
+    // reference stream's per-query summary (ES track_total_hits with
+    // min_score yields 0, max_score null); dropping the row would make a
+    // stats consumer silently under-report the query set
+    queries.select(col(queryIdCol).as("qid")).distinct()
+      .join(stats, Seq("qid"), "left")
+      .select(col("qid").as(queryIdCol),
+        coalesce(col("__tc"), lit(0L)).as("total_count"),
+        least(coalesce(col("__tc"), lit(0L)), lit(maxResults.toLong))
+          .as("relevant_count"),
+        col("__ms").as("max_score"))
+  }
 
   /** Shared scoring core: (qid, id, score) for every (query, doc) pair with
     * at least one matching term, score rounded to 6 decimals.

@@ -88,12 +88,18 @@ object Tokenize {
     require(overlap >= 0 && overlap < seqLen, "need 0 <= overlap < seqLen")
     require(minLen >= 1 && minLen <= seqLen, "need 1 <= minLen <= seqLen")
     val stride = seqLen - overlap
+    // last start index: 0 for docs within one window; else ceil((n-seqLen)/
+    // stride) — a start past that yields a window fully CONTAINED in the
+    // previous one (its tail adds no new tokens, only duplicated training
+    // data), so it must not be emitted regardless of minLen
+    val maxIdx = when(col("__n") <= lit(seqLen), lit(0L))
+      .otherwise(floor((col("__n") - lit(seqLen) + lit(stride - 1)) / lit(stride))
+        .cast("long"))
     encoded
       .withColumn("__n", size(col("token_ids")))
       .filter(col("__n") > 0)
       .select(col(idCol), col("token_ids"),
-        posexplode(sequence(lit(0L),
-          floor((col("__n") - 1) / lit(stride)).cast("long"))))
+        posexplode(sequence(lit(0L), maxIdx)))
       .withColumn("chunk_idx", col("pos").cast("int"))
       .withColumn("__start", (col("col") * lit(stride)).cast("int"))
       .withColumn("__chunk", slice(col("token_ids"), col("__start") + 1, lit(seqLen)))

@@ -141,8 +141,31 @@ final class FrontierStore(spark: SparkSession, root: String) {
   def gc(paths: Seq[String]): Unit =
     paths.foreach { p =>
       try fs.delete(new Path(p), true)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
+
+  /** Resume-time sweep for the seen-part compaction: a crash between a
+    * compacting commit's manifest publish and its [[gc]] call leaves the
+    * folded dirs orphaned FOREVER (no future gc names them — the new
+    * manifest no longer references them). Reclaims every
+    * rounds/✱/{seen_delta,seen_compacted} dir the given part list does not
+    * reference. Paths are compared normalized (the filesystem lists
+    * qualified URIs while manifests store plain paths).
+    */
+  def gcUnreferencedSeenParts(referenced: Set[String]): Unit = {
+    val roundsDir = new Path(root, "rounds")
+    if (!fs.exists(roundsDir)) return
+    def norm(p: Path): String = fs.makeQualified(p).toUri.getPath
+    val ref = referenced.map(s => norm(new Path(s)))
+    fs.listStatus(roundsDir).foreach { rd =>
+      Seq("seen_delta", "seen_compacted").foreach { t =>
+        val p = new Path(rd.getPath, t)
+        try {
+          if (fs.exists(p) && !ref.contains(norm(p))) fs.delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
 
   /** J7 keyed upsert against the latest snapshot: the new version of
     * `table` = latest version with `updates` merged by `key` (replaced

@@ -212,6 +212,19 @@ class FrontierSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/rounds/r00000/seen_delta").exists,
       "folded seen_delta dir should be deleted by store.gc")
     assert(!new java.io.File(s"$dir/rounds/r00001/seen_delta").exists)
+
+    // crash-window sweep: recreate a folded dir (simulating death between
+    // a compacting commit's manifest publish and its gc), then resume —
+    // the resume-time sweep reclaims it, while referenced parts survive
+    val orphan = new java.io.File(s"$dir/rounds/r00000/seen_delta")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("junk.parquet"), "x")
+    FrontierCrawl.run(spark, pagesDf, cfg.seeds, Some(store), RobotsRules.empty, pol, 50)
+    assert(!orphan.exists, "resume sweep should reclaim the orphaned folded dir")
+    parts.foreach { p =>
+      assert(new java.io.File(p.stripPrefix("file:")).exists,
+        s"referenced part $p must survive the sweep")
+    }
   }
 
   test("latest() falls back to the legacy single-manifest layout") {

@@ -371,12 +371,14 @@ class OpsSpec extends SparkTestBase {
         maxResults = 2, minScore = 0.0)
       .collect().map(r => r.getAs[Long]("query_id") ->
         (r.getAs[Long]("total_count"), r.getAs[Long]("relevant_count"),
-          r.getAs[Double]("max_score"))).toMap
-    assert(stats.keySet == Set(1L)) // no-hit query yields no envelope row
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // EVERY query reports an envelope row; no-hit → (0, 0, null max_score)
+    assert(stats.keySet == Set(1L, 2L))
     assert(stats(1L)._1 == 3L && stats(1L)._2 == 2L)
+    assert(stats(2L) == ((0L, 0L, None)))
     val top = Search.bm25TopK(docs, fields, queries, k = 1, minScore = 0.0)
       .collect().head.getAs[Double]("score")
-    assert(stats(1L)._3 == top)
+    assert(stats(1L)._3.contains(top))
   }
 
   test("multimodal plumbing: deterministic stub features, exact schema") {
@@ -395,7 +397,8 @@ class OpsSpec extends SparkTestBase {
   test("multimodal frame-sample + resize: exact counts, declarative explode, deterministic") {
     val media = Multimodal.withFakeMeta(docs.select($"doc_id")).cache()
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L).cache()
-    // every video row yields floor(duration/1000)+1 frames, inclusive of t=0
+    // every video row yields ceil(duration/1000) frames in [0, duration) —
+    // no frame at t == duration, where a real decoder has only EOF
     val durs = media.filter($"media_type" === "video")
       .select($"doc_id", $"duration_ms").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -403,7 +406,11 @@ class OpsSpec extends SparkTestBase {
     val counts = frames.groupBy("doc_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts.keySet == durs.keySet)
-    durs.foreach { case (id, d) => assert(counts(id) == d / 1000L + 1L, s"doc $id") }
+    durs.foreach { case (id, d) =>
+      assert(counts(id) == (d - 1) / 1000L + 1L, s"doc $id") }
+    val maxByDoc = frames.groupBy("doc_id").agg(max($"frame_ts_ms").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    maxByDoc.foreach { case (id, m) => assert(m < durs(id), s"doc $id: $m >= ${durs(id)}") }
     val someId = durs.keySet.head
     val ts = frames.filter($"doc_id" === someId).orderBy("frame_idx")
       .select("frame_ts_ms").collect().map(_.getLong(0))
@@ -447,6 +454,22 @@ class OpsSpec extends SparkTestBase {
     // chunking is row-local: the plan has no Exchange at all
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+
+    // contained-tail regression (minLen = 1): a 28-id doc has starts 0,12
+    // ONLY — a third window at 24 would be fully inside chunk 1 (ids 13-28)
+    // and emitting it would duplicate training tokens
+    val r28 = Tokenize.chunkForTraining(
+        Seq((9L, (1 to 28).toArray)).toDF("doc_id", "token_ids"),
+        "doc_id", seqLen = 16, overlap = 4, minLen = 1)
+      .collect().map(r => r.getInt(1) -> r.getSeq[Int](2)).toMap
+    assert(r28.keySet == Set(0, 1))
+    assert(r28(1) == (13 to 28))
+    // a 30-id doc DOES get the third window (it carries new ids 29, 30)
+    val r30 = Tokenize.chunkForTraining(
+        Seq((9L, (1 to 30).toArray)).toDF("doc_id", "token_ids"),
+        "doc_id", seqLen = 16, overlap = 4, minLen = 1)
+      .collect().map(r => r.getInt(1) -> r.getSeq[Int](2)).toMap
+    assert(r30.keySet == Set(0, 1, 2) && r30(2) == (25 to 30))
   }
 
   test("text stats: token counts, quality bounds, fingerprint stability") {
