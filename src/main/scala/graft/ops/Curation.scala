@@ -128,7 +128,19 @@ object Curation {
     */
   def curateDelta(corpusExact: DataFrame, corpusIndex: DataFrame,
       delta: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    curateDeltaWithBase(corpusExact, corpusIndex, delta, idCol, textCol, cfg)._1
+
+  /** [[curateDelta]] plus the delta's BASE-APPEND set: the exact-stage rows
+    * (fresh content, pre near-dup collapse) that must join the persisted
+    * `corpusExact`/index so FUTURE deltas can dedup against them — the
+    * base needs near-dup losers too, not just survivors (a later doc may
+    * chain through one; see [[dedupBase]]). Returns
+    * (survivors, baseAppend), both eagerly materialized.
+    */
+  def curateDeltaWithBase(corpusExact: DataFrame, corpusIndex: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
     val outCols = Seq(col(idCol), col(textCol), col("lang"), col("n_tokens"))
     val deltaExact = dedupBase(delta, idCol, textCol, cfg)
     // exact-dup check: prefer a persisted `content_hash` column on
@@ -140,8 +152,10 @@ object Curation {
       else corpusExact.select(md5(col(textCol)).as("__corpus_hash"))).distinct()
     val fresh = deltaExact.join(corpusHashes,
       md5(col(textCol)) === col("__corpus_hash"), "left_anti")
-    if (!cfg.nearDup) fresh.select(outCols: _*)
-    else {
+    if (!cfg.nearDup) {
+      val f = fresh.select(outCols: _*).localCheckpoint(true)
+      (f, f)
+    } else {
       val freshP = fresh.persist(cfg.storage)
       val pairs = Dedup.minhashLshPairsIncremental(corpusExact, corpusIndex,
         freshP, textCol, idCol, cfg.minhashHashes, cfg.minhashBands,
@@ -149,8 +163,9 @@ object Curation {
       val out = Dedup.keepClusterRepresentatives(freshP, pairs, idCol)
         .select(outCols: _*)
         .localCheckpoint(true)
+      val baseAppend = freshP.select(outCols: _*).localCheckpoint(true)
       freshP.unpersist(false)
-      out
+      (out, baseAppend)
     }
   }
 }

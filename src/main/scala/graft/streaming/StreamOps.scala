@@ -120,4 +120,76 @@ object StreamOps {
       }
       .start()
   }
+
+  /** One micro-batch of streaming incremental curation against a curated
+    * store at `storeDir` (layout: base/, index/, survivors/, each holding
+    * batch_id=N partitions). The batch folds in via
+    * [[graft.ops.Curation.curateDeltaWithBase]] against the store's
+    * persisted dedup base + band index, then appends its survivors AND its
+    * base/index rows (near-dup losers included — future batches may chain
+    * through them) as its own batch_id=N partitions.
+    *
+    * REPLAY-idempotent, which here takes more than overwrite-own-partition:
+    * the corpus reads must EXCLUDE the current batch's partition — a
+    * crashed attempt may have written batch_id=N already, and folding the
+    * batch against its own half-committed rows would kill every doc as a
+    * self-duplicate on retry. Caller contract: ids ascend across batches
+    * (ingest order), as in [[graft.ops.Curation.curateDelta]].
+    */
+  def foldCurateBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      cfg: graft.ops.Curation.Config,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import graft.ops.{Curation, Dedup}
+    val spark = batch.sparkSession
+    val (basePath, idxPath, outPath) =
+      (s"$storeDir/base", s"$storeDir/index", s"$storeDir/survivors")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    def priorPartitions(path: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch_id="))
+        .filterNot(_.getName == s"batch_id=$batchId")
+        .map(_.toString)
+    }
+    val priorBase = priorPartitions(basePath)
+    val (survivors, baseAppend) =
+      if (priorBase.isEmpty) {
+        // first batch: plain batch curation; base = the batch's dedupBase
+        val base = Curation.dedupBase(batch, idCol, textCol, cfg)
+          .localCheckpoint(true)
+        (Curation.curate(batch, idCol, textCol, cfg), base)
+      } else {
+        val corpusExact = spark.read.parquet(priorBase: _*)
+        val index = spark.read.parquet(priorPartitions(idxPath): _*)
+          .select(col("band"), col("band_hash"), col("id"))
+        Curation.curateDeltaWithBase(corpusExact, index, batch,
+          idCol, textCol, cfg)
+      }
+    baseAppend.write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+    Dedup.lshBandIndex(baseAppend, textCol, idCol, cfg.minhashHashes,
+        cfg.minhashBands, cfg.shingleSize)
+      .write.mode("overwrite").parquet(s"$idxPath/batch_id=$batchId")
+    survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+  }
+
+  /** Streaming incremental curation: bind [[foldCurateBatch]] to a live
+    * document stream — each micro-batch dedups (exact + near) against
+    * everything previously ingested without re-curating it, the
+    * foreachBatch twin of the batch `Curation.curate` pipeline and the
+    * streaming composition of the daily-ingest `curateDelta` path.
+    * Survivors land under `storeDir/survivors/` as they are discovered.
+    */
+  def streamingCurate(docs: DataFrame, storeDir: String, checkpointDir: String,
+      cfg: graft.ops.Curation.Config,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldCurateBatch(batch, batchId, storeDir, cfg, idCol, textCol)
+      }
+      .start()
 }

@@ -42,6 +42,47 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming curation: micro-batches fold into the curated store; replay idempotent") {
+    import graft.ops.Curation
+    implicit val sq = spark.sqlContext
+    val ccfg = Curation.Config(langs = Set("latin"), minTokens = 5,
+      maxTokens = 100, jaccardThreshold = 0.6)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "a completely different document about spark catalyst plans and shuffles here"
+    val fresh2 = "entirely new batch two prose on cuckoo filters bloom sketches and seen sets"
+    val b1 = Seq((1L, base), (2L, base), (3L, base + " " + base), (6L, other))
+    val b2 = Seq((101L, base), (102L, base + " extra"), (104L, fresh2), (105L, fresh2))
+    val b3 = Seq((201L, fresh2 + " tail"),
+      (202L, "final wholly original doc mentioning broadcast joins and aqe"))
+
+    val store = java.nio.file.Files.createTempDirectory("stream-curate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-curate-ck").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingCurate(
+      stream.toDF().toDF("doc_id", "text"), store, ckpt, ccfg)
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable()
+    stream.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+
+    // streamed survivors == one batch curate over everything ingested
+    val surv = spark.read.parquet(s"$store/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchAll = Curation.curate((b1 ++ b2 ++ b3).toDF("doc_id", "text"),
+        "doc_id", "text", ccfg)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == batchAll)
+    assert(surv == Set(1L, 6L, 104L, 202L))
+
+    // REPLAY: re-fold micro-batch 1 (same batchId) directly — a crashed
+    // attempt must not change the store (the corpus reads exclude the
+    // batch's own partition, else every doc dies as a self-duplicate)
+    StreamOps.foldCurateBatch(b2.toDF("doc_id", "text"), 1L, store, ccfg)
+    val after = spark.read.parquet(s"$store/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == surv)
+  }
+
   test("watermarked windowed fetch-rate counts per host") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[graft.model.PageRow]
