@@ -240,6 +240,34 @@ object Ann {
     centroids
   }
 
+  /** Incremental maintenance of a [[writeClustered]] layout: assign a NEW
+    * vector batch to the EXISTING centroids (no retraining, no corpus
+    * rewrite — the daily-ingest path, like [[Dedup.minhashLshPairsIncremental]]
+    * for the LSH index) and append each row to its cid partition. Searches
+    * via [[ivfTopKClustered]] see the appended vectors immediately; the
+    * coarse quantizer drifts only as much as the data does, and a periodic
+    * [[writeClustered]] rebuild re-trains it. Append-per-partition keeps
+    * the operation O(delta): only the delta shuffles (by nothing — the
+    * assignment is a map and the write is partition-append).
+    */
+  def appendClustered(
+      newVecs: DataFrame,
+      path: String,
+      centroids: Array[Array[Float]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    newVecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestProbes(cB.value, v, 1)(0), id, v) }
+      .toDF("cid", "id", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cid").parquet(path)
+  }
+
   /** IVF search over a [[writeClustered]] table: the probed-cid filter is a
     * PARTITION filter on the clustered layout, so the scan touches only the
     * union of the queries' nprobe lists (PartitionFilters in the plan —

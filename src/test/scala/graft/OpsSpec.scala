@@ -221,6 +221,20 @@ class OpsSpec extends SparkTestBase {
     assert(planStr.contains("PartitionFilters: [") &&
       planStr.contains("cid"), s"no cid partition filter in:\n${planStr.take(800)}")
     assert(pruned.collect().nonEmpty)
+
+    // incremental append: new vectors assigned to the EXISTING centroids
+    // become searchable without retraining or rewriting the corpus —
+    // exhaustive probe over the appended layout == brute force on the union
+    val newVecs = vecs.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    Ann.appendClustered(newVecs, path, centroids)
+    val after = asSet(Ann.ivfTopKClustered(spark, path, centroids, queries,
+      k = 3, nprobe = 8))
+    val bruteAll = asSet(Ann.bruteForceTopK(vecs.unionByName(newVecs), queries, k = 3))
+    assert(after == bruteAll)
+    // the appended twin of each query (same vector, id+1000) must now rank
+    // at the top for it
+    assert((0L until 6L).forall(q => after.contains((q, q + 1000L, 1))))
   }
 
   test("tokenize: deterministic vocab ranks, order-preserving encode, OOV → 0") {
