@@ -380,7 +380,11 @@ object SparkEntry {
     "tokenize_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val vocab = Tokenize.buildVocab(docs, "text", vocabSize = 30)
+      // gate projection only: the operator API stays array<int>-typed, but the
+      // driver's pandas comparator cannot hash raw arrays, so the QUERY emits
+      // the canonical space-joined string (mirrored by array_to_string in SQL)
       Tokenize.encodeWithStats(docs, "text", "doc_id", vocab)
+        .withColumn("token_ids", array_join(col("token_ids"), " "))
     }),
 
     "tokenize_chunk" -> ((s, dir) => {
@@ -390,6 +394,7 @@ object SparkEntry {
       val vocab = Tokenize.buildVocab(docs, "text", vocabSize = 30)
       val enc = Tokenize.encode(docs, "text", "doc_id", vocab)
       Tokenize.chunkForTraining(enc, "doc_id", seqLen = 16, overlap = 4, minLen = 8)
+        .withColumn("token_ids", array_join(col("token_ids"), " "))
     }),
 
     "ann_lsh_pairs" -> ((s, dir) =>
@@ -755,7 +760,7 @@ object SparkEntry {
              list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids
            FROM tok t LEFT JOIN vocab v USING (token)
            GROUP BY t.doc_id)
-         SELECT doc_id, token_ids,
+         SELECT doc_id, array_to_string(token_ids, ' ') AS token_ids,
            CAST(len(token_ids) AS INT) AS n_tokens,
            CAST(len(list_filter(token_ids, x -> x = 0)) AS INT) AS n_unk
          FROM enc""",
@@ -783,8 +788,8 @@ object SparkEntry {
            FROM enc, unnest(range(0, CASE WHEN len(token_ids) <= 16 THEN 1
              ELSE CAST(ceil((len(token_ids) - 16) / 12.0) AS BIGINT) + 1 END)) AS t(c)
            WHERE len(token_ids) > 0)
-         SELECT doc_id, chunk_idx, token_ids FROM chunks
-         WHERE len(token_ids) >= 8""",
+         SELECT doc_id, chunk_idx, array_to_string(token_ids, ' ') AS token_ids
+         FROM chunks WHERE len(token_ids) >= 8""",
 
     "url_canonicalize" ->
       """SELECT o_orderkey,
