@@ -433,21 +433,9 @@ object SparkEntry {
     // ---- scored retrieval (the reference's primary read path) ----
     "search_bm25_topk" -> ((s, dir) => {
       import s.implicits._
-      // multi-field corpus constructed deterministically from documents.text
-      // (the reference indexes question/answer/content; the synthetic table
-      // has one text column, so fields = positional token slices — identical
-      // construction in the DuckDB oracle)
-      val toks = split(col("text"), " ")
-      val docs3 = t(s, dir, "documents").select(col("doc_id"),
-        array_join(slice(toks, 1, 8), " ").as("question"),
-        array_join(slice(toks, 9, 12), " ").as("answer"),
-        array_join(slice(toks, lit(21), greatest(size(toks) - 20, lit(0))), " ")
-          .as("content"))
       val queries = Seq((1L, "spark shuffle"), (2L, "hash join table"),
         (3L, "window agg data"), (4L, "vector")).toDF("query_id", "qtext")
-      Search.bm25TopK(docs3,
-        Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
-          Search.Field("content", 2.0)),
+      Search.bm25TopK(searchDocs3(s, dir), searchFields,
         queries, k = 10, minScore = 1.0)
     }),
 
@@ -456,18 +444,41 @@ object SparkEntry {
       // the batch-search stream's summary envelope (total hits over the
       // min_score floor, yielded rows after the max_results cap, max score)
       // over the same constructed multi-field corpus as search_bm25_topk
-      val toks = split(col("text"), " ")
-      val docs3 = t(s, dir, "documents").select(col("doc_id"),
-        array_join(slice(toks, 1, 8), " ").as("question"),
-        array_join(slice(toks, 9, 12), " ").as("answer"),
-        array_join(slice(toks, lit(21), greatest(size(toks) - 20, lit(0))), " ")
-          .as("content"))
       val queries = Seq((1L, "spark shuffle"), (2L, "hash join table"),
         (3L, "window agg data"), (4L, "vector")).toDF("query_id", "qtext")
-      Search.bm25QueryStats(docs3,
-        Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
-          Search.Field("content", 2.0)),
+      Search.bm25QueryStats(searchDocs3(s, dir), searchFields,
         queries, maxResults = 5, minScore = 1.0)
+    }),
+
+    "search_bm25_phrase" -> ((s, dir) => {
+      import s.implicits._
+      // the reference's ACTUAL read shape: one match_phrase clause per
+      // (phrase, field), minimum_should_match 1, per-query min_score tier
+      // by phrase count (1 phrase → 1.5, 3 → 2.5, 6 → 2.0 — the caller's
+      // elif ordering). Two-word phrases make the consecutive-term gate
+      // observable: docs carrying both words non-adjacent score zero here
+      // but would score under bag-of-terms.
+      val phrases = Seq(
+        (1L, "hash join"),
+        (2L, "window agg"), (2L, "fast spark"), (2L, "big table"),
+        (3L, "data query"), (3L, "slow row"), (3L, "sort column"),
+        (3L, "merge batch"), (3L, "stream group"), (3L, "key scan"),
+        (4L, "vector")).toDF("query_id", "phrase")
+      Search.bm25PhraseTopK(searchDocs3(s, dir), searchFields, phrases, k = 10)
+    }),
+
+    "search_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      // persisted-stats probe: build the term-bucketed index once, then
+      // answer the SAME queries as search_bm25_topk without re-tokenizing
+      // the corpus (tf read under a tb partition filter) — same oracle
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index"
+      Search.bm25Index(searchDocs3(s, dir), searchFields, path,
+        termBuckets = 16, withText = false)
+      val queries = Seq((1L, "spark shuffle"), (2L, "hash join table"),
+        (3L, "window agg data"), (4L, "vector")).toDF("query_id", "qtext")
+      Search.bm25TopKIndexed(s, path, queries, searchFields,
+        termBuckets = 16, k = 10, minScore = 1.0)
     }),
 
     // ---- text analysis ----
@@ -489,6 +500,23 @@ object SparkEntry {
     "text_token_count" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), TextStats.tokenCountWs(col("text")).as("n_ws_tokens")))
   )
+
+  /** Multi-field search corpus constructed deterministically from
+    * documents.text (the reference indexes question/answer/content; the
+    * synthetic table has one text column, so fields = positional token
+    * slices — identical construction in the DuckDB oracles).
+    */
+  private def searchDocs3(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents").select(col("doc_id"),
+      array_join(slice(toks, 1, 8), " ").as("question"),
+      array_join(slice(toks, 9, 12), " ").as("answer"),
+      array_join(slice(toks, lit(21), greatest(size(toks) - 20, lit(0))), " ")
+        .as("content"))
+  }
+
+  private val searchFields = Seq(Search.Field("question", 5.0),
+    Search.Field("answer", 3.0), Search.Field("content", 2.0))
 
   // shared BM25 oracle CTE chain (identical corpus/query construction and
   // scoring arithmetic for every search_* oracle; DOUBLE casts keep DuckDB's
@@ -872,6 +900,83 @@ object SparkEntry {
          FROM queries q LEFT JOIN (
            SELECT query_id, count(*) AS tc, round(max(score), 6) AS ms
            FROM scored WHERE score >= 1.0 GROUP BY 1) s USING (query_id)""",
+
+    "search_bm25_indexed" ->
+      s"""$bm25ScoredCte
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM scored WHERE score >= 1.0)
+         WHERE rank <= 10""",
+
+    "search_bm25_phrase" ->
+      """WITH docs3 AS (
+           SELECT doc_id,
+             array_to_string(toks[1:8], ' ') AS question,
+             array_to_string(toks[9:20], ' ') AS answer,
+             array_to_string(toks[21:len(toks)], ' ') AS content
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         fields(field, boost) AS (VALUES ('question', CAST(5.0 AS DOUBLE)),
+           ('answer', CAST(3.0 AS DOUBLE)), ('content', CAST(2.0 AS DOUBLE))),
+         ftext AS (
+           SELECT d.doc_id, f.field,
+             trim(regexp_replace(lower(CASE f.field
+               WHEN 'question' THEN d.question
+               WHEN 'answer' THEN d.answer
+               ELSE d.content END), ' +', ' ', 'g')) AS txt
+           FROM docs3 d, fields f),
+         tok AS (SELECT doc_id, field, unnest(string_split(txt, ' ')) AS term FROM ftext),
+         tok2 AS (SELECT * FROM tok WHERE len(term) > 0),
+         tf AS (SELECT field, doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2, 3),
+         dlen AS (SELECT field, doc_id, count(*) AS dl FROM tok2 GROUP BY 1, 2),
+         stats AS (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2),
+         avgl AS (SELECT field, avg(dl) AS avgdl FROM dlen GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         phraseq(query_id, phrase) AS (VALUES (1, 'hash join'),
+           (2, 'window agg'), (2, 'fast spark'), (2, 'big table'),
+           (3, 'data query'), (3, 'slow row'), (3, 'sort column'),
+           (3, 'merge batch'), (3, 'stream group'), (3, 'key scan'),
+           (4, 'vector')),
+         phr AS (SELECT DISTINCT query_id,
+             trim(regexp_replace(lower(phrase), ' +', ' ', 'g')) AS phrase
+           FROM phraseq WHERE len(trim(phrase)) > 0),
+         pterm AS (SELECT query_id, phrase,
+             unnest(string_split(phrase, ' ')) AS term FROM phr),
+         matched AS (
+           SELECT p.query_id, p.phrase, t.field, t.doc_id
+           FROM ftext t, phr p
+           WHERE contains(' ' || t.txt || ' ', ' ' || p.phrase || ' ')),
+         ct AS (SELECT m.query_id, m.phrase, m.field, m.doc_id, p.term
+           FROM matched m JOIN pterm p
+             ON p.query_id = m.query_id AND p.phrase = m.phrase),
+         scored AS (
+           SELECT c.query_id, c.doc_id,
+             round(sum(fb.boost
+               * ln(CAST(1.0 AS DOUBLE) + (n.n - s.df + CAST(0.5 AS DOUBLE))
+                    / (s.df + CAST(0.5 AS DOUBLE)))
+               * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                     + CAST(0.75 AS DOUBLE) * dl.dl / a.avgdl))), 6) AS score
+           FROM ct c
+           JOIN tf t ON t.field = c.field AND t.doc_id = c.doc_id AND t.term = c.term
+           JOIN stats s ON s.field = c.field AND s.term = c.term
+           JOIN dlen dl ON dl.field = c.field AND dl.doc_id = c.doc_id
+           JOIN avgl a ON a.field = c.field
+           JOIN fields fb ON fb.field = c.field
+           CROSS JOIN n
+           GROUP BY 1, 2),
+         pc AS (SELECT query_id, count(*) AS np FROM phr GROUP BY 1),
+         flo AS (SELECT s.query_id, s.doc_id, s.score
+           FROM scored s JOIN pc ON pc.query_id = s.query_id
+           WHERE s.score >= CASE WHEN pc.np > 5 THEN CAST(2.0 AS DOUBLE)
+             WHEN pc.np > 2 THEN CAST(2.5 AS DOUBLE)
+             ELSE CAST(1.5 AS DOUBLE) END)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM flo)
+         WHERE rank <= 10""",
 
     "text_lang_id" ->
       """SELECT CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0

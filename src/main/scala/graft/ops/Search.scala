@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,7 +41,8 @@ object Search {
     *
     * @param docs    one row per document with `idCol` + one column per field
     * @param queries (queryIdCol, queryTextCol) — whitespace-tokenized bag
-    *                of terms (phrase positions are out of scope; the -ish)
+    *                of terms; for the reference's actual match_phrase
+    *                (consecutive-term) gate use [[bm25PhraseTopK]]
     */
   def bm25TopK(
       docs: DataFrame,
@@ -106,6 +107,17 @@ object Search {
 
   /** Shared scoring core: (qid, id, score) for every (query, doc) pair with
     * at least one matching term, score rounded to 6 decimals.
+    *
+    * Order of operations matters at 100 TB: the token stream is SEMI-JOINED
+    * against the broadcast query-term set BEFORE the tf aggregation, so the
+    * (field, id, term) hash aggregation — billions of groups corpus-wide —
+    * only ever sees rows for the handful of query terms. (Catalyst will not
+    * push a join below an aggregation on its own; aggregating the full
+    * vocabulary first and joining after keeps df values identical but
+    * shuffles the entire term space per call.) Docfreq for the surviving
+    * terms is unchanged by the restriction. The remaining corpus-wide
+    * aggregation is dlen/avgdl — per-(field, doc) lengths, which is exactly
+    * what [[bm25Index]] persists so repeated query batches pay it once.
     */
   private def bm25Scored(
       docs: DataFrame,
@@ -125,21 +137,38 @@ object Search {
         explode(split(lower(col(f.name)), " ")).as("term"))
     }.reduce(_ unionAll _).filter(length(col("term")) > 0)
 
-    val tf = tok.groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
+    val qterms = queries.select(col(queryIdCol).as("qid"),
+        explode(split(lower(col(queryTextCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+
+    // query-term-first: restrict the token stream before ANY aggregation
+    val tf = tok.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
     val dlen = tok.groupBy("field", "id").agg(count(lit(1)).as("dl"))
     val avgl = dlen.groupBy("field").agg(avg(col("dl")).as("avgdl"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
 
-    val qterms = queries.select(col(queryIdCol).as("qid"),
-        explode(split(lower(col(queryTextCol)), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-
-    // docfreq restricted to query terms before it is broadcast: the full
-    // vocabulary is corpus-sized, the query-term slice is human-sized
+    // df over the already-restricted tf — identical values, query-sized input
     val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
 
+    scoreJoined(tf, qterms, qstats, dlen, avgl, boosts, nDocs, k1, b)
+  }
+
+  /** The BM25 join+score tail shared by the direct and indexed paths:
+    * tf (restricted to query terms) × query terms × per-term df × doc
+    * lengths × field stats → (qid, id, score).
+    */
+  private def scoreJoined(
+      tf: DataFrame,
+      qterms: DataFrame,
+      qstats: DataFrame,
+      dlen: DataFrame,
+      avgl: DataFrame,
+      boosts: DataFrame,
+      nDocs: DataFrame,
+      k1: Double,
+      b: Double): DataFrame = {
     val joined = tf
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(qstats), Seq("field", "term"))
@@ -148,16 +177,249 @@ object Search {
       .join(broadcast(boosts), Seq("field"))
       .crossJoin(broadcast(nDocs))
 
-    val idf = F.log(lit(1.0) +
-      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfSat = col("tf") * lit(k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-
     joined
-      .withColumn("ts", col("boost") * idf * tfSat)
+      .withColumn("ts", col("boost") * idfCol * tfSatCol(k1, b))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("ts")).as("score_raw"))
       .withColumn("score", round(col("score_raw"), 6))
       .select(col("qid"), col("id"), col("score"))
+  }
+
+  private def idfCol: Column = F.log(lit(1.0) +
+    (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+
+  private def tfSatCol(k1: Double, b: Double): Column =
+    col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+  // ==================== phrase-aware retrieval ====================
+
+  /** Whitespace-canonical view of a text column: lowered, runs of spaces
+    * collapsed, trimmed — so token adjacency in the tokenized view equals
+    * substring containment of one canonical phrase inside the canonical
+    * field (` a b ` ⊂ ` ... a b ... `). DuckDB twin:
+    * `trim(regexp_replace(lower(x), ' +', ' ', 'g'))`.
+    */
+  private def canonText(c: Column): Column =
+    trim(regexp_replace(lower(c), " +", " "))
+
+  /** The reference caller's per-query min_score tier by phrase count
+    * (/root/reference/src/html_converter.py:431-437): base 1.5, `> 5`
+    * phrases → 2.0, `elif > 2` → 2.5. The elif ordering means 3-5 phrases
+    * get the HIGHEST floor — reproduced faithfully, oddity and all.
+    */
+  def phraseMinScore(nPhrases: Long): Double =
+    if (nPhrases > 5) 2.0 else if (nPhrases > 2) 2.5 else 1.5
+
+  private def phraseMinScoreCol(np: Column): Column =
+    when(np > 5, lit(2.0)).when(np > 2, lit(2.5)).otherwise(lit(1.5))
+
+  /** Phrase-gated BM25 top-k — the reference's actual read path: an ES
+    * bool/should of one `match_phrase` clause per (phrase, field) with
+    * `minimum_should_match: 1` (elasticsearch_service.py:400-437). A clause
+    * contributes ONLY if the phrase's terms appear consecutively in that
+    * field; a doc surfaces only if at least one clause matched. Clause
+    * score here is the boost-weighted BM25 sum over the phrase's term
+    * occurrences (deterministic, SQL-expressible — Lucene's sloppy
+    * phrase-freq is opaque); doc score = Σ matched clauses, matching the
+    * bool/should sum.
+    *
+    * `phraseQueries` is long-format: one row per (query_id, phrase).
+    * When `minScore` is None, each query gets the reference caller's
+    * phrase-count tier ([[phraseMinScore]]); pass Some(x) to override.
+    *
+    * Scale shape: the phrase gate is evaluated AT THE CORPUS SCAN as a
+    * broadcast nested-loop (phrases are human-sized) — one `contains` per
+    * (row, field, phrase), no shuffle, emitting only matched clause keys.
+    * The token stream is query-term-restricted before aggregation exactly
+    * as in [[bm25Scored]]; only matched clauses reach the score joins.
+    */
+  def bm25PhraseTopK(
+      docs: DataFrame,
+      fields: Seq[Field],
+      phraseQueries: DataFrame,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      phraseCol: String = "phrase",
+      k: Int = 10,
+      minScore: Option[Double] = None,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val phrases = phraseQueries
+      .select(col(queryIdCol).as("qid"), canonText(col(phraseCol)).as("phrase"))
+      .filter(length(col("phrase")) > 0)
+      .distinct()
+
+    // canonical per-field long view — both the gate and the tokenizer read it
+    val fieldsLong = fields.map { f =>
+      docs.select(col(idCol).as("id"), lit(f.name).as("field"),
+        canonText(col(f.name)).as("txt"))
+    }.reduce(_ unionAll _)
+
+    // match_phrase gate: consecutive-term containment, broadcast to the scan
+    val matched = fieldsLong
+      .crossJoin(broadcast(phrases))
+      .filter(F.contains(concat(lit(" "), col("txt"), lit(" ")),
+        concat(lit(" "), col("phrase"), lit(" "))))
+      .select(col("qid"), col("phrase"), col("field"), col("id"))
+
+    val pterms = phrases
+      .select(col("qid"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+
+    val tok = fieldsLong
+      .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+
+    val tf = tok.join(broadcast(pterms.select("term").distinct()), Seq("term"))
+      .groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
+    val dlen = tok.groupBy("field", "id").agg(count(lit(1)).as("dl"))
+    val avgl = dlen.groupBy("field").agg(avg(col("dl")).as("avgdl"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
+    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+
+    // matched clause × its phrase's term occurrences → scoreable rows;
+    // a gated clause implies tf >= 1 for every term, so the inner joins
+    // drop nothing
+    val clauseTerms = matched.join(broadcast(pterms), Seq("qid", "phrase"))
+
+    val joined = clauseTerms
+      .join(tf, Seq("field", "id", "term"))
+      .join(broadcast(qstats), Seq("field", "term"))
+      .join(dlen, Seq("field", "id"))
+      .join(broadcast(avgl), Seq("field"))
+      .join(broadcast(boosts), Seq("field"))
+      .crossJoin(broadcast(nDocs))
+
+    // clause score and doc score are both additive over these rows
+    val scored = joined
+      .withColumn("ts", col("boost") * idfCol * tfSatCol(k1, b))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("ts")).as("score_raw"))
+      .withColumn("score", round(col("score_raw"), 6))
+      .select(col("qid"), col("id"), col("score"))
+
+    val floored = minScore match {
+      case Some(m) => scored.filter(col("score") >= m)
+      case None =>
+        val pcount = phrases.groupBy("qid").agg(count(lit(1)).as("np"))
+        scored.join(broadcast(pcount), Seq("qid"))
+          .filter(col("score") >= phraseMinScoreCol(col("np")))
+          .drop("np")
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    floored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryIdCol), col("id").as(idCol),
+        col("score"), col("rank"))
+  }
+
+  // ==================== persisted statistics index ====================
+
+  /** One-pass persisted BM25 statistics artifact (the `lshBandIndex`
+    * pattern): repeated query batches stop re-tokenizing the corpus.
+    * Layout under `path`:
+    *   - `tf/` — (field, id, term, tf) PARTITIONED BY tb =
+    *     pmod(xxhash64(term), termBuckets): a query's terms map to a known
+    *     bucket set, so the probe reads only those partitions
+    *     (PartitionFilters — the IVF-clustered trick applied to an
+    *     inverted index; at 100 TB the probe touches termBuckets⁻¹ of it)
+    *   - `dlen/` — (field, id, dl) per-doc lengths, plus the canonical
+    *     field text when `withText` (enables indexed phrase verification)
+    *   - `meta/` — one row per field: (field, avgdl, n)
+    */
+  def bm25Index(
+      docs: DataFrame,
+      fields: Seq[Field],
+      path: String,
+      idCol: String = "doc_id",
+      termBuckets: Int = 64,
+      withText: Boolean = true): Unit = {
+    val fieldsLong = fields.map { f =>
+      docs.select(col(idCol).as("id"), lit(f.name).as("field"),
+        canonText(col(f.name)).as("txt"))
+    }.reduce(_ unionAll _)
+    val tok = fieldsLong
+      .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    tok.groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/tf")
+    val dlenCols =
+      if (withText) Seq(col("field"), col("id"), col("dl"), col("txt"))
+      else Seq(col("field"), col("id"), col("dl"))
+    // dl = 0 rows (a doc whose field is empty — e.g. short docs with no
+    // content tail) are DROPPED: the tokenize path has no dlen row for an
+    // empty field, and keeping zeros here would deflate avgdl vs the
+    // direct path (observed: every indexed score off by ~0.3%)
+    fieldsLong
+      .withColumn("dl",
+        size(filter(split(col("txt"), " "), t => length(t) > 0)))
+      .filter(col("dl") > 0)
+      .select(dlenCols: _*)
+      .write.mode("overwrite").parquet(s"$path/dlen")
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    spark.read.parquet(s"$path/dlen")
+      .groupBy("field").agg(avg(col("dl")).as("avgdl"))
+      .withColumn("n", lit(nDocs))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Indexed probe: identical results to [[bm25TopK]] over the same docs /
+    * fields (boosts are query-time), but the corpus is never re-tokenized —
+    * tf is read with a `tb` PARTITION filter covering only the query
+    * terms' buckets, df aggregates that pruned slice (all rows for a term
+    * live in its one bucket, so df is exact), and dlen/meta are plain
+    * reads. The only per-call corpus-shaped work is the candidate × dlen
+    * join on (field, id).
+    */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      fields: Seq[Field],
+      termBuckets: Int = 64,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext",
+      k: Int = 10,
+      minScore: Double = 0.0,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qterms = queries.select(col(queryIdCol).as("qid"),
+        explode(split(lower(col(queryTextCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    // the probed bucket set is |query terms| ints — driver-side by design
+    // (it must become a partition-pruning predicate, like IVF's cids)
+    val buckets = qterms.select(
+        pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tf = spark.read.parquet(s"$indexPath/tf")
+      .filter(col("tb").isin(buckets: _*))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dlen = spark.read.parquet(s"$indexPath/dlen")
+      .select("field", "id", "dl")
+    val meta = spark.read.parquet(s"$indexPath/meta")
+    val avgl = meta.select("field", "avgdl")
+    val nDocs = meta.select(col("n")).limit(1)
+    val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
+    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+
+    val scored = scoreJoined(tf, qterms, qstats, dlen, avgl, boosts, nDocs, k1, b)
+      .filter(col("score") >= minScore)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryIdCol), col("id").as(idCol),
+        col("score"), col("rank"))
   }
 }

@@ -395,6 +395,82 @@ class OpsSpec extends SparkTestBase {
     assert(stats(1L)._3.contains(top))
   }
 
+  test("bm25 phrase retrieval: consecutive-term gate, should-sum, min_score tiers") {
+    import graft.ops.Search
+    val fields = Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
+      Search.Field("content", 2.0))
+    // docs 2 and 5 carry both terms non-adjacently (one per field) so the
+    // per-field df — hence idf — is equal across question/answer and the
+    // boost alone decides the ranking between docs 1 and 3
+    val docs = Seq(
+      (1L, "hash join fast", "x y", "z"), // phrase adjacent in question
+      (2L, "hash fast join", "x y", "z"), // both terms, NON-adjacent → gated out
+      (3L, "x y", "hash join", "z"),      // adjacent in answer (lower boost)
+      (4L, "x y", "a b", "w"),            // no terms
+      (5L, "x", "join near hash", "z")    // non-adjacent in answer → gated out
+    ).toDF("doc_id", "question", "answer", "content")
+    val phrases = Seq((1L, "hash join")).toDF("query_id", "phrase")
+    val out = Search.bm25PhraseTopK(docs, fields, phrases, k = 10,
+        minScore = Some(0.0))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    // the match_phrase gate: doc 2 has both terms but never consecutively
+    assert(out.keySet == Set(1L, 3L), s"gate failed: ${out.keySet}")
+    assert(out(1L)._1 == 1 && out(3L)._1 == 2, "question boost must outrank answer")
+    // ...whereas bag-of-terms scoring WOULD admit doc 2 — the observable
+    // difference between match_phrase and the old -ish
+    val bag = Search.bm25TopK(docs, fields,
+        Seq((1L, "hash join")).toDF("query_id", "qtext"), k = 10, minScore = 0.0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(bag.contains(2L))
+
+    // minimum_should_match 1: one matched clause of several suffices, and a
+    // doc matching two phrases outscores the same doc shape matching one
+    val docs2 = Seq(
+      (1L, "alpha beta", "gamma delta", "z"),
+      (2L, "alpha beta", "q r", "z"),
+      (3L, "no match here", "q r", "z")
+    ).toDF("doc_id", "question", "answer", "content")
+    val phrases2 = Seq((7L, "alpha beta"), (7L, "gamma delta"))
+      .toDF("query_id", "phrase")
+    val out2 = Search.bm25PhraseTopK(docs2, fields, phrases2, k = 10,
+        minScore = Some(0.0))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out2.keySet == Set(1L, 2L))
+    assert(out2(1L) > out2(2L), "two matched clauses must sum above one")
+
+    // the reference caller's tier table (elif ordering: 3-5 phrases get the
+    // HIGHEST floor — html_converter.py:431-437, reproduced faithfully)
+    assert(Search.phraseMinScore(1) == 1.5 && Search.phraseMinScore(2) == 1.5)
+    assert(Search.phraseMinScore(3) == 2.5 && Search.phraseMinScore(5) == 2.5)
+    assert(Search.phraseMinScore(6) == 2.0)
+  }
+
+  test("bm25 indexed probe == direct path; tf scan carries a tb partition filter") {
+    import graft.ops.Search
+    val fields = Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
+      Search.Field("content", 2.0))
+    val docs = (0L until 60L).map { i =>
+      (i, s"w${i % 7} hash join w${i % 5}", s"w${i % 3} spark", s"tail w${i % 11} x")
+    }.toDF("doc_id", "question", "answer", "content")
+    val queries = Seq((1L, "hash join"), (2L, "spark w2"))
+      .toDF("query_id", "qtext")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    Search.bm25Index(docs, fields, path, termBuckets = 8, withText = false)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    val direct = asSet(Search.bm25TopK(docs, fields, queries, k = 5, minScore = 0.0))
+    val indexed = Search.bm25TopKIndexed(spark, path, queries, fields,
+      termBuckets = 8, k = 5, minScore = 0.0)
+    assert(asSet(indexed) == direct)
+    // the probe must NOT read the whole inverted index: the tf scan carries
+    // a tb PARTITION filter covering only the query terms' buckets
+    val planStr = indexed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") && planStr.contains("tb"),
+      s"no tb partition filter in:\n${planStr.take(800)}")
+  }
+
   test("multimodal plumbing: deterministic stub features, exact schema") {
     val media = Multimodal.withFakePayload(docs.select($"doc_id"))
     val feats = Multimodal.extractFeatures(spark, media).cache()
