@@ -26,18 +26,34 @@ object Tokenize {
   /** Top-`vocabSize` whitespace tokens as (token, token_id, n_occurrences),
     * ids 1..vocabSize assigned by (count desc, token asc) — fully
     * deterministic, so two runs (or two engines) agree exactly.
+    *
+    * The global rank is a partitionless window — one task — so it must
+    * never see the raw distinct-token table (billions of rows at web
+    * scale). Two exact pre-prunes bound its input:
+    *  - `minCount` drops the long tail before any ranking (default 1 =
+    *    keep all, the oracle configuration);
+    *  - a per-hash-partition rank keeps ≤ `vocabSize` candidates from each
+    *    of `prePartitions` hash groups — the global top-N is necessarily
+    *    in the top-N of its own partition, so at most
+    *    prePartitions·vocabSize rows reach the single-task window.
     */
-  def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+  def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int,
+      minCount: Long = 1L, prePartitions: Int = 64): DataFrame = {
     val counts = docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+    val wp = Window.partitionBy(col("__vpart"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+    val pruned = counts
+      .withColumn("__vpart", pmod(xxhash64(col("token")), lit(prePartitions.toLong)))
+      .withColumn("__prank", row_number().over(wp))
+      .filter(col("__prank") <= vocabSize)
+      .drop("__vpart", "__prank")
     val w = Window.orderBy(col("n_occurrences").desc, col("token"))
-    // the rank window runs over vocab candidates, not the corpus: at scale
-    // pre-filter with an approximate threshold before the single-partition
-    // window (count >= min keeps the window input human-scale)
-    counts
+    pruned
       .withColumn("token_id", row_number().over(w))
       .filter(col("token_id") <= vocabSize)
       .select(col("token"), col("token_id"), col("n_occurrences"))

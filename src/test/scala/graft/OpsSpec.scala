@@ -259,6 +259,39 @@ class OpsSpec extends SparkTestBase {
     assert(!enc.contains(3L)) // token-free doc encodes to no row
   }
 
+  test("vocab build: partition pre-prune bounds the global window; minCount prefilters") {
+    import graft.ops.Tokenize
+    // 200 distinct tokens with distinct counts — the exact top-10 must
+    // survive the per-partition prune no matter how tokens hash
+    val docs = (1 to 200).flatMap(i => Seq.fill(i)(s"t$i")).grouped(50)
+      .zipWithIndex.map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val expected = (200 to 191 by -1).zipWithIndex
+      .map { case (c, r) => (s"t$c", r + 1, c.toLong) }.toSet
+    val got = Tokenize.buildVocab(docs, "text", vocabSize = 10, prePartitions = 4)
+    assert(got.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2))).toSet == expected)
+
+    // plan shape: the partitionless (global) rank window must NOT consume
+    // the raw token aggregation — a per-partition window + rank filter sit
+    // between them, so the single task sees ≤ prePartitions·vocabSize rows
+    val planStr = got.queryExecution.executedPlan.toString
+    val windows = planStr.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("__vpart")),
+      s"no partitioned pre-prune window in plan:\n${planStr.take(1200)}")
+    val globalIdx = planStr.indexOf("windowspecdefinition(n_occurrences")
+    val partIdx = planStr.indexOf("__vpart")
+    assert(globalIdx >= 0 && partIdx > globalIdx,
+      "pre-prune window must feed the global window (appear below it in the plan)")
+
+    // minCount drops the tail before any ranking (ids still dense from 1)
+    val floored = Tokenize.buildVocab(docs, "text", vocabSize = 10,
+        minCount = 195L, prePartitions = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(floored == Set(("t200", 1), ("t199", 2), ("t198", 3),
+      ("t197", 4), ("t196", 5), ("t195", 6)))
+  }
+
   test("embedding near-dup: planted identical vectors are exactly recovered") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => ((Sketches.mix(i * 977L + d) >>> 16) % 1000L) / 500.0f - 1.0f))
