@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.Extractor
-import graft.ops.{Ann, Curation, Dedup, Search, TextStats, Tokenize}
+import graft.ops.{Ann, Curation, Dedup, Multimodal, Search, TextStats, Tokenize}
 import graft.text.JalaliDate
 import graft.url.Urls
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -479,6 +479,25 @@ object SparkEntry {
         (3L, "window agg data"), (4L, "vector")).toDF("query_id", "qtext")
       Search.bm25TopKIndexed(s, path, queries, searchFields,
         termBuckets = 16, k = 10, minScore = 1.0)
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      // SQL-expressible media fixture (doc_id-arithmetic metadata, sha256
+      // payload — DuckDB reproduces every column exactly) so the operator
+      // under oracle is sampleFrames' declarative posexplode(sequence):
+      // durations are 700ms multiples, covering both the non-multiple case
+      // and the exact-multiple EOF boundary (no frame AT t = duration)
+      val media = t(s, dir, "documents").select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        sha2(concat(col("doc_id").cast("string"), lit("-payload")), 256)
+          .cast("binary").as("payload"),
+        when(pmod(col("doc_id"), lit(3)) === 2,
+          (pmod(col("doc_id"), lit(20)) + 1) * 700L)
+          .otherwise(lit(0L)).as("duration_ms"))
+      Multimodal.sampleFrames(media, everyMs = 1000L)
+        .select(col("doc_id"), col("frame_idx"), col("frame_ts_ms"),
+          col("frame_payload").cast("string").as("frame_payload"))
     }),
 
     // ---- text analysis ----
@@ -977,6 +996,24 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
            FROM flo)
          WHERE rank <= 10""",
+
+    "multimodal_frames" ->
+      """WITH media AS (
+           SELECT doc_id,
+             sha256(CAST(doc_id AS VARCHAR) || '-payload') AS payload,
+             CASE WHEN doc_id % 3 = 2 THEN (doc_id % 20 + 1) * 700 ELSE 0 END
+               AS duration_ms
+           FROM documents
+           WHERE doc_id % 3 = 2),
+         frames AS (
+           SELECT doc_id, payload, CAST(t.f AS INT) AS frame_idx
+           FROM media,
+             unnest(range(0, CAST(floor((duration_ms - 1) / 1000.0) AS BIGINT) + 1)) AS t(f)
+           WHERE duration_ms > 0)
+         SELECT doc_id, frame_idx,
+           CAST(frame_idx AS BIGINT) * 1000 AS frame_ts_ms,
+           sha256(payload || CAST(frame_idx AS VARCHAR)) AS frame_payload
+         FROM frames""",
 
     "text_lang_id" ->
       """SELECT CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0
