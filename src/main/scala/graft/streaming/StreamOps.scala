@@ -135,25 +135,110 @@ object StreamOps {
     * batch against its own half-committed rows would kill every doc as a
     * self-duplicate on retry. Caller contract: ids ascend across batches
     * (ingest order), as in [[graft.ops.Curation.curateDelta]].
+    *
+    * With `compactThreshold` > 0, once that many live batch partitions
+    * accumulate they are folded into one `compact_<N>` generation per
+    * sub-table and swept — bounding the per-batch listing + multi-path
+    * read that otherwise grows with stream age (a 10^4-batch stream
+    * re-creates the small-files pathology the crawl store's seen-part
+    * compaction fixed). The base partitions persist `content_hash`, so
+    * the next delta's exact-dup anti-join column-prunes to 32-byte rows.
+    * Readers must go through [[readCuratedSurvivors]] (newest-generation
+    * rule), not a raw directory read.
     */
+  private val CompactPrefix = "compact_"
+
+  /** Highest compaction generation present under `path` (-1 if none). */
+  private def maxCompactGen(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(CompactPrefix))
+      .map(_.stripPrefix(CompactPrefix).toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The LIVE part directories of one store sub-table: the newest
+    * `compact_C` dir (if any) plus every `batch_id=M` with M > C. Stale
+    * batch dirs (M ≤ C — already folded, or rewritten by a post-compaction
+    * replay) and superseded compact generations are IGNORED by readers and
+    * swept opportunistically — the same ignore-then-GC discipline as the
+    * crawl store's seen-part compaction (FrontierCrawl).
+    */
+  private def livePaths(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      excludeBatchId: Long = Long.MinValue): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return Seq.empty
+    val gen = maxCompactGen(fs, path)
+    val names = fs.listStatus(p).toSeq.map(_.getPath)
+    val compacted = names.filter(_.getName == s"$CompactPrefix$gen")
+    val batches = names
+      .filter(_.getName.startsWith("batch_id="))
+      .filter { q =>
+        val id = q.getName.stripPrefix("batch_id=").toLong
+        id > gen && id != excludeBatchId
+      }
+    (compacted ++ batches).map(_.toString)
+  }
+
+  /** Read the curated store's current survivor set (the streaming twin of
+    * `Curation.curate`'s return value) — compaction-aware: a plain
+    * `read.parquet(dir)` would also pick up folded/stale partitions.
+    */
+  def readCuratedSurvivors(spark: SparkSession, storeDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(livePaths(fs, s"$storeDir/survivors"): _*)
+  }
+
+  /** Fold the store's live partitions into one `compact_<batchId>` dir per
+    * sub-table, then sweep superseded parts. Crash-safe without a
+    * manifest: the compacted dir is written to a temp path and RENAMED
+    * into place (atomic on local/HDFS), readers resolve strictly by the
+    * newest-generation rule, so a crash between rename and sweep only
+    * leaves ignored directories behind.
+    */
+  private def compactStore(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    Seq("base", "index", "survivors").foreach { sub =>
+      val root = s"$storeDir/$sub"
+      val live = livePaths(fs, root)
+      if (live.nonEmpty) {
+        val tmp = new Path(s"$root/_tmp_$CompactPrefix$batchId")
+        fs.delete(tmp, true)
+        spark.read.parquet(live: _*).write.parquet(tmp.toString)
+        val dst = new Path(s"$root/$CompactPrefix$batchId")
+        fs.delete(dst, true)
+        require(fs.rename(tmp, dst), s"compaction rename failed for $dst")
+        // sweep: every batch dir ≤ the new generation and every older
+        // compact generation is now unreferenced
+        fs.listStatus(new Path(root)).foreach { st =>
+          val n = st.getPath.getName
+          val stale =
+            (n.startsWith("batch_id=") &&
+              n.stripPrefix("batch_id=").toLong <= batchId) ||
+            (n.startsWith(CompactPrefix) && n != s"$CompactPrefix$batchId" &&
+              !n.startsWith("_"))
+          if (stale) fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
   def foldCurateBatch(batch: DataFrame, batchId: Long, storeDir: String,
       cfg: graft.ops.Curation.Config,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      compactThreshold: Int = 0): Unit = {
     import graft.ops.{Curation, Dedup}
     val spark = batch.sparkSession
     val (basePath, idxPath, outPath) =
       (s"$storeDir/base", s"$storeDir/index", s"$storeDir/survivors")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
-    def priorPartitions(path: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("batch_id="))
-        .filterNot(_.getName == s"batch_id=$batchId")
-        .map(_.toString)
-    }
-    val priorBase = priorPartitions(basePath)
+    val priorBase = livePaths(fs, basePath, excludeBatchId = batchId)
     val (survivors, baseAppend) =
       if (priorBase.isEmpty) {
         // first batch: plain batch curation; base = the batch's dedupBase
@@ -162,16 +247,24 @@ object StreamOps {
         (Curation.curate(batch, idCol, textCol, cfg), base)
       } else {
         val corpusExact = spark.read.parquet(priorBase: _*)
-        val index = spark.read.parquet(priorPartitions(idxPath): _*)
+        val index = spark.read.parquet(livePaths(fs, idxPath, batchId): _*)
           .select(col("band"), col("band_hash"), col("id"))
         Curation.curateDeltaWithBase(corpusExact, index, batch,
           idCol, textCol, cfg)
       }
-    baseAppend.write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+    // the base persists content_hash so the NEXT delta's exact-dup check
+    // column-prunes to 32-byte rows instead of re-hashing corpus text
+    baseAppend.withColumn("content_hash", md5(col(textCol)))
+      .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
     Dedup.lshBandIndex(baseAppend, textCol, idCol, cfg.minhashHashes,
         cfg.minhashBands, cfg.shingleSize)
       .write.mode("overwrite").parquet(s"$idxPath/batch_id=$batchId")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    // bound the partition count: without folding, a 10^4-batch stream pays
+    // a 10^4-dir listing + multi-path read per micro-batch
+    if (compactThreshold > 0 &&
+        livePaths(fs, basePath).count(_.contains("batch_id=")) >= compactThreshold)
+      compactStore(spark, fs, storeDir, batchId)
   }
 
   /** Streaming incremental curation: bind [[foldCurateBatch]] to a live
@@ -183,13 +276,15 @@ object StreamOps {
     */
   def streamingCurate(docs: DataFrame, storeDir: String, checkpointDir: String,
       cfg: graft.ops.Curation.Config,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      compactThreshold: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldCurateBatch(batch, batchId, storeDir, cfg, idCol, textCol)
+        foldCurateBatch(batch, batchId, storeDir, cfg, idCol, textCol,
+          compactThreshold)
       }
       .start()
 }

@@ -66,7 +66,7 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
 
     // streamed survivors == one batch curate over everything ingested
-    val surv = spark.read.parquet(s"$store/survivors")
+    val surv = StreamOps.readCuratedSurvivors(spark, store)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val batchAll = Curation.curate((b1 ++ b2 ++ b3).toDF("doc_id", "text"),
         "doc_id", "text", ccfg)
@@ -74,13 +74,65 @@ class StreamingSpec extends SparkTestBase {
     assert(surv == batchAll)
     assert(surv == Set(1L, 6L, 104L, 202L))
 
+    // the persisted base must carry content_hash so the next delta's
+    // exact-dup check column-prunes instead of re-hashing corpus text
+    assert(spark.read.parquet(s"$store/base/batch_id=0")
+      .columns.contains("content_hash"))
+
     // REPLAY: re-fold micro-batch 1 (same batchId) directly — a crashed
     // attempt must not change the store (the corpus reads exclude the
     // batch's own partition, else every doc dies as a self-duplicate)
     StreamOps.foldCurateBatch(b2.toDF("doc_id", "text"), 1L, store, ccfg)
-    val after = spark.read.parquet(s"$store/survivors")
+    val after = StreamOps.readCuratedSurvivors(spark, store)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(after == surv)
+
+    // ---- compaction: identical fold results, bounded partition count ----
+    def dirNames(root: String): Set[String] = {
+      val d = new java.io.File(root)
+      if (!d.exists) Set.empty else d.listFiles.map(_.getName).toSet
+    }
+    val store2 = java.nio.file.Files.createTempDirectory("stream-curate-c").toString
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      StreamOps.foldCurateBatch(b.toDF("doc_id", "text"), i.toLong, store2,
+        ccfg, compactThreshold = 2)
+    }
+    val survC = StreamOps.readCuratedSurvivors(spark, store2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survC == surv, "compaction must not change the fold results")
+    // base/index contents across the compaction boundary == uncompacted
+    def baseIds(s: String) = {
+      val fsroot = s"$s/base"
+      val live = dirNames(fsroot).filter(n =>
+        n.startsWith("compact_") || n.startsWith("batch_id="))
+        .map(n => s"$fsroot/$n").toSeq
+      spark.read.parquet(live: _*).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    // (store1 has only batch dirs; store2's newest compact dir + live
+    // batch dirs must reproduce the same base row set)
+    val live2 = {
+      val names = dirNames(s"$store2/base")
+      val gen = names.filter(_.startsWith("compact_"))
+        .map(_.stripPrefix("compact_").toLong).max
+      names.filter(n => n == s"compact_$gen" ||
+        (n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong > gen))
+        .map(n => s"$store2/base/$n").toSeq
+    }
+    assert(spark.read.parquet(live2: _*).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == baseIds(store))
+    // partition count is bounded: folded batch dirs were swept
+    val baseDirs2 = dirNames(s"$store2/base")
+    assert(baseDirs2.count(_.startsWith("batch_id=")) < 3,
+      s"folded batch dirs must be swept: $baseDirs2")
+    assert(baseDirs2.count(_.startsWith("compact_")) == 1)
+
+    // replay ACROSS the compaction boundary: re-fold an already-compacted
+    // batch id — readers ignore the stale dir, results unchanged
+    StreamOps.foldCurateBatch(b2.toDF("doc_id", "text"), 1L, store2, ccfg,
+      compactThreshold = 2)
+    assert(StreamOps.readCuratedSurvivors(spark, store2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == surv)
   }
 
   test("watermarked windowed fetch-rate counts per host") {
