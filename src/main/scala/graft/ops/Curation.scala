@@ -64,6 +64,46 @@ object Curation {
     else filtered
   }
 
+  /** Persist a [[dedupBase]] artifact BUCKETED by `idCol` (with
+    * `content_hash` alongside — the at-rest form both residual corpus
+    * reads of [[curateDelta]] want): the near-dup verification's
+    * candidate-id semi-join hits the bucket layout and the corpus side
+    * never exchanges (only the candidate-id side shuffles, to the bucket
+    * count), and the exact-dup check column-prunes to the 32-byte hash.
+    * The parquet-bucketed stand-in for an Iceberg bucket partitioning,
+    * like [[graft.sources.PagesTable]] for the fetch join.
+    */
+  def writeDedupBaseBucketed(spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, name: String, path: String, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val withHash =
+      if (base.columns.contains("content_hash")) base
+      else base.withColumn("content_hash", md5(col(textCol)))
+    withHash.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, idCol).sortBy(idCol).saveAsTable(name)
+  }
+
+  /** Re-attach a [[writeDedupBaseBucketed]] table in a fresh session via
+    * external DDL (the bucket spec travels with the DDL, so the planner
+    * still elides the corpus-side exchange — the cross-job equivalent of
+    * an Iceberg catalog load). Pass the returned frame as `corpusExact`
+    * to [[curateDelta]].
+    */
+  def bindDedupBase(spark: org.apache.spark.sql.SparkSession, name: String,
+      path: String, buckets: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (
+         |  $idCol BIGINT, $textCol STRING, lang STRING, n_tokens INT,
+         |  content_hash STRING)
+         |USING parquet
+         |CLUSTERED BY ($idCol) SORTED BY ($idCol) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.table(name)
+  }
+
   /** Returns the curated corpus: (idCol, textCol, lang, n_tokens) for every
     * surviving document — tokenizer-ready (the curated TEXT rides along;
     * the consumer a curation pipeline always has next is tokenization, so

@@ -363,6 +363,62 @@ class OpsSpec extends SparkTestBase {
     assert(batch == old ++ deltaRows)
   }
 
+  test("bucketed dedup base: curateDelta parity; corpus-side candidate join exchange-free") {
+    import graft.ops.Curation
+    val cfg = Curation.Config(langs = Set("latin"), minTokens = 5, maxTokens = 100,
+      jaccardThreshold = 0.6)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "a completely different document about spark catalyst plans and shuffles here"
+    val corpus = Seq((1L, base), (2L, base), (3L, base + " " + base), (6L, other))
+      .toDF("doc_id", "text")
+    val fresh = "entirely new delta prose on cuckoo filters bloom sketches and seen sets"
+    val delta = Seq((101L, base), (102L, base + " extra"), (104L, fresh), (105L, fresh))
+      .toDF("doc_id", "text")
+    val corpusExact = Curation.dedupBase(corpus, "doc_id", "text", cfg)
+      .localCheckpoint(true)
+    val index = graft.ops.Dedup.lshBandIndex(corpusExact, "text", "doc_id",
+      cfg.minhashHashes, cfg.minhashBands, cfg.shingleSize).localCheckpoint(true)
+    val path = java.nio.file.Files.createTempDirectory("graft-dedup-base").toString
+    Curation.writeDedupBaseBucketed(spark, corpusExact, "dedup_base_b", path, buckets = 8)
+    try {
+      val bound = Curation.bindDedupBase(spark, "dedup_base_b", path, buckets = 8)
+      assert(bound.columns.contains("content_hash"),
+        "bucketed base must persist the hash column (32-byte exact-dup scan)")
+      // parity: the at-rest layout must not change the fold's results
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getLong(0)).toSet
+      val viaBucketed = ids(Curation.curateDelta(bound, index, delta,
+        "doc_id", "text", cfg))
+      val viaPlain = ids(Curation.curateDelta(corpusExact, index, delta,
+        "doc_id", "text", cfg))
+      assert(viaBucketed == viaPlain && viaBucketed == Set(104L))
+
+      // the candidate-text semi-join exactly as minhashLshPairsIncremental
+      // builds it (cast-alias then left_semi on id): under forced SMJ the
+      // bucketed corpus side must NOT exchange — only the candidate-id side
+      val candIds = Seq(1L, 3L, 6L).toDF("id")
+      def semiJoin(c: org.apache.spark.sql.DataFrame) = c
+        .select(col("doc_id").cast("long").as("id"), col("text").as("t"))
+        .join(candIds, Seq("id"), "left_semi")
+      def planOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      def exchanges(p: String) = """\(\d+\) Exchange""".r.findAllIn(p).size
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val bucketedPlan = planOf(semiJoin(bound))
+        val plainPlan = planOf(semiJoin(spark.read.parquet(path)))
+        assert(bucketedPlan.contains("Bucketed: true"),
+          s"corpus scan not bucketed:\n$bucketedPlan")
+        assert(exchanges(plainPlan) == 2,
+          s"plain semi-join should shuffle both sides:\n$plainPlan")
+        assert(exchanges(bucketedPlan) == 1,
+          s"bucketed corpus side must not exchange:\n$bucketedPlan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS dedup_base_b")
+  }
+
   test("bm25 retrieval: field boosts rank question > answer > content; min_score floors") {
     import graft.ops.Search
     val fields = Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
