@@ -376,18 +376,32 @@ ${drainRows.map(r => f"         || ${r.details} details | ${r.urls} | ${r.rounds
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     // hand-written sections (A2/B2/B3/C2 operator-isolation and bandwidth
-    // analyses) must survive regeneration. STRUCTURAL carry-over: any `## `
-    // section of the existing file whose heading the freshly generated
-    // template does not produce is preserved verbatim — no naming
-    // convention to forget (a keyword filter re-created the silent-loss bug
-    // for the first differently-titled section)
+    // analyses) must survive regeneration. Carry-over rule: a section with
+    // the explicit addendum MARKER is always preserved; an UNMARKED section
+    // whose heading the fresh template doesn't emit is preserved once with
+    // the marker injected AND a warning printed — so a reworded generated
+    // heading cannot silently accumulate its old section as a zombie (the
+    // warning names it for deletion), while genuine hand-written addenda
+    // become self-identifying after one regeneration.
+    val marker = "<!-- addendum: hand-written, preserved across regeneration -->"
     val generatedHeads = md.linesIterator.filter(_.startsWith("## ")).toSet
     val addenda = {
       val p = Paths.get("BENCH/BASELINE.md")
       if (!Files.exists(p)) Seq.empty[String]
-      else Files.readString(p).split("(?m)^(?=## )").toSeq.filter(
-        _.linesIterator.nextOption().exists(h =>
+      else Files.readString(p).split("(?m)^(?=## )").toSeq
+        .filter(_.linesIterator.nextOption().exists(h =>
           h.startsWith("## ") && !generatedHeads.contains(h)))
+        .map { sec =>
+          if (sec.contains(marker)) sec
+          else {
+            val head = sec.linesIterator.nextOption().getOrElse("")
+            System.err.println(s"[scalingbench] preserving UNMARKED section " +
+              s"'$head' as addendum — if this is a stale generated section " +
+              "(heading reworded), delete it from BENCH/BASELINE.md")
+            sec.replaceFirst("(?m)^(## .*)$", "$1\n" +
+              java.util.regex.Matcher.quoteReplacement(marker))
+          }
+        }
     }
     Files.writeString(Paths.get("BENCH/BASELINE.md"),
       md + addenda.map("\n" + _).mkString)

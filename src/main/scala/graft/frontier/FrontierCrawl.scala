@@ -57,8 +57,13 @@ object FrontierCrawl {
         val st = store.get
         val parts = snap.tables.getOrElse("seen_parts", "").split(";").filter(_.nonEmpty)
         // a crash between a compacting commit's publish and its gc leaves
-        // folded dirs orphaned with no future reclaim — sweep them now
-        if (cfg.compactSeenParts > 0) st.gcUnreferencedSeenParts(parts.toSet)
+        // folded dirs orphaned with no future reclaim — sweep them now.
+        // UNCONDITIONAL (keyed on the manifest's part list, not the current
+        // config): a store crawled WITH compaction and resumed with it
+        // disabled would otherwise leak its crash-window dirs forever, and
+        // the sweep is safe regardless — it only deletes dirs the committed
+        // manifest no longer references
+        st.gcUnreferencedSeenParts(parts.toSet)
         val seenDf = if (parts.isEmpty) None else Some(spark.read.parquet(parts.toSeq: _*))
         (snap.round + 1, st.read(snap, "frontier").as[FrontierEntry], seenDf, parts.toVector)
       case None =>

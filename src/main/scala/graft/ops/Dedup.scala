@@ -38,9 +38,16 @@ object Dedup {
     * the min_by deterministic.
     */
   def exactKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    require(!df.columns.contains("__content_hash") && !df.columns.contains("__keep"),
+      "exactKeepFirst reserves the __content_hash/__keep temp names")
     val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+    // min_by IGNORES rows whose ordering key is null — a null idCol row
+    // would silently vanish from its group, where the prior row_number
+    // window kept it nulls-first. The (isNotNull, id) struct key restores
+    // nulls-first exactly: null ids sort as (0, null), before every (1, x).
+    val keepKey = struct(col(idCol).isNotNull.cast("int"), col(idCol))
     df.groupBy(md5(col(textCol)).as("__content_hash"))
-      .agg(min_by(rowStruct, col(idCol)).as("__keep"))
+      .agg(min_by(rowStruct, keepKey).as("__keep"))
       .select(df.columns.map(c => col("__keep").getField(c).as(c)).toIndexedSeq: _*)
   }
 
@@ -183,7 +190,8 @@ object Dedup {
       bands: Int = 16,
       jaccardThreshold: Double = 0.5,
       shingleSize: Int = 3,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = true,
+      maxBroadcastDeltaDocs: Long = 2000000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = delta.sparkSession
     import spark.implicits._
@@ -193,11 +201,20 @@ object Dedup {
 
     val deltaBanded = bandTable(deltaSh, numHashes, bands)
 
-    // delta vs index: broadcast the human/batch-sized delta bands — the
-    // corpus-sized index side stays exchange-free
+    // delta vs index: broadcast the batch-sized delta bands — the
+    // corpus-sized index side stays exchange-free. The hint is GATED on
+    // the measured delta size (the count also populates the shingle
+    // cache): an unbounded hint on a corpus-sized "delta" is a
+    // driver/broadcast-limit OOM, and such a batch belongs to
+    // [[minhashLshPairs]] anyway — above the gate the join degrades to a
+    // shuffle of both sides instead of failing.
+    val deltaDocs = deltaSh.count()
+    val deltaBands = deltaBanded.withColumnRenamed("id", "delta_id")
+    val probeSide =
+      if (deltaDocs <= maxBroadcastDeltaDocs) broadcast(deltaBands)
+      else deltaBands
     val vsIndex = bandIndex
-      .join(broadcast(deltaBanded.withColumnRenamed("id", "delta_id")),
-        Seq("band", "band_hash"))
+      .join(probeSide, Seq("band", "band_hash"))
       .select(least(col("delta_id"), col("id")).as("id_a"),
         greatest(col("delta_id"), col("id")).as("id_b"))
       .filter(col("id_a") < col("id_b"))

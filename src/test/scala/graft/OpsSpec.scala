@@ -63,6 +63,24 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("Aggregate"), plan)
     assert(plan.toLowerCase.contains("partial"), plan)
+
+    // null ids: min_by IGNORES null ordering keys — the (isNotNull, id)
+    // struct key must keep them nulls-first like the window reference did
+    val withNulls = Seq(
+      (java.lang.Long.valueOf(7L), "shared body"),
+      (null.asInstanceOf[java.lang.Long], "shared body"), // null wins (nulls first)
+      (null.asInstanceOf[java.lang.Long], "only null copy")
+    ).toDF("doc_id", "text")
+    val keptN = Dedup.exactKeepFirst(withNulls, "text", "doc_id")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+      .toSet
+    assert(keptN == Set((None, "shared body"), (None, "only null copy")),
+      s"null-id rows must not vanish and must win nulls-first: $keptN")
+
+    // reserved temp names are rejected loudly, not silently miscomputed
+    intercept[IllegalArgumentException] {
+      Dedup.exactKeepFirst(skewed.withColumn("__keep", lit(1)), "text", "doc_id")
+    }
   }
 
   test("incremental LSH: delta vs persisted index == batch pairs restricted to the delta") {
