@@ -332,6 +332,47 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
     }),
 
+    "pipeline_curate_stream" -> ((s, dir) => {
+      // the streaming-curation store driven batch-by-batch with
+      // deterministic batch ids AND compaction exercised (threshold 2 →
+      // batch 2 folds against a compact_1 generation): survivors of the
+      // three-batch fold == the batch-curation survivor set, reconstructed
+      // stage-exactly in SQL. Batch 0 = unique corpus (survives); batch 1 =
+      // exact copies (+1e7, die) ∪ near copies (+2e7, die via the index
+      // probe) ∪ fresh '-f-' docs (+3e7, survive); batch 2 = exact copies
+      // of batch 1's fresh (+4e7, die against the appended base) ∪ fresh
+      // '-g-' docs (+5e7, survive).
+      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").cast("long").as("doc_id"))
+      def forest(seed: String) = array_join(transform(sequence(lit(0), lit(39)),
+        j => substring(md5(concat(col("doc_id").cast("string"), lit(seed),
+          j.cast("string"))), 1, 8)), " ")
+      val b0 = ids.select(col("doc_id"), forest("-").as("text"))
+        .localCheckpoint(true)
+      val fresh = ids.select((col("doc_id") + 30000000L).as("doc_id"))
+        .select(col("doc_id"), forest("-f-").as("text")).localCheckpoint(true)
+      val b1 = b0.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .union(b0.select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+        .union(fresh)
+      val b2 = fresh
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .union(ids.select((col("doc_id") + 50000000L).as("doc_id"))
+          .select(col("doc_id"), forest("-g-").as("text")))
+      val cfgC = Curation.Config(langs = Set("latin"), minTokens = 10,
+        maxTokens = 200, jaccardThreshold = 0.9)
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_curate_stream"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true) // re-runnable
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.StreamOps.foldCurateBatch(b, i.toLong, store, cfgC,
+          compactThreshold = 2)
+      }
+      graft.streaming.StreamOps.readCuratedSurvivors(s, store)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+    }),
+
     // ---- similarity search ----
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -753,6 +794,24 @@ object SparkEntry {
            THEN 'unknown' ELSE 'latin' END AS lang,
          len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
          FROM f""",
+
+    "pipeline_curate_stream" ->
+      """WITH ids AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 2000),
+         d AS (SELECT k AS doc_id, array_to_string(list_transform(range(0, 40),
+             j -> substr(md5(CAST(k AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 8)),
+             ' ') AS text FROM ids),
+         f AS (SELECT k + 30000000 AS doc_id, array_to_string(list_transform(range(0, 40),
+             j -> substr(md5(CAST(k + 30000000 AS VARCHAR) || '-f-' || CAST(j AS VARCHAR)), 1, 8)),
+             ' ') AS text FROM ids),
+         g AS (SELECT k + 50000000 AS doc_id, array_to_string(list_transform(range(0, 40),
+             j -> substr(md5(CAST(k + 50000000 AS VARCHAR) || '-g-' || CAST(j AS VARCHAR)), 1, 8)),
+             ' ') AS text FROM ids),
+         allv AS (SELECT * FROM d UNION ALL SELECT * FROM f UNION ALL SELECT * FROM g)
+         SELECT doc_id, text,
+         CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0
+           THEN 'unknown' ELSE 'latin' END AS lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
+         FROM allv""",
 
     "ann_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
