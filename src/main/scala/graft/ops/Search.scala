@@ -365,11 +365,87 @@ object Search {
       .select(dlenCols: _*)
       .write.mode("overwrite").parquet(s"$path/dlen")
     val spark = docs.sparkSession
-    val nDocs = docs.count()
-    spark.read.parquet(s"$path/dlen")
-      .groupBy("field").agg(avg(col("dl")).as("avgdl"))
+    writeMeta(spark, path,
+      spark.read.parquet(s"$path/dlen")
+        .groupBy("field").agg(sum(col("dl")).as("sum_dl"),
+          count(lit(1)).as("cnt")),
+      docs.count())
+  }
+
+  /** Meta = one row per field: (field, avgdl, sum_dl, cnt, n). The RUNNING
+    * SUMS are stored alongside the derived avgdl so [[bm25IndexAppend]]
+    * can update the averages from the delta alone — O(delta), never a
+    * corpus re-aggregation. Written temp-then-rename (atomic on
+    * local/HDFS) because append rewrites it in place.
+    */
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, sums: DataFrame, nDocs: Long): Unit = {
+    val tmp = s"$path/_tmp_meta"
+    sums
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("cnt"))
       .withColumn("n", lit(nDocs))
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .select("field", "avgdl", "sum_dl", "cnt", "n")
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/meta")
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"meta rename failed for $dst")
+  }
+
+  /** O(delta) maintenance of a [[bm25Index]] — the daily-ingest path, the
+    * fourth index family to get one (LSH band index, curated corpus, IVF
+    * layout, now the inverted index): the new batch's tf rows APPEND into
+    * their term-bucket partitions, its dlen rows append, and meta's
+    * averages update from the delta's running sums alone. Searches via
+    * [[bm25TopKIndexed]]/[[bm25PhraseTopKIndexed]] see the new docs
+    * immediately; nothing corpus-sized is read or rewritten.
+    *
+    * Contract: delta ids are NEW (an id re-ingest would double-count its
+    * tf rows — deletion/upsert is an Iceberg MERGE at the storage layer,
+    * out of scope here as in the other index families).
+    */
+  def bm25IndexAppend(
+      newDocs: DataFrame,
+      fields: Seq[Field],
+      path: String,
+      idCol: String = "doc_id",
+      termBuckets: Int = 64,
+      withText: Boolean = true): Unit = {
+    val spark = newDocs.sparkSession
+    val fieldsLong = fields.map { f =>
+      newDocs.select(col(idCol).as("id"), lit(f.name).as("field"),
+        canonText(col(f.name)).as("txt"))
+    }.reduce(_ unionAll _)
+    val tok = fieldsLong
+      .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    tok.groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/tf")
+    val dlenCols =
+      if (withText) Seq(col("field"), col("id"), col("dl"), col("txt"))
+      else Seq(col("field"), col("id"), col("dl"))
+    val deltaDlen = fieldsLong
+      .withColumn("dl",
+        size(filter(split(col("txt"), " "), t => length(t) > 0)))
+      .filter(col("dl") > 0)
+    deltaDlen.select(dlenCols: _*)
+      .write.mode("append").parquet(s"$path/dlen")
+    // meta: old sums + delta sums (both tiny) — never re-reads dlen
+    val oldMeta = spark.read.parquet(s"$path/meta")
+    val deltaSums = deltaDlen.groupBy("field")
+      .agg(sum(col("dl")).as("d_sum"), count(lit(1)).as("d_cnt"))
+    val merged = oldMeta.select("field", "sum_dl", "cnt")
+      .join(deltaSums, Seq("field"), "full_outer")
+      .select(col("field"),
+        (coalesce(col("sum_dl"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+          .as("sum_dl"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as("cnt"))
+    val nTotal = oldMeta.select(max(col("n"))).head().getLong(0) + newDocs.count()
+    writeMeta(spark, path, merged, nTotal)
   }
 
   /** Indexed probe: identical results to [[bm25TopK]] over the same docs /
@@ -417,6 +493,95 @@ object Search {
       .filter(col("score") >= minScore)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryIdCol), col("id").as(idCol),
+        col("score"), col("rank"))
+  }
+
+  /** Indexed phrase probe — [[bm25PhraseTopK]] semantics over a
+    * [[bm25Index]] written `withText = true`: identical results, but the
+    * corpus is never re-tokenized AND the match_phrase gate runs over
+    * CANDIDATE rows only. Where the direct path evaluates contains() at
+    * the full corpus scan (mandatory there — it is tokenizing anyway),
+    * here term-matched candidates from the tb-pruned tf slice join back
+    * to their stored canonical text by (field, id), so at 100 TB the gate
+    * touches |candidates| rows, not the corpus — the positions-of-matched-
+    * postings shape of a real search engine.
+    */
+  def bm25PhraseTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      phraseQueries: DataFrame,
+      fields: Seq[Field],
+      termBuckets: Int = 64,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      phraseCol: String = "phrase",
+      k: Int = 10,
+      minScore: Option[Double] = None,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val phrases = phraseQueries
+      .select(col(queryIdCol).as("qid"), canonText(col(phraseCol)).as("phrase"))
+      .filter(length(col("phrase")) > 0)
+      .distinct()
+    val pterms = phrases
+      .select(col("qid"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val buckets = pterms.select(
+        pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tf = spark.read.parquet(s"$indexPath/tf")
+      .filter(col("tb").isin(buckets: _*))
+      .join(broadcast(pterms.select("term").distinct()), Seq("term"))
+    val dlenFull = spark.read.parquet(s"$indexPath/dlen")
+    require(dlenFull.columns.contains("txt"),
+      "bm25PhraseTopKIndexed needs an index written withText = true")
+    val dlen = dlenFull.select("field", "id", "dl")
+    val meta = spark.read.parquet(s"$indexPath/meta")
+    val avgl = meta.select("field", "avgdl")
+    val nDocs = meta.select(col("n")).limit(1)
+    val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
+    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+
+    // candidate (field, doc) keys from the pruned postings → stored text →
+    // the containment gate runs over candidates only
+    val candText = tf.select("field", "id").distinct()
+      .join(dlenFull.select(col("field"), col("id"), col("txt")),
+        Seq("field", "id"))
+    val matched = candText
+      .crossJoin(broadcast(phrases))
+      .filter(F.contains(concat(lit(" "), col("txt"), lit(" ")),
+        concat(lit(" "), col("phrase"), lit(" "))))
+      .select(col("qid"), col("phrase"), col("field"), col("id"))
+    val clauseTerms = matched.join(broadcast(pterms), Seq("qid", "phrase"))
+
+    val joined = clauseTerms
+      .join(tf, Seq("field", "id", "term"))
+      .join(broadcast(qstats), Seq("field", "term"))
+      .join(dlen, Seq("field", "id"))
+      .join(broadcast(avgl), Seq("field"))
+      .join(broadcast(boosts), Seq("field"))
+      .crossJoin(broadcast(nDocs))
+    val scored = joined
+      .withColumn("ts", col("boost") * idfCol * tfSatCol(k1, b))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("ts")).as("score_raw"))
+      .withColumn("score", round(col("score_raw"), 6))
+      .select(col("qid"), col("id"), col("score"))
+    val floored = minScore match {
+      case Some(m) => scored.filter(col("score") >= m)
+      case None =>
+        val pcount = phrases.groupBy("qid").agg(count(lit(1)).as("np"))
+        scored.join(broadcast(pcount), Seq("qid"))
+          .filter(col("score") >= phraseMinScoreCol(col("np")))
+          .drop("np")
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    floored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as(queryIdCol), col("id").as(idCol),

@@ -578,6 +578,55 @@ class OpsSpec extends SparkTestBase {
       s"no tb partition filter in:\n${planStr.take(800)}")
   }
 
+  test("bm25 index append == full rebuild; indexed phrase probe == direct") {
+    import graft.ops.Search
+    val fields = Seq(Search.Field("question", 5.0), Search.Field("answer", 3.0),
+      Search.Field("content", 2.0))
+    def mk(lo: Long, hi: Long) = (lo until hi).map { i =>
+      (i, s"w${i % 7} hash join w${i % 5}", s"w${i % 3} spark", s"tail w${i % 11} x")
+    }.toDF("doc_id", "question", "answer", "content")
+    val docs0 = mk(0L, 40L)
+    val delta = mk(40L, 60L) // NEW ids — the append contract
+    val union = mk(0L, 60L)
+    val queries = Seq((1L, "hash join"), (2L, "spark w2")).toDF("query_id", "qtext")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+
+    // incremental: index docs0, append delta — O(delta), no rebuild
+    val inc = java.nio.file.Files.createTempDirectory("graft-bm25-inc").toString
+    Search.bm25Index(docs0, fields, inc, termBuckets = 8)
+    Search.bm25IndexAppend(delta, fields, inc, termBuckets = 8)
+    // full rebuild over the union — the reference result
+    val full = java.nio.file.Files.createTempDirectory("graft-bm25-full").toString
+    Search.bm25Index(union, fields, full, termBuckets = 8)
+
+    val viaInc = asSet(Search.bm25TopKIndexed(spark, inc, queries, fields,
+      termBuckets = 8, k = 5, minScore = 0.0))
+    val viaFull = asSet(Search.bm25TopKIndexed(spark, full, queries, fields,
+      termBuckets = 8, k = 5, minScore = 0.0))
+    val direct = asSet(Search.bm25TopK(union, fields, queries, k = 5,
+      minScore = 0.0))
+    assert(viaInc == viaFull, "append must reproduce the rebuilt index")
+    assert(viaInc == direct, "indexed must reproduce the direct path")
+    // appended docs actually surface (not just old-corpus agreement)
+    assert(viaInc.exists(_._2 >= 40L), s"no appended doc in top-k: $viaInc")
+
+    // indexed phrase probe: gate over candidates' stored text == the
+    // direct corpus-scan gate, across the appended index
+    val phrases = Seq((1L, "hash join"), (2L, "w2 spark"))
+      .toDF("query_id", "phrase")
+    val phDirect = asSet(Search.bm25PhraseTopK(union, fields, phrases,
+      k = 5, minScore = Some(0.0)))
+    val phIndexed = asSet(Search.bm25PhraseTopKIndexed(spark, inc, phrases,
+      fields, termBuckets = 8, k = 5, minScore = Some(0.0)))
+    assert(phIndexed == phDirect)
+    // order sensitivity survives the indexed path: "w2 spark" (answer is
+    // "w2 spark" only when i%3==2) must not match docs whose answer is
+    // "w0 spark"/"w1 spark"
+    assert(phIndexed.collect { case (2L, id, _, _) => id }.forall(_ % 3 == 2))
+  }
+
   test("multimodal plumbing: deterministic stub features, exact schema") {
     val media = Multimodal.withFakePayload(docs.select($"doc_id"))
     val feats = Multimodal.extractFeatures(spark, media).cache()
