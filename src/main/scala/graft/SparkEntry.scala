@@ -522,6 +522,45 @@ object SparkEntry {
         termBuckets = 16, k = 10, minScore = 1.0)
     }),
 
+    "search_bm25_index_append" -> ((s, dir) => {
+      import s.implicits._
+      // the daily-ingest path at the gate: index the first half of the
+      // corpus, APPEND the second half (tf into term buckets, meta from
+      // running sums — no rebuild), probe — must equal the full-corpus
+      // oracle (same SQL as search_bm25_topk)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_inc"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true) // append ⇒ re-runnable only from clean
+      val docs3 = searchDocs3(s, dir)
+      Search.bm25Index(docs3.filter(col("doc_id") < 250), searchFields, path,
+        termBuckets = 16, withText = false)
+      Search.bm25IndexAppend(docs3.filter(col("doc_id") >= 250), searchFields,
+        path, termBuckets = 16, withText = false)
+      val queries = Seq((1L, "spark shuffle"), (2L, "hash join table"),
+        (3L, "window agg data"), (4L, "vector")).toDF("query_id", "qtext")
+      Search.bm25TopKIndexed(s, path, queries, searchFields,
+        termBuckets = 16, k = 10, minScore = 1.0)
+    }),
+
+    "search_bm25_phrase_indexed" -> ((s, dir) => {
+      import s.implicits._
+      // the at-scale phrase path: same phrases/tiers as search_bm25_phrase
+      // (same oracle), but the match_phrase gate runs over CANDIDATES'
+      // stored canonical text from a withText index, never the corpus scan
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_t"
+      Search.bm25Index(searchDocs3(s, dir), searchFields, path,
+        termBuckets = 16, withText = true)
+      val phrases = Seq(
+        (1L, "hash join"),
+        (2L, "window agg"), (2L, "fast spark"), (2L, "big table"),
+        (3L, "data query"), (3L, "slow row"), (3L, "sort column"),
+        (3L, "merge batch"), (3L, "stream group"), (3L, "key scan"),
+        (4L, "vector")).toDF("query_id", "phrase")
+      Search.bm25PhraseTopKIndexed(s, path, phrases, searchFields,
+        termBuckets = 16, k = 10)
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       // SQL-expressible media fixture (doc_id-arithmetic metadata, sha256
       // payload — DuckDB reproduces every column exactly) so the operator
@@ -624,7 +663,14 @@ object SparkEntry {
            CROSS JOIN n
            GROUP BY 1, 2)"""
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // the indexed phrase probe must reproduce the direct phrase path —
+    // same oracle by construction
+    m + ("search_bm25_phrase_indexed" -> m("search_bm25_phrase"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty,
          round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS revenue,
@@ -980,6 +1026,16 @@ object SparkEntry {
            FROM scored WHERE score >= 1.0 GROUP BY 1) s USING (query_id)""",
 
     "search_bm25_indexed" ->
+      s"""$bm25ScoredCte
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM scored WHERE score >= 1.0)
+         WHERE rank <= 10""",
+
+    // index-build-then-append must reproduce the full-corpus result — the
+    // oracle is deliberately the same SQL as search_bm25_topk/indexed
+    "search_bm25_index_append" ->
       s"""$bm25ScoredCte
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
            SELECT query_id, doc_id, score,
