@@ -65,14 +65,90 @@ object QueryScale {
     val at4 = queries.map(q => q -> measure(4, q)).toMap
     val at16 = queries.map(q => q -> measure(16, q)).toMap
 
-    val rows = queries.map { q =>
-      val (t4, c4) = at4(q)
-      val (t16, c16) = at16(q)
+    // ---- operator-isolated rows (the ExtractScale lesson applied to the
+    // query tail): a SparkEntry query times its oracle-FIXTURE construction
+    // (corpus, persisted index, localCheckpoint barriers) together with the
+    // operator. For the repeated-call paths that actually matter at scale —
+    // the daily curateDelta fold and the per-query-batch index probe — the
+    // fixture is prebuilt OUTSIDE the gate and only the operator is timed.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    def isolatedOps(cores: Int): Map[String, (Double, Boolean)] = {
+      val spark = session(cores)
+      try {
+        import spark.implicits._
+        def t(name: String): DataFrame =
+          spark.read.parquet(s"$sfDir/$name.parquet")
+        val out = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
+
+        // curate_delta_op: corpus/base/index/delta prebuilt + checkpointed
+        val ids = t("orders").filter(col("o_orderkey") < 4000)
+          .select(col("o_orderkey").cast("long").as("doc_id"))
+        def forest(seed: String) = array_join(transform(sequence(lit(0), lit(39)),
+          j => substring(md5(concat(col("doc_id").cast("string"), lit(seed),
+            j.cast("string"))), 1, 8)), " ")
+        val d = ids.select(col("doc_id"), forest("-").as("text"))
+          .localCheckpoint(true)
+        val cfgC = graft.ops.Curation.Config(langs = Set("latin"),
+          minTokens = 10, maxTokens = 200, jaccardThreshold = 0.9)
+        val corpusExact = graft.ops.Curation.dedupBase(d, "doc_id", "text", cfgC)
+          .localCheckpoint(true)
+        val index = graft.ops.Dedup.lshBandIndex(corpusExact, "text", "doc_id",
+          cfgC.minhashHashes, cfgC.minhashBands, cfgC.shingleSize)
+          .localCheckpoint(true)
+        val delta = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          .union(d.select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+          .union(ids.select((col("doc_id") + 30000000L).as("doc_id"))
+            .select(col("doc_id"), forest("-f-").as("text")))
+          .localCheckpoint(true)
+        def runDelta(): Long = graft.ops.Curation.curateDelta(
+          corpusExact, index, delta, "doc_id", "text", cfgC).count()
+        runDelta() // warm
+        out += "curate_delta_op" -> BenchGate.gated(s"op:curate_delta@$cores",
+          cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+          val t0 = System.nanoTime(); runDelta(); (System.nanoTime() - t0) / 1e9
+        }
+
+        // bm25_probe_op: index prebuilt on disk; timed region = the probe
+        val toks = split(col("text"), " ")
+        val docs3 = t("documents").select(col("doc_id"),
+          array_join(slice(toks, 1, 8), " ").as("question"),
+          array_join(slice(toks, 9, 12), " ").as("answer"),
+          array_join(slice(toks, lit(21), greatest(size(toks) - 20, lit(0))), " ")
+            .as("content"))
+        val fieldsB = Seq(graft.ops.Search.Field("question", 5.0),
+          graft.ops.Search.Field("answer", 3.0),
+          graft.ops.Search.Field("content", 2.0))
+        val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft-qscale-bm25-$cores"
+        graft.ops.Search.bm25Index(docs3, fieldsB, idxPath, termBuckets = 16,
+          withText = false)
+        val queriesB = Seq((1L, "spark shuffle"), (2L, "hash join table"),
+          (3L, "window agg data"), (4L, "vector")).toDF("query_id", "qtext")
+        def runProbe(): Long = graft.ops.Search.bm25TopKIndexed(spark, idxPath,
+          queriesB, fieldsB, termBuckets = 16, k = 10, minScore = 1.0).count()
+        runProbe() // warm
+        out += "bm25_probe_op" -> BenchGate.gated(s"op:bm25_probe@$cores",
+          cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+          val t0 = System.nanoTime(); runProbe(); (System.nanoTime() - t0) / 1e9
+        }
+        out.toMap
+      } finally spark.stop()
+    }
+    val iso4 = isolatedOps(4)
+    val iso16 = isolatedOps(16)
+
+    def row(q: String, m4: Map[String, (Double, Boolean)],
+        m16: Map[String, (Double, Boolean)]): String = {
+      val (t4, c4) = m4(q)
+      val (t16, c16) = m16(q)
       val w = 16.0 * (t4 - t16) / 3.0
       val f = t4 - w / 4.0
       val eff = t4 / (4.0 * t16)
       s"""{"query":"$q","t_n":$t4,"t_4n":$t16,"eff":$eff,"fixed_s":$f,"work_core_s":$w,"certified_n":$c4,"certified_4n":$c16}"""
     }
+    val rows = queries.map(row(_, at4, at16)) ++
+      iso4.keys.toSeq.sorted.map(row(_, iso4, iso16))
     println(s"""{"metric":"query_scaling","sf":"$sfDir","rows":${rows.mkString("[", ",", "]")}}""")
   }
 }
