@@ -317,15 +317,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_rep")).as("neighbor_min"))
+      // checkpoint the joined frame ONCE and derive both the next labels
+      // and the convergence count from it — checkpointing `next` and then
+      // recounting `updated` would run the join twice per iteration (2x
+      // the barriers in an already fixed-cost-bound loop)
       val updated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_rep"), coalesce(col("neighbor_min"), col("cluster_rep")))
             .as("new_rep"),
           col("cluster_rep"))
-      val next = updated.select(col("id"), col("new_rep").as("cluster_rep"))
         .localCheckpoint(true)
       changed = updated.filter(col("new_rep") =!= col("cluster_rep")).count()
-      labels = next
+      labels = updated.select(col("id"), col("new_rep").as("cluster_rep"))
       iter += 1
     }
     if (changed > 0)
