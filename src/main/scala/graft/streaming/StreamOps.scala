@@ -231,7 +231,8 @@ object StreamOps {
   def foldCurateBatch(batch: DataFrame, batchId: Long, storeDir: String,
       cfg: graft.ops.Curation.Config,
       idCol: String = "doc_id", textCol: String = "text",
-      compactThreshold: Int = 0): Unit = {
+      compactThreshold: Int = 0,
+      writePartitions: Int = 4): Unit = {
     import graft.ops.{Curation, Dedup}
     val spark = batch.sparkSession
     val (basePath, idxPath, outPath) =
@@ -252,14 +253,22 @@ object StreamOps {
         Curation.curateDeltaWithBase(corpusExact, index, batch,
           idCol, textCol, cfg)
       }
+    // micro-batch outputs are delta-sized: writing them at the session's
+    // full parallelism produces parallelism-many tiny files per table per
+    // batch, and the per-file commit latency dominates the fold's fixed
+    // cost. `writePartitions` (0 = leave as-is) coalesces each output —
+    // the write is the LAST stage, so upstream compute keeps full
+    // parallelism and only the file count shrinks
+    def shaped(df: DataFrame): DataFrame =
+      if (writePartitions > 0) df.coalesce(writePartitions) else df
     // the base persists content_hash so the NEXT delta's exact-dup check
     // column-prunes to 32-byte rows instead of re-hashing corpus text
-    baseAppend.withColumn("content_hash", md5(col(textCol)))
+    shaped(baseAppend.withColumn("content_hash", md5(col(textCol))))
       .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
-    Dedup.lshBandIndex(baseAppend, textCol, idCol, cfg.minhashHashes,
-        cfg.minhashBands, cfg.shingleSize)
+    shaped(Dedup.lshBandIndex(baseAppend, textCol, idCol, cfg.minhashHashes,
+        cfg.minhashBands, cfg.shingleSize))
       .write.mode("overwrite").parquet(s"$idxPath/batch_id=$batchId")
-    survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    shaped(survivors).write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
     // bound the partition count: without folding, a 10^4-batch stream pays
     // a 10^4-dir listing + multi-path read per micro-batch
     if (compactThreshold > 0 &&
@@ -277,14 +286,15 @@ object StreamOps {
   def streamingCurate(docs: DataFrame, storeDir: String, checkpointDir: String,
       cfg: graft.ops.Curation.Config,
       idCol: String = "doc_id", textCol: String = "text",
-      compactThreshold: Int = 0)
+      compactThreshold: Int = 0,
+      writePartitions: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldCurateBatch(batch, batchId, storeDir, cfg, idCol, textCol,
-          compactThreshold)
+          compactThreshold, writePartitions)
       }
       .start()
 }
