@@ -73,6 +73,10 @@ object QueryScale {
     // fixture is prebuilt OUTSIDE the gate and only the operator is timed.
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
+    // SPARK_GRAFT_ISOLATED filters which isolated ops run (both by default)
+    val isoFilter = sys.env.get("SPARK_GRAFT_ISOLATED")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def isoOn(name: String): Boolean = isoFilter.forall(_.contains(name))
     def isolatedOps(cores: Int): Map[String, (Double, Boolean)] = {
       val spark = session(cores)
       try {
@@ -81,8 +85,13 @@ object QueryScale {
           spark.read.parquet(s"$sfDir/$name.parquet")
         val out = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
 
-        // curate_delta_op: corpus/base/index/delta prebuilt + checkpointed
-        val ids = t("orders").filter(col("o_orderkey") < 4000)
+        // curate_delta_op: corpus/base/index/delta prebuilt + checkpointed.
+        // SPARK_GRAFT_CURATE_DOCS scales the corpus (default 4000 docs;
+        // delta = 3x corpus) — the size sweep evidences eff(size) rising
+        // as W outgrows the fixed job-launch cost, like ScalingBench §B
+        if (isoOn("curate_delta_op")) {
+        val curateDocs = sys.env.getOrElse("SPARK_GRAFT_CURATE_DOCS", "4000").toInt
+        val ids = t("orders").filter(col("o_orderkey") < curateDocs)
           .select(col("o_orderkey").cast("long").as("doc_id"))
         def forest(seed: String) = array_join(transform(sequence(lit(0), lit(39)),
           j => substring(md5(concat(col("doc_id").cast("string"), lit(seed),
@@ -109,7 +118,9 @@ object QueryScale {
           cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
           val t0 = System.nanoTime(); runDelta(); (System.nanoTime() - t0) / 1e9
         }
+        }
 
+        if (isoOn("bm25_probe_op")) {
         // bm25_probe_op: index prebuilt on disk; timed region = the probe
         val toks = split(col("text"), " ")
         val docs3 = t("documents").select(col("doc_id"),
@@ -131,6 +142,7 @@ object QueryScale {
         out += "bm25_probe_op" -> BenchGate.gated(s"op:bm25_probe@$cores",
           cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
           val t0 = System.nanoTime(); runProbe(); (System.nanoTime() - t0) / 1e9
+        }
         }
         out.toMap
       } finally spark.stop()

@@ -369,7 +369,7 @@ object Search {
       spark.read.parquet(s"$path/dlen")
         .groupBy("field").agg(sum(col("dl")).as("sum_dl"),
           count(lit(1)).as("cnt")),
-      docs.count())
+      docs.count(), termBuckets)
   }
 
   /** Meta = one row per field: (field, avgdl, sum_dl, cnt, n). The RUNNING
@@ -379,12 +379,13 @@ object Search {
     * local/HDFS) because append rewrites it in place.
     */
   private def writeMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, sums: DataFrame, nDocs: Long): Unit = {
+      path: String, sums: DataFrame, nDocs: Long, termBuckets: Int): Unit = {
     val tmp = s"$path/_tmp_meta"
     sums
       .withColumn("avgdl", col("sum_dl").cast("double") / col("cnt"))
       .withColumn("n", lit(nDocs))
-      .select("field", "avgdl", "sum_dl", "cnt", "n")
+      .withColumn("term_buckets", lit(termBuckets))
+      .select("field", "avgdl", "sum_dl", "cnt", "n", "term_buckets")
       .write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -444,9 +445,22 @@ object Search {
           .as("sum_dl"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as("cnt"))
+    requireBuckets(oldMeta, termBuckets, "bm25IndexAppend")
     val nTotal = oldMeta.select(max(col("n"))).head().getLong(0) + newDocs.count()
-    writeMeta(spark, path, merged, nTotal)
+    writeMeta(spark, path, merged, nTotal, termBuckets)
   }
+
+  /** The bucket count is PERSISTED in meta (term_buckets): a probe or
+    * append run with a different count would silently hash query terms
+    * into the wrong partitions — fail loudly instead.
+    */
+  private def requireBuckets(meta: DataFrame, termBuckets: Int,
+      caller: String): Unit =
+    if (meta.columns.contains("term_buckets")) {
+      val stored = meta.select(max(col("term_buckets"))).head().getInt(0)
+      require(stored == termBuckets,
+        s"$caller: index was written with termBuckets=$stored, called with $termBuckets")
+    }
 
   /** Indexed probe: identical results to [[bm25TopK]] over the same docs /
     * fields (boosts are query-time), but the corpus is never re-tokenized —
@@ -484,6 +498,7 @@ object Search {
     val dlen = spark.read.parquet(s"$indexPath/dlen")
       .select("field", "id", "dl")
     val meta = spark.read.parquet(s"$indexPath/meta")
+    requireBuckets(meta, termBuckets, "bm25TopKIndexed")
     val avgl = meta.select("field", "avgdl")
     val nDocs = meta.select(col("n")).limit(1)
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
@@ -542,6 +557,7 @@ object Search {
       "bm25PhraseTopKIndexed needs an index written withText = true")
     val dlen = dlenFull.select("field", "id", "dl")
     val meta = spark.read.parquet(s"$indexPath/meta")
+    requireBuckets(meta, termBuckets, "bm25PhraseTopKIndexed")
     val avgl = meta.select("field", "avgdl")
     val nDocs = meta.select(col("n")).limit(1)
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
