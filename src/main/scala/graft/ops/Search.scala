@@ -450,6 +450,46 @@ object Search {
     writeMeta(spark, path, merged, nTotal, termBuckets)
   }
 
+  /** Maintenance compaction for an append-grown [[bm25Index]]: every
+    * [[bm25IndexAppend]] adds ~1 file per touched tb partition (and one
+    * more dlen file), so 10^4 daily batches re-create the small-files
+    * listing pathology the curation and crawl stores already guard
+    * against. Rewrites tf (re-partitioned by tb) and dlen in place via
+    * write-tmp + rename-swap; meta is untouched (append keeps it exact).
+    * Single-writer maintenance op: the swap window (old renamed away, new
+    * renamed in) is not atomic for concurrent readers — run it like any
+    * index rebuild, between query batches.
+    */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      filesPerBucket: Int = 1,
+      dlenFiles: Int = 0): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def swap(sub: String, write: String => Unit): Unit = {
+      import org.apache.hadoop.fs.Path
+      val tmp = new Path(s"$path/_tmp_$sub")
+      val live = new Path(s"$path/$sub")
+      val old = new Path(s"$path/_old_$sub")
+      fs.delete(tmp, true); fs.delete(old, true)
+      write(tmp.toString)
+      require(fs.rename(live, old), s"compact: rename $live -> $old failed")
+      require(fs.rename(tmp, live), s"compact: rename $tmp -> $live failed")
+      fs.delete(old, true)
+    }
+    // repartition by (tb, salt): each bucket lands in exactly
+    // `filesPerBucket` write tasks → that many files per partition dir,
+    // regardless of how many appends accumulated (size the salt so one
+    // file stays a healthy parquet row-group multiple at the target SF)
+    val tf = spark.read.parquet(s"$path/tf").localCheckpoint(true)
+    swap("tf", out => tf
+      .repartition(col("tb"), pmod(xxhash64(col("id")), lit(filesPerBucket.toLong)))
+      .write.partitionBy("tb").parquet(out))
+    val dlen0 = spark.read.parquet(s"$path/dlen").localCheckpoint(true)
+    val dlen = if (dlenFiles > 0) dlen0.repartition(dlenFiles) else dlen0
+    swap("dlen", out => dlen.write.parquet(out))
+  }
+
   /** The bucket count is PERSISTED in meta (term_buckets): a probe or
     * append run with a different count would silently hash query terms
     * into the wrong partitions — fail loudly instead.

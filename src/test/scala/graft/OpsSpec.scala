@@ -625,6 +625,23 @@ class OpsSpec extends SparkTestBase {
     // "w2 spark" only when i%3==2) must not match docs whose answer is
     // "w0 spark"/"w1 spark"
     assert(phIndexed.collect { case (2L, id, _, _) => id }.forall(_ % 3 == 2))
+
+    // compaction: append-grown index rewritten in place — identical probe
+    // results, strictly fewer data files under tf
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val before = parquetFiles(s"$inc/tf")
+    Search.bm25IndexCompact(spark, inc)
+    assert(parquetFiles(s"$inc/tf") < before,
+      s"compaction must shrink the file count (was $before)")
+    assert(asSet(Search.bm25TopKIndexed(spark, inc, queries, fields,
+      termBuckets = 8, k = 5, minScore = 0.0)) == direct)
+    assert(asSet(Search.bm25PhraseTopKIndexed(spark, inc, phrases,
+      fields, termBuckets = 8, k = 5, minScore = Some(0.0))) == phDirect)
   }
 
   test("multimodal plumbing: deterministic stub features, exact schema") {
