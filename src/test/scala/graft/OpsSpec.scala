@@ -551,6 +551,18 @@ class OpsSpec extends SparkTestBase {
     assert(Search.phraseMinScore(1) == 1.5 && Search.phraseMinScore(2) == 1.5)
     assert(Search.phraseMinScore(3) == 2.5 && Search.phraseMinScore(5) == 2.5)
     assert(Search.phraseMinScore(6) == 2.0)
+
+    // whitespace canonicalization: a doc whose field carries runs of
+    // spaces (possible at the gate — array_join over empty split tokens)
+    // still phrase-matches, because adjacency is defined on the TOKEN
+    // view, which both the gate and the scorer canonicalize to
+    val spaced = Seq((1L, "hash  join x", "a", "b"), (2L, "y", "a", "b"))
+      .toDF("doc_id", "question", "answer", "content")
+    val gotSpaced = Search.bm25PhraseTopK(spaced, fields,
+        Seq((9L, " hash   join ")).toDF("query_id", "phrase"),
+        k = 10, minScore = Some(0.0))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(gotSpaced == Set(1L))
   }
 
   test("bm25 indexed probe == direct path; tf scan carries a tb partition filter") {
@@ -642,6 +654,13 @@ class OpsSpec extends SparkTestBase {
       termBuckets = 8, k = 5, minScore = 0.0)) == direct)
     assert(asSet(Search.bm25PhraseTopKIndexed(spark, inc, phrases,
       fields, termBuckets = 8, k = 5, minScore = Some(0.0))) == phDirect)
+
+    // a probe with the wrong bucket count would hash query terms into the
+    // wrong partitions and silently miss postings — must fail loudly
+    intercept[IllegalArgumentException] {
+      Search.bm25TopKIndexed(spark, inc, queries, fields,
+        termBuckets = 16, k = 5, minScore = 0.0).count()
+    }
   }
 
   test("multimodal plumbing: deterministic stub features, exact schema") {
