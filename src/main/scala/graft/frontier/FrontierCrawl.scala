@@ -96,11 +96,23 @@ object FrontierCrawl {
     def appendOpt(acc: Option[DataFrame], df: DataFrame): Option[DataFrame] =
       Some(acc.map(_.union(df)).getOrElse(df))
 
-    while (round < maxRounds && !frontier.isEmpty) {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    // frontier row count observed off the PREVIOUS iteration's
+    // materialization (checkpoint/snapshot write) — the drained? test costs
+    // no job after the first iteration
+    var frontierRows = -1L
+    while (round < maxRounds &&
+        (if (frontierRows >= 0L) frontierRows > 0L else !frontier.isEmpty)) {
       val out = FrontierRound.run(spark, pages, frontier, seen, round, robots,
         cfg, seenCount, seenBloom)
       if (seenCount >= 0L) seenCount += out.scheduledCount
-      seenBloom = out.seenBloom.orElse(seenBloom)
+      // next round's cumulative bloom: delta build + merge runs CONCURRENT
+      // with this round's checkpoint/commit wave (see RoundOutput
+      // .seenBloomAfter for why the in-flight merge is probe-safe)
+      val fBloom = Future(out.seenBloomAfter())
 
       val scheduledR = out.scheduled.withColumn("round", lit(round))
 
@@ -170,6 +182,20 @@ object FrontierCrawl {
           extractedAll = appendOpt(extractedAll, Await.result(fExtracted, Duration.Inf))
           metricsAll = appendOpt(metricsAll, Await.result(fMetrics, Duration.Inf))
       }
+      // the next frontier was materialized above (localCheckpoint or
+      // snapshot write); its observed row count arrives on the listener bus
+      // momentarily. Bounded wait — on a miss (e.g. a future Spark version
+      // not reporting observed metrics for this action type) fall back to
+      // the explicit isEmpty test: correct, just one extra small job.
+      frontierRows =
+        try {
+          val row = Await.result(out.frontierObservation.future,
+            Duration(30, java.util.concurrent.TimeUnit.SECONDS))
+          row.getAs[Long]("rows")
+        } catch { case _: java.util.concurrent.TimeoutException => -1L }
+      // bloom merge must land before the caches feeding it are released
+      // (the delta build reads the round's `scheduled` cache)
+      seenBloom = Await.result(fBloom, Duration.Inf)
       out.caches.foreach(_.unpersist(false))
       round += 1
     }

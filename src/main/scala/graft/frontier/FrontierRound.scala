@@ -38,8 +38,21 @@ object FrontierRound {
       // cumulative seen-set bloom AFTER this round (incrementally
       // maintained: prior bloom ∪ this round's delta); carry into the next
       // round's `seenBloom` so the filter is never rebuilt over the
-      // cumulative set
-      seenBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      // cumulative set. A THUNK (memoized): on the small-round path the
+      // delta-bloom build is NOT needed by this round's own plans — only
+      // by the next round — so the caller invokes it concurrently with the
+      // checkpoint/commit wave instead of paying it as a sequential
+      // per-round job. Safe to run while this round's jobs probe the prior
+      // bloom: mergeInPlace only SETS bits, and every intermediate bit
+      // state still covers the prior seen set (a bloom-negative probe at
+      // any instant is a true "not previously seen"; extra bits only move
+      // rows onto the exact anti-join)
+      seenBloomAfter: () => Option[org.apache.spark.util.sketch.BloomFilter],
+      // count(newFrontier) rides whatever action materializes it
+      // (localCheckpoint or the snapshot write) — the crawl loop's
+      // "frontier drained?" test reads this instead of launching a
+      // per-round isEmpty job
+      frontierObservation: org.apache.spark.sql.Observation,
       // free-rider metrics over `results` (scheduled, hosts_approx,
       // fetched_ok) — readable after the first action that materializes it
       observation: org.apache.spark.sql.Observation,
@@ -304,14 +317,12 @@ object FrontierRound {
       if (seenCountHint >= 0L) seenCountHint + scheduledCount else -1L
 
     // incremental bloom maintenance: build a filter over THIS round's delta
-    // only (O(scheduled) work) and OR it into the cumulative filter. Valid
-    // as the prefilter for `seenAfter` only if the incoming bloom actually
-    // covered the incoming seenKeys (or there were none). The delta is
-    // coalesced before the build: every build TASK allocates a full
-    // capacity-sized bitset as its partial, so partials must scale with
-    // `bloomBuildParallelism` (raise it when per-round deltas are huge),
-    // not with the shuffle-partition count.
-    val bloomAfter: Option[org.apache.spark.util.sketch.BloomFilter] =
+    // only (O(scheduled) work) and OR it into the cumulative filter. The
+    // delta is coalesced before the build: every build TASK allocates a
+    // full capacity-sized bitset as its partial, so partials must scale
+    // with `bloomBuildParallelism` (raise it when per-round deltas are
+    // huge), not with the shuffle-partition count.
+    def buildBloomAfter(): Option[org.apache.spark.util.sketch.BloomFilter] =
       if (!willBuildBloom) None
       else {
         val delta = newSeenKeys.coalesce(math.max(cfg.bloomBuildParallelism, 1))
@@ -321,7 +332,36 @@ object FrontierRound {
           case None => delta
         })
       }
-    val fresh = notSeen(spark, freshCandidates, seenAfter, cfg, seenAfterCount, bloomAfter)
+
+    // Fresh-link seen check, two regimes gated on the MEASURED schedule
+    // size (the maxBroadcastDeltaDocs pattern):
+    //  - small/medium rounds (delta fits a broadcast): exact broadcast
+    //    anti-join against this round's delta, then the cumulative check
+    //    under the PRIOR bloom — which exactly covers the prior seen set,
+    //    so the merged bloom is only needed by the NEXT round and its
+    //    build runs off this round's critical path (seenBloomAfter thunk).
+    //  - huge rounds (10^7+ scheduled, delta unbroadcastable, or count
+    //    untracked): the prior shape — eager delta build + merge, one
+    //    bloom-prefiltered anti-join against seen ∪ delta — so candidates
+    //    never take an extra corpus-shaped shuffle at scale.
+    val deltaBroadcastable =
+      scheduledCount >= 0L && scheduledCount <= cfg.broadcastDeltaMaxKeys
+    val (fresh, seenBloomAfter) =
+      if (deltaBroadcastable) {
+        val afterDelta = freshCandidates
+          .join(broadcast(newSeenKeys), Seq("url_key"), "left_anti")
+          .as[FrontierEntry]
+        val f = seenKeys match {
+          case Some(s) => notSeen(spark, afterDelta, s, cfg, seenCountHint, seenBloom)
+          case None => afterDelta
+        }
+        lazy val merged = buildBloomAfter()
+        (f, () => merged)
+      } else {
+        val bloomAfter = buildBloomAfter()
+        val f = notSeen(spark, freshCandidates, seenAfter, cfg, seenAfterCount, bloomAfter)
+        (f, () => bloomAfter)
+      }
 
     // retries re-enter the frontier bypassing the seen check (J6,
     // handler.py:397-442: one re-pass for failures). `processed` still
@@ -332,7 +372,12 @@ object FrontierRound {
         ($"attempt" + 1).as("attempt"), $"discovered_round")
       .as[FrontierEntry]
 
+    // the loop-termination count rides the action that materializes the
+    // next frontier (checkpoint or snapshot write) — no separate
+    // isEmpty/count job at the top of the next iteration
+    val frontierObservation = new org.apache.spark.sql.Observation()
     val newFrontier = fresh.union(retries).union(plan.deferred)
+      .observe(frontierObservation, count(lit(1)).as("rows"))
 
     val metrics = processed
       .withColumn("partition_id", spark_partition_id())
@@ -348,7 +393,7 @@ object FrontierRound {
       .as[RoundMetrics]
 
     RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
-      scheduledCount, bloomAfter, observation,
+      scheduledCount, seenBloomAfter, frontierObservation, observation,
       Seq(scheduled, processed.toDF(), freshCandidates.toDF(), plan.dedupedCache))
   }
 }

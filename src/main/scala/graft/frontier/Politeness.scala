@@ -51,6 +51,17 @@ final case class PolitenessConfig(
     // deployment persists them as a table bucketed by `bucket`
     cuckooSeenBuckets: Int = 0,
     cuckooExpectedPerBucket: Long = 1L << 16,
+    // when a round's measured schedule size is at most this many keys, the
+    // fresh-outlink seen check handles THIS round's delta as a broadcast
+    // exact anti-join and prefilters only against the PRIOR cumulative
+    // bloom — which takes the delta-bloom build (a sequential per-round
+    // job, ~0.3-0.5s of the fixed cost that dominates small rounds) off
+    // the round's critical path (FrontierCrawl overlaps it with the
+    // checkpoint/commit wave). Above the gate — 10^7+ urls scheduled in
+    // one round, where a broadcast of the delta would not fit — rounds
+    // fall back to the eager merged-bloom prefilter (one exact anti-join,
+    // bloom build paid in-line), the at-scale shape
+    broadcastDeltaMaxKeys: Long = 1L << 20,
     // > 0 bounds the stored seen-set's manifest part list: when the prior
     // rounds' delta list reaches this length, the next commit folds them
     // into one compacted table (written concurrently with the round's own

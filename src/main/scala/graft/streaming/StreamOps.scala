@@ -261,14 +261,34 @@ object StreamOps {
     // parallelism and only the file count shrinks
     def shaped(df: DataFrame): DataFrame =
       if (writePartitions > 0) df.coalesce(writePartitions) else df
-    // the base persists content_hash so the NEXT delta's exact-dup check
-    // column-prunes to 32-byte rows instead of re-hashing corpus text
-    shaped(baseAppend.withColumn("content_hash", md5(col(textCol))))
-      .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
-    shaped(Dedup.lshBandIndex(baseAppend, textCol, idCol, cfg.minhashHashes,
-        cfg.minhashBands, cfg.shingleSize))
-      .write.mode("overwrite").parquet(s"$idxPath/batch_id=$batchId")
-    shaped(survivors).write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    // the three sub-table writes are independent reads of the fold's
+    // materialized (localCheckpoint) frames — submitted as CONCURRENT Spark
+    // jobs (the FrontierStore.commit pattern) so a micro-batch pays ~one
+    // write-job latency instead of three; per §D2 the fold is fixed-cost
+    // bound, so sequential job launches are exactly what its latency is
+    // made of. All three settle before the compaction check below.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        // the base persists content_hash so the NEXT delta's exact-dup
+        // check column-prunes to 32-byte rows instead of re-hashing text
+        () => shaped(baseAppend.withColumn("content_hash", md5(col(textCol))))
+          .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId"),
+        () => shaped(Dedup.lshBandIndex(baseAppend, textCol, idCol,
+            cfg.minhashHashes, cfg.minhashBands, cfg.shingleSize))
+          .write.mode("overwrite").parquet(s"$idxPath/batch_id=$batchId"),
+        () => shaped(survivors)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      ).map(w => Future(w()))
+      // settle every write before surfacing a failure: a replayed batch
+      // must not race a still-in-flight Overwrite on the same paths
+      val settled = Await.result(
+        Future.sequence(writes.map(_.transform(scala.util.Success(_)))),
+        Duration.Inf)
+      settled.foreach(_.get)
+    }
     // bound the partition count: without folding, a 10^4-batch stream pays
     // a 10^4-dir listing + multi-path read per micro-batch
     if (compactThreshold > 0 &&

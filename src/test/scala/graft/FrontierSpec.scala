@@ -73,6 +73,26 @@ class FrontierSpec extends SparkTestBase {
     assert(engSched == simSched)
   }
 
+  test("seen-check regimes are equivalent: broadcast-delta path == at-scale eager-bloom fallback") {
+    // small rounds take the broadcast-delta seen check (this round's keys
+    // anti-joined via broadcast, prior bloom prefilters the cumulative set,
+    // merged bloom built off the critical path); rounds above
+    // broadcastDeltaMaxKeys take the eager merged-bloom prefilter. The two
+    // regimes must produce identical crawls — force the fallback with a
+    // zero gate and compare against both the simulator and the default run
+    val (sim, eng) = runBoth(PolitenessConfig(defaultBudget = 7, saltBuckets = 4,
+      broadcastDeltaMaxKeys = 0L))
+    val engSeen = eng.seenKeys.collect().map(_.getString(0)).toSet
+    assert(engSeen == sim.seen)
+    val engSched = eng.schedule.select(col("round"), col("host"), col("slot"), col("url"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(engSched == sim.schedule.map(f => (f.round, f.host, f.slot, f.url)).toSet)
+    val (_, engDefault) = defaultRun
+    val defSched = engDefault.schedule.select(col("round"), col("host"), col("slot"), col("url"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(engSched == defSched)
+  }
+
   test("extracted url set equals simulator's; extraction is byte-identical") {
     val (sim, eng) = defaultRun
     val engExtract = eng.extracted.collect()
