@@ -200,10 +200,21 @@ object Curation {
       val pairs = Dedup.minhashLshPairsIncremental(corpusExact, corpusIndex,
         freshP, textCol, idCol, cfg.minhashHashes, cfg.minhashBands,
         cfg.jaccardThreshold, cfg.shingleSize)
-      val out = Dedup.keepClusterRepresentatives(freshP, pairs, idCol)
+      // the two materializations are independent once `pairs` is eager
+      // (survivors = freshP anti-joined to cluster losers; baseAppend =
+      // freshP projected) — run them as concurrent jobs so the fold pays
+      // one checkpoint latency, not two (the fold is fixed-cost-bound:
+      // BENCH/BASELINE.md §D2 attributes its floor to sequential job
+      // launches)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fOut = Future(Dedup.keepClusterRepresentatives(freshP, pairs, idCol)
         .select(outCols: _*)
-        .localCheckpoint(true)
-      val baseAppend = freshP.select(outCols: _*).localCheckpoint(true)
+        .localCheckpoint(true))
+      val fBase = Future(freshP.select(outCols: _*).localCheckpoint(true))
+      val out = Await.result(fOut, Duration.Inf)
+      val baseAppend = Await.result(fBase, Duration.Inf)
       freshP.unpersist(false)
       (out, baseAppend)
     }
