@@ -203,7 +203,16 @@ object StreamOps {
       fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
       batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
-    Seq("base", "index", "survivors").foreach { sub =>
+    // the three sub-tables are independent directories with independent
+    // generation counters — fold them CONCURRENTLY (each fold is a
+    // read+write+rename+sweep chain; run sequentially a compaction batch
+    // pays 3x that chain's job latency). Every fold settles before
+    // returning so a crash mid-compaction still leaves only
+    // ignored-by-readers temp/stale dirs per the newest-generation rule.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val folds = Seq("base", "index", "survivors").map { sub => Future {
       val root = s"$storeDir/$sub"
       val live = livePaths(fs, root)
       if (live.nonEmpty) {
@@ -225,7 +234,11 @@ object StreamOps {
           if (stale) fs.delete(st.getPath, true)
         }
       }
-    }
+    } }
+    val settled = Await.result(
+      Future.sequence(folds.map(_.transform(scala.util.Success(_)))),
+      Duration.Inf)
+    settled.foreach(_.get)
   }
 
   def foldCurateBatch(batch: DataFrame, batchId: Long, storeDir: String,
