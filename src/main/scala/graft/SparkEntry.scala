@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.Extractor
-import graft.ops.{Ann, Curation, Dedup, Multimodal, Search, TextStats, Tokenize}
+import graft.ops.{Ann, CharLm, Curation, Dedup, Multimodal, Search, TextStats, Tokenize}
 import graft.text.JalaliDate
 import graft.url.Urls
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -597,7 +597,32 @@ object SparkEntry {
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
 
     "text_token_count" -> ((s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"), TextStats.tokenCountWs(col("text")).as("n_ws_tokens")))
+      .select(col("doc_id"), TextStats.tokenCountWs(col("text")).as("n_ws_tokens"))),
+
+    // Gopher-style repetition signals; the synthetic docs are single-line,
+    // so the line axis is exercised over a words-as-lines construction
+    // (replace spaces with newlines — identical in the oracle); full
+    // multi-line semantics are spec-covered
+    "text_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextStats.repetitionSignals(
+          regexp_replace(col("text"), lit(" "), lit("\n"))).as("r1"),
+        TextStats.repetitionSignals(col("text")).as("r2"))
+        .select(col("doc_id"),
+          col("r1.dup_line_frac").as("dup_line_frac"),
+          col("r2.top_word_frac").as("top_word_frac"),
+          col("r2.dup_3gram_frac").as("dup_3gram_frac"))
+    }),
+
+    // CCNet-style LM quality gate: train the char-trigram model on the
+    // even-id half, score every doc (odd docs exercise the unseen-gram
+    // floor path)
+    "text_lm_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = CharLm.train(d.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+      CharLm.score(d, model, "doc_id", "text")
+    })
   )
 
   /** Multi-field search corpus constructed deterministically from
@@ -1155,6 +1180,58 @@ object SparkEntry {
 
     "text_token_count" ->
       """SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),
-         x -> len(x) > 0)) AS n_ws_tokens FROM documents"""
+         x -> len(x) > 0)) AS n_ws_tokens FROM documents""",
+
+    "text_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, text, replace(text, ' ', chr(10)) AS t2 FROM documents),
+         lines AS (
+           SELECT doc_id, list_filter(list_transform(string_split(t2, chr(10)),
+             l -> trim(l)), l -> len(l) > 0) AS ls FROM base),
+         linefrac AS (
+           SELECT doc_id, CASE WHEN len(ls) > 0
+             THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+             ELSE 0.0 END AS dup_line_frac FROM lines),
+         wordsarr AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+             w -> len(w) > 0) AS ws FROM base),
+         words AS (SELECT doc_id, unnest(ws) AS w FROM wordsarr),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+         topw AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+                  FROM wc GROUP BY 1),
+         grams AS (
+           SELECT doc_id, ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]
+             || ' ' || ws[CAST(i AS INT) + 3] AS g
+           FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                 FROM wordsarr WHERE len(ws) >= 3)),
+         gramfrac AS (
+           SELECT doc_id, 1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*)
+             AS dup_3gram_frac FROM grams GROUP BY 1)
+         SELECT b.doc_id,
+           round(l.dup_line_frac, 6) AS dup_line_frac,
+           round(coalesce(t.top_word_frac, 0.0), 6) AS top_word_frac,
+           round(coalesce(g.dup_3gram_frac, 0.0), 6) AS dup_3gram_frac
+         FROM base b
+         JOIN linefrac l USING (doc_id)
+         LEFT JOIN topw t USING (doc_id)
+         LEFT JOIN gramfrac g USING (doc_id)""",
+
+    "text_lm_score" ->
+      """WITH canon AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         tg AS (
+           SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM (
+             SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+             FROM canon WHERE len(t) >= 3)),
+         train AS (SELECT gram, count(*) AS c FROM tg WHERE doc_id % 2 = 0 GROUP BY 1),
+         pref AS (SELECT substr(gram, 1, 2) AS p, sum(c) AS pc FROM train GROUP BY 1),
+         model AS (SELECT gram, ln(CAST(c AS DOUBLE) / CAST(pc AS DOUBLE)) AS logp
+                   FROM train JOIN pref ON substr(gram, 1, 2) = p),
+         scored AS (SELECT g.doc_id, coalesce(m.logp, ln(CAST(1e-9 AS DOUBLE))) AS lp
+                    FROM tg g LEFT JOIN model m USING (gram))
+         SELECT d.doc_id, round(avg(s.lp), 6) AS avg_logp, count(s.lp) AS n_grams
+         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         GROUP BY d.doc_id"""
   )
 }

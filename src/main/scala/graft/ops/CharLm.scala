@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram language-model quality scoring — the CCNet-style
+  * perplexity gate of web-scale curation pipelines (Wenzek et al. 2020:
+  * docs are ranked by LM perplexity and the worst tail dropped; the LM
+  * here is a corpus-trained MLE char-n-gram model, the offline stand-in
+  * for a pretrained KenLM).
+  *
+  * Scale shape: training is ONE corpus shuffle (the gram count groupBy,
+  * map-side combined) — the model itself is bounded by charset^n rows
+  * (tens of thousands for char trigrams) regardless of corpus size, so it
+  * always BROADCASTS on the scoring path; scoring's only shuffle is the
+  * per-doc partial mean, rows = documents.
+  */
+object CharLm {
+
+  /** Whitespace-collapsed lowercase canonical form (the same text
+    * normalization the fingerprint/dedup ops use).
+    */
+  def canon(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** All overlapping character n-grams of the canonicalized text (empty
+    * array when the text is shorter than n).
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = canon(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train an MLE char-n-gram model over `docs`:
+    * P(c_n | c_1..c_{n-1}) = count(ngram) / count(prefix over ngram
+    * starts). Returns (gram, logp) — natural-log conditional
+    * probabilities.
+    */
+  def train(docs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val grams = docs.select(explode(charNgrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+    val prefix = grams.groupBy(substring(col("gram"), 1, n - 1).as("p"))
+      .agg(sum(col("c")).as("pc"))
+    grams.join(prefix, substring(col("gram"), 1, n - 1) === col("p"))
+      .select(col("gram"),
+        log(col("c").cast("double") / col("pc").cast("double")).as("logp"))
+  }
+
+  /** Score documents under a trained model: per-doc mean log-probability
+    * of its n-grams (`floorLogp` for grams unseen in training — the
+    * smoothing floor that makes cross-corpus scoring total). Every input
+    * doc appears in the output; docs shorter than n grams get a null
+    * mean and n_grams = 0. avg_logp is rounded to 6 dp at the source so
+    * the score is engine-stable (summation order differs per engine).
+    */
+  def score(docs: DataFrame, model: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, floorLogp: Double = math.log(1e-9)): DataFrame =
+    docs.select(col(idCol), explode_outer(charNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(model), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(when(col("gram").isNotNull,
+          coalesce(col("logp"), lit(floorLogp)))), 6).as("avg_logp"),
+        count(col("gram")).as("n_grams"))
+}

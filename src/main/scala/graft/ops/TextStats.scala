@@ -91,6 +91,50 @@ object TextStats {
       (lit(1.0) - least(noise * 4.0, lit(1.0))) * 0.2, lit(1.0)), lit(0.0)), 6)
   }
 
+  /** Gopher/FineWeb-style repetition signals — the quality gates a
+    * web-scale curation pipeline filters on beyond surface features
+    * (Rae et al. 2021 appendix A1.1: repetitious documents correlate with
+    * low quality): fraction of duplicate lines, mass fraction of the most
+    * frequent word, fraction of duplicate word 3-grams. Pure built-in
+    * array expressions — a shuffle-free per-document projection; the
+    * top-word count is the longest run of the SORTED word array (an
+    * O(n log n) fold), not an O(n²) per-distinct-word rescan.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val nLines = size(lines)
+    val dupLineFrac = when(nLines > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nLines.cast("double"))
+      .otherwise(lit(0.0))
+    val words = filter(split(lower(text), "\\W+"), w => length(w) > 0)
+    val nWords = size(words)
+    // longest run in the sorted array == the most frequent word's count
+    val sorted = array_sort(words)
+    val topCount = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (s, w) => {
+        val run = when(w === s.getField("prev"), s.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    val topWordFrac = when(nWords > 0,
+      topCount.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val grams = when(nWords >= 3,
+      transform(sequence(lit(1), nWords - 2),
+        i => array_join(slice(words, i, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val nGrams = size(grams)
+    val dupGramFrac = when(nGrams > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / nGrams.cast("double"))
+      .otherwise(lit(0.0))
+    struct(
+      round(dupLineFrac, 6).as("dup_line_frac"),
+      round(topWordFrac, 6).as("top_word_frac"),
+      round(dupGramFrac, 6).as("dup_3gram_frac"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the canonical-form hash used for exact near-layout dedup.
     */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Ann, Dedup, Multimodal, Sketches, TextStats}
+import graft.ops.{Ann, CharLm, Dedup, Multimodal, Sketches, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Semantic tests for the training-data ops that have no SQL oracle:
@@ -792,6 +792,58 @@ class OpsSpec extends SparkTestBase {
     assert(out(3L) == "ar")
     assert(out(4L) == "zh")
     assert(out(5L) == "unknown")
+  }
+
+  test("repetition signals: hand-computed line/word/3-gram fractions") {
+    val df = Seq(
+      // 4 non-blank lines (blank + padded lines normalized away), "same
+      // line here" twice -> dup_line_frac = 1 - 3/4; 11 words, "same" x3
+      // top -> top_word_frac = 3/11; 9 3-grams with "same line here"
+      // twice -> dup_3gram_frac = 1 - 8/9
+      (1L, "same line here\nother text\n\n  same line here  \nfinal bit same"),
+      // all-distinct everything
+      (2L, "alpha beta gamma delta"),
+      // empty text: all three fractions 0, no division blowup
+      (3L, ""),
+      // heavy repetition: "spam spam spam spam" -> top_word_frac 1.0,
+      // 2 3-grams both "spam spam spam" -> dup_3gram_frac 0.5
+      (4L, "spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextStats.repetitionSignals($"text").as("r"))
+      .select($"doc_id", $"r.dup_line_frac", $"r.top_word_frac", $"r.dup_3gram_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((0.25, 0.272727, 0.111111)))
+    assert(out(2L) == ((0.0, 0.25, 0.0)))
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 1.0, 0.5)))
+  }
+
+  test("char-LM: MLE trigram probabilities, floor for unseen, short-doc nulls") {
+    // train on one doc "abab": canon = "abab", trigrams aba, bab (1 each);
+    // prefixes ab->1, ba->1 => P = 1/1 for both, logp = 0
+    val train = Seq((0L, "abab")).toDF("doc_id", "text")
+    val model = CharLm.train(train, "text")
+    val m = model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set("aba", "bab"))
+    assert(m.values.forall(v => math.abs(v) < 1e-12))
+
+    val floor = math.log(1e-9)
+    val score = CharLm.score(Seq(
+        (1L, "abab"),    // all grams seen: avg_logp = 0, n_grams = 2
+        (2L, "abzz"),    // grams abz, bzz both unseen: avg = floor
+        (3L, "ab"),      // shorter than 3 chars: null avg, n_grams = 0
+        (4L, "ababz")    // aba, bab seen (0), abz unseen (floor): avg = floor/3
+      ).toDF("doc_id", "text"), model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2)))).toMap
+    assert(score.keySet == Set(1L, 2L, 3L, 4L)) // every doc present
+    assert(score(1L) == ((Some(0.0), 2L)))
+    assert(score(2L)._1.get == math.rint(floor * 1e6) / 1e6 && score(2L)._2 == 2L)
+    assert(score(3L) == ((None, 0L)))
+    assert(math.abs(score(4L)._1.get - floor / 3) < 1e-6)
+    // whitespace canonicalization: "a  b\tab" == "a b ab" grams
+    val ws = CharLm.score(Seq((9L, "AB AB")).toDF("doc_id", "text"), model, "doc_id", "text")
+      .collect().head
+    assert(ws.getLong(2) == 3L) // "ab ab" -> "ab ", "b a", " ab"
   }
 
   test("cluster assign: transitive chains collapse to the smallest id") {
