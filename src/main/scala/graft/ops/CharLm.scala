@@ -23,15 +23,18 @@ object CharLm {
   def canon(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** All overlapping character n-grams of the canonicalized text (empty
-    * array when the text is shorter than n).
+  /** All overlapping character n-grams of `t` AS-IS (no canonicalization;
+    * empty array when shorter than n). `t` MUST be a plain attribute
+    * column: expressions captured inside a higher-order lambda are
+    * re-evaluated per array element, so passing e.g. the canon()
+    * regexp directly turns a linear scan into O(len²) regexp work
+    * (measured 50x on the gate corpus). train/score project canon once
+    * and pass the attribute.
     */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = canon(text)
+  def charNgrams(t: Column, n: Int): Column =
     when(length(t) >= n,
       transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Train an MLE char-n-gram model over `docs`:
     * P(c_n | c_1..c_{n-1}) = count(ngram) / count(prefix over ngram
@@ -39,7 +42,8 @@ object CharLm {
     * probabilities.
     */
   def train(docs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val grams = docs.select(explode(charNgrams(col(textCol), n)).as("gram"))
+    val grams = docs.select(canon(col(textCol)).as("__t"))
+      .select(explode(charNgrams(col("__t"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
     val prefix = grams.groupBy(substring(col("gram"), 1, n - 1).as("p"))
       .agg(sum(col("c")).as("pc"))
@@ -57,7 +61,8 @@ object CharLm {
     */
   def score(docs: DataFrame, model: DataFrame, idCol: String, textCol: String,
       n: Int = 3, floorLogp: Double = math.log(1e-9)): DataFrame =
-    docs.select(col(idCol), explode_outer(charNgrams(col(textCol), n)).as("gram"))
+    docs.select(col(idCol), canon(col(textCol)).as("__t"))
+      .select(col(idCol), explode_outer(charNgrams(col("__t"), n)).as("gram"))
       .join(broadcast(model), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(

@@ -383,13 +383,11 @@ object Dedup {
     require(rows <= maxRows,
       s"ngramJaccardPairs is an all-pairs oracle op capped at $maxRows rows " +
         s"(got $rows); use minhashLshPairs for dedup at scale")
-    val chars = (c: Column) => split(c, "")
-    val gramsOf = (c: Column) => array_distinct(filter(
-      transform(sequence(lit(0), greatest(length(c) - n, lit(0))),
-        i => array_join(slice(chars(c), i + 1, lit(n)), "")),
-      g => length(g) === n))
-    val withGrams = df.select(col(idCol).as("id"),
-      gramsOf(lower(col(textCol))).as("grams"))
+    // lower(text) projected to an attribute first: a lambda-captured
+    // expression is re-evaluated per array element (see CharLm.charNgrams)
+    val withGrams = df
+      .select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
+      .select(col("id"), array_distinct(CharLm.charNgrams(col("__t"), n)).as("grams"))
     val l = withGrams.select(col("id").as("id_a"), col("grams").as("g_a"))
     val r = withGrams.select(col("id").as("id_b"), col("grams").as("g_b"))
     l.crossJoin(r)

@@ -121,10 +121,7 @@ object TextStats {
       s => s.getField("best"))
     val topWordFrac = when(nWords > 0,
       topCount.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
-    val grams = when(nWords >= 3,
-      transform(sequence(lit(1), nWords - 2),
-        i => array_join(slice(words, i, lit(3)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = wordTriGrams(words)
     val nGrams = size(grams)
     val dupGramFrac = when(nGrams > 0,
       lit(1.0) - size(array_distinct(grams)).cast("double") / nGrams.cast("double"))
@@ -135,6 +132,24 @@ object TextStats {
       round(dupGramFrac, 6).as("dup_3gram_frac"))
   }
 
+  /** Word 3-grams via zip_with over shifted copies of the word array.
+    * zip_with ARGUMENTS are evaluated once per row, whereas a
+    * slice(words, i, 3) inside a transform lambda re-evaluates the
+    * captured word split per element — O(n²) in doc length (measured 50x
+    * on the char-gram analog, CharLm.charNgrams). Empty when < 3 words.
+    */
+  private[ops] def wordTriGrams(words: Column): Column = {
+    val n = size(words)
+    val shift1 = slice(words, lit(2), greatest(n - 1, lit(0)))
+    val shift2 = slice(words, lit(3), greatest(n - 2, lit(0)))
+    when(n >= 3,
+      filter(
+        zip_with(zip_with(words, shift1, (a, b) => concat(a, lit(" "), b)),
+          shift2, (ab, c) => concat(ab, lit(" "), c)),
+        g => g.isNotNull))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the canonical-form hash used for exact near-layout dedup.
     */
@@ -143,12 +158,12 @@ object TextStats {
 
   /** Winnowing-style robust fingerprint: min-k of rolling n-gram hashes
     * (k smallest xxhash64 over word 3-grams) as a sorted array — stable
-    * under local edits; built-ins only.
+    * under local edits; built-ins only. Docs with < 3 words fingerprint
+    * to the empty array.
     */
   def minKFingerprint(text: Column, k: Int = 8): Column = {
     val words = filter(split(lower(text), "\\W+"), t => length(t) > 0)
-    val grams = transform(sequence(lit(0), greatest(size(words) - 3, lit(0))),
-      i => xxhash64(array_join(slice(words, i + 1, lit(3)), " ")))
-    slice(array_sort(array_distinct(grams)), 1, k)
+    val hashes = transform(wordTriGrams(words), g => xxhash64(g))
+    slice(array_sort(array_distinct(hashes)), 1, k)
   }
 }
