@@ -298,6 +298,39 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
     }),
 
+    "pipeline_curate_quality" -> ((s, dir) => {
+      // the quality-gated pipeline with near-dup DISABLED: every planted
+      // bad doc must die via the cheap per-doc gates alone, so a broken
+      // gate shows up as extra survivor rows (LSH can't silently rescue
+      // the result). Planted: exact copies (+1e7, die via keep-first —
+      // identical text passes the same gates), doubled text (+2e7,
+      // dup_3gram_frac = 1 - 40/78 ≈ 0.487 > 0.4), one-token spam (+6e7,
+      // top_word_frac = 1.0 > 0.9), duplicated-line docs (+7e7,
+      // dup_line_frac = 0.5 > 0.4). Survivors = the originals.
+      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val text = array_join(transform(sequence(lit(0), lit(39)),
+        j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
+          j.cast("string"))), 1, 8)), " ")
+      val d = ids.select(col("doc_id"), text.as("text")).localCheckpoint(true)
+      val exactCopies = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val doubled = d.select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      val spam = d.select((col("doc_id") + 60000000L).as("doc_id"),
+        array_join(array_repeat(substring(col("text"), 1, 8), 40), " ").as("text"))
+      // first 20 tokens (8 chars + separator each) twice, newline-joined
+      val lineDup = d.select((col("doc_id") + 70000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 179), lit("\n"),
+          substring(col("text"), 1, 179)).as("text"))
+      Curation.curate(
+        d.union(exactCopies).union(doubled).union(spam).union(lineDup),
+        "doc_id", "text",
+        Curation.Config(langs = Set("latin"), minTokens = 10, maxTokens = 200,
+          nearDup = false, maxDupLineFrac = 0.4, maxTopWordFrac = 0.9,
+          maxDup3gramFrac = 0.4))
+        .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+    }),
+
     "pipeline_curate_delta" -> ((s, dir) => {
       // incremental curation, oracle-exactly: corpus = the same constructed
       // md5-token docs as pipeline_curate; delta = exact copies (+1e7 — die
@@ -843,6 +876,18 @@ object SparkEntry {
           FROM scored) WHERE rank <= 5""",
 
     "pipeline_curate" ->
+      """WITH d AS (SELECT o_orderkey AS doc_id,
+           array_to_string(list_transform(range(0, 40),
+             j -> substr(md5(CAST(o_orderkey AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 8)),
+             ' ') AS text
+           FROM orders WHERE o_orderkey < 4000)
+         SELECT doc_id, text,
+         CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0
+           THEN 'unknown' ELSE 'latin' END AS lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens
+         FROM d""",
+
+    "pipeline_curate_quality" ->
       """WITH d AS (SELECT o_orderkey AS doc_id,
            array_to_string(list_transform(range(0, 40),
              j -> substr(md5(CAST(o_orderkey AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 8)),

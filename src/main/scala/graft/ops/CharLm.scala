@@ -69,4 +69,21 @@ object CharLm {
         round(avg(when(col("gram").isNotNull,
           coalesce(col("logp"), lit(floorLogp)))), 6).as("avg_logp"),
         count(col("gram")).as("n_grams"))
+
+  /** The CCNet perplexity gate as a composable pipeline stage: keep docs
+    * whose mean log-probability under `model` is at least `minAvgLogp`
+    * (docs too short to score — null avg — are kept iff `keepShort`).
+    * Survivor ids semi-join back to `docs`, so the full doc rows transit
+    * one id-keyed exchange and the text column never rides the gram
+    * explode's aggregation.
+    */
+  def filterByScore(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, minAvgLogp: Double, keepShort: Boolean = true,
+      n: Int = 3, floorLogp: Double = math.log(1e-9)): DataFrame = {
+    val scores = score(docs, model, idCol, textCol, n, floorLogp)
+    val keep = scores.filter(
+      if (keepShort) col("avg_logp").isNull || col("avg_logp") >= minAvgLogp
+      else col("avg_logp") >= minAvgLogp)
+    docs.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
+  }
 }

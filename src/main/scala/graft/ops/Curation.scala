@@ -40,7 +40,20 @@ object Curation {
       minhashBands: Int = 16,
       jaccardThreshold: Double = 0.9,
       shingleSize: Int = 3,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      // Gopher/FineWeb-style repetition + surface-quality gates, applied
+      // after the lang/token filter and BEFORE dedup (the cheap per-doc
+      // projection prunes the corpus before any shuffle-bearing stage).
+      // Defaults are no-ops so existing pipelines and their persisted
+      // dedupBase artifacts are unchanged.
+      maxDupLineFrac: Double = 1.0,
+      maxTopWordFrac: Double = 1.0,
+      maxDup3gramFrac: Double = 1.0,
+      minQualityScore: Double = 0.0,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
+    def qualityGatesActive: Boolean =
+      maxDupLineFrac < 1.0 || maxTopWordFrac < 1.0 ||
+        maxDup3gramFrac < 1.0 || minQualityScore > 0.0
+  }
 
   /** Stages 1-3 (annotate → filter → exact keep-first): the artifact an
     * incremental deployment PERSISTS — together with its
@@ -60,8 +73,22 @@ object Curation {
     val filtered = annotated
       .filter(col("lang").isin(cfg.langs.toSeq: _*))
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
-    if (cfg.exactDedup) Dedup.exactKeepFirst(filtered, textCol, idCol)
-    else filtered
+    val gated =
+      if (!cfg.qualityGatesActive) filtered
+      else {
+        // a pure per-doc projection riding the same scan — no extra pass.
+        // Gates run before keep-first so gated docs never enter the dedup
+        // exchange (order can't change survivors: exact copies share text,
+        // hence signals — a gated doc's copies are all gated).
+        val rep = TextStats.repetitionSignals(col(textCol))
+        filtered
+          .filter(rep.getField("dup_line_frac") <= cfg.maxDupLineFrac)
+          .filter(rep.getField("top_word_frac") <= cfg.maxTopWordFrac)
+          .filter(rep.getField("dup_3gram_frac") <= cfg.maxDup3gramFrac)
+          .filter(TextStats.qualityScore(col(textCol)) >= cfg.minQualityScore)
+      }
+    if (cfg.exactDedup) Dedup.exactKeepFirst(gated, textCol, idCol)
+    else gated
   }
 
   /** Persist a [[dedupBase]] artifact BUCKETED by `idCol` (with

@@ -338,6 +338,47 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Set(1L, 6L))
   }
 
+  test("curation quality gates: each gate kills exactly its pathology; defaults no-op") {
+    import graft.ops.Curation
+    val clean = "the quick brown fox jumps over the lazy dog again and plans shuffles today"
+    val docs = Seq(
+      (1L, clean),                                      // passes every gate
+      (2L, "the a the b the c the d the e the f the g"), // top_word 7/14 = 0.5; all 3-grams distinct
+      (3L, "alpha beta\ngamma delta\nalpha beta\ngamma delta\nepsilon zeta eta theta"), // dup_line 1-3/5 = 0.4; dup_3gram 0.2
+      (4L, clean + " " + clean),                        // dup_3gram 1-13/24 ≈ 0.458; single line; top_word 4/28
+      (5L, "zxqv1234 wkjh5678 qpzm9012 vbnm3456 asdf7890 qwer4321") // digit noise + no stopwords → quality ≈ 0.03
+    ).toDF("doc_id", "text")
+    val base = Curation.Config(langs = Set("latin"), minTokens = 5,
+      maxTokens = 100, nearDup = false)
+    def ids(cfg: Curation.Config): Set[Long] =
+      Curation.curate(docs, "doc_id", "text", cfg).collect().map(_.getLong(0)).toSet
+    // default thresholds are no-ops: every doc survives the gate stage
+    assert(ids(base) == Set(1L, 2L, 3L, 4L, 5L))
+    // each gate alone removes exactly its pathological doc
+    assert(ids(base.copy(maxTopWordFrac = 0.45)) == Set(1L, 3L, 4L, 5L))
+    assert(ids(base.copy(maxDupLineFrac = 0.35)) == Set(1L, 2L, 4L, 5L))
+    assert(ids(base.copy(maxDup3gramFrac = 0.45)) == Set(1L, 2L, 3L, 5L))
+    assert(ids(base.copy(minQualityScore = 0.2)) == Set(1L, 2L, 3L, 4L))
+    // composed: only the clean doc survives
+    assert(ids(base.copy(maxDupLineFrac = 0.35, maxTopWordFrac = 0.45,
+      maxDup3gramFrac = 0.45, minQualityScore = 0.2)) == Set(1L))
+  }
+
+  test("char-LM filterByScore: threshold gate; keepShort controls unscoreable docs") {
+    val model = CharLm.train(Seq((0L, "abab")).toDF("doc_id", "text"), "text")
+    val docs = Seq(
+      (1L, "abab"),  // every gram seen: avg_logp = 0
+      (2L, "abzz"),  // unseen grams: avg_logp = floor (~-20.7)
+      (3L, "ab")     // too short to score: null
+    ).toDF("doc_id", "text")
+    def kept(minLogp: Double, keepShort: Boolean): Set[Long] =
+      CharLm.filterByScore(docs, model, "doc_id", "text", minLogp, keepShort)
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(-1.0, keepShort = true) == Set(1L, 3L))
+    assert(kept(-1.0, keepShort = false) == Set(1L))
+    assert(kept(-100.0, keepShort = true) == Set(1L, 2L, 3L)) // floor above -100
+  }
+
   test("incremental curation: delta vs persisted base == batch curate restricted to delta") {
     import graft.ops.Curation
     val cfg = Curation.Config(langs = Set("latin"), minTokens = 5, maxTokens = 100,
