@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.Extractor
-import graft.ops.{Ann, CharLm, Curation, Dedup, Multimodal, Search, TextStats, Tokenize}
+import graft.ops.{Ann, CharLm, Curation, Decontaminate, Dedup, Multimodal, Search, TextStats, Tokenize}
 import graft.text.JalaliDate
 import graft.url.Urls
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -655,6 +655,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val model = CharLm.train(d.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
       CharLm.score(d, model, "doc_id", "text")
+    }),
+
+    // benchmark decontamination: the "benchmark" is every 10th doc's text,
+    // so those docs are fully contaminated by construction and the rest
+    // hit only via genuine shared 5-grams (n lowered from the published 13
+    // because the synthetic docs are ~50 words)
+    "decontaminate_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(10)) === 0).select(col("text"))
+      val bg = Decontaminate.benchmarkGrams(bench, "text", n = 5)
+      Decontaminate.contaminationStats(d, bg, "doc_id", "text", n = 5)
     })
   )
 
@@ -1277,6 +1288,25 @@ object SparkEntry {
                     FROM tg g LEFT JOIN model m USING (gram))
          SELECT d.doc_id, round(avg(s.lp), 6) AS avg_logp, count(s.lp) AS n_grams
          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-         GROUP BY d.doc_id"""
+         GROUP BY d.doc_id""",
+
+    "decontaminate_stats" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+             x -> len(x) > 0) AS ws FROM documents),
+         g AS (
+           SELECT doc_id,
+             array_to_string(ws[CAST(i AS INT) + 1 : CAST(i AS INT) + 5], ' ') AS gram
+           FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+                 FROM w WHERE len(ws) >= 5)),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+         hits AS (
+           SELECT g.doc_id, count(*) AS n_grams, count(bg.gram) AS n_contaminated
+           FROM g LEFT JOIN bg ON g.gram = bg.gram GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(h.n_grams, 0) AS n_grams,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
   )
 }

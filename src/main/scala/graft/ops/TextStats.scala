@@ -132,23 +132,26 @@ object TextStats {
       round(dupGramFrac, 6).as("dup_3gram_frac"))
   }
 
-  /** Word 3-grams via zip_with over shifted copies of the word array.
-    * zip_with ARGUMENTS are evaluated once per row, whereas a
-    * slice(words, i, 3) inside a transform lambda re-evaluates the
-    * captured word split per element — O(n²) in doc length (measured 50x
-    * on the char-gram analog, CharLm.charNgrams). Empty when < 3 words.
+  /** Word n-grams via chained zip_with over shifted copies of the word
+    * array. zip_with ARGUMENTS are evaluated once per row, whereas a
+    * slice(words, i, n) inside a transform lambda re-evaluates the
+    * captured word split per element — O(len²) in doc length (measured
+    * 50x on the char-gram analog, CharLm.charNgrams). zip_with pads the
+    * shorter side with null and concat propagates it, so the trailing
+    * partial windows drop in one null filter. Empty when < n words.
     */
-  private[ops] def wordTriGrams(words: Column): Column = {
-    val n = size(words)
-    val shift1 = slice(words, lit(2), greatest(n - 1, lit(0)))
-    val shift2 = slice(words, lit(3), greatest(n - 2, lit(0)))
-    when(n >= 3,
-      filter(
-        zip_with(zip_with(words, shift1, (a, b) => concat(a, lit(" "), b)),
-          shift2, (ab, c) => concat(ab, lit(" "), c)),
-        g => g.isNotNull))
+  def wordNgrams(words: Column, n: Int): Column = {
+    require(n >= 2, s"wordNgrams needs n >= 2 (got $n); n = 1 is the word array")
+    val sz = size(words)
+    val joined = (1 until n).foldLeft(words) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k + 1), greatest(sz - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(sz >= n, filter(joined, g => g.isNotNull))
       .otherwise(array().cast("array<string>"))
   }
+
+  private[ops] def wordTriGrams(words: Column): Column = wordNgrams(words, 3)
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the canonical-form hash used for exact near-layout dedup.

@@ -887,6 +887,46 @@ class OpsSpec extends SparkTestBase {
     assert(ws.getLong(2) == 3L) // "ab ab" -> "ab ", "b a", " ab"
   }
 
+  test("decontamination: n-gram overlap flags, any-hit filter, short-doc immunity") {
+    import graft.ops.Decontaminate
+    val bench = Seq("The quick brown fox jumps").toDF("text") // one 5-gram
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains the benchmark gram
+      (2L, "a completely different doc with plenty of words here"), // 5 grams, 0 hits
+      (3L, "too short"),                                   // < 5 words: 0 grams, immune
+      (4L, "the quick brown fox leaps over and over again") // 4-word prefix only: clean
+    ).toDF("doc_id", "text")
+    val bg = Decontaminate.benchmarkGrams(bench, "text", n = 5)
+    assert(bg.collect().map(_.getString(0)).toSet == Set("the quick brown fox jumps"))
+    val stats = Decontaminate.contaminationStats(docs, bg, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(stats(1L) == ((5L, 1L, true)))
+    assert(stats(2L) == ((5L, 0L, false)))
+    assert(stats(3L) == ((0L, 0L, false)))
+    assert(stats(4L) == ((5L, 0L, false)))
+    val kept = Decontaminate.removeContaminated(docs, bench, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+    // minHits above the overlap keeps the doc
+    val keptMin2 = Decontaminate.removeContaminated(docs, bench, "doc_id", "text",
+      n = 5, minHits = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptMin2 == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("wordNgrams: n = 2 and n = 4 windows, exact boundary, sub-n empty") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    def grams(n: Int): Seq[String] = df.select(
+      graft.ops.TextStats.wordNgrams(
+        filter(split(lower(col("text")), "\\W+"), w => length(w) > 0), n).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(grams(2) == Seq("a b", "b c", "c d"))
+    assert(grams(3) == Seq("a b c", "b c d"))
+    assert(grams(4) == Seq("a b c d")) // exact boundary: one window
+    assert(grams(5) == Seq.empty)      // shorter than n
+  }
+
   test("cluster assign: transitive chains collapse to the smallest id") {
     // a-b, b-c form one cluster (a,c never paired directly); d-e another
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
