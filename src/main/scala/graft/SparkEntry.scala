@@ -657,6 +657,13 @@ object SparkEntry {
       CharLm.score(d, model, "doc_id", "text")
     }),
 
+    // per-source document cap (anti-flood domain mix control): keep the
+    // 10 earliest docs of each source via the salted two-phase window
+    "curate_source_cap" -> ((s, dir) =>
+      Curation.capPerSource(t(s, dir, "documents"), "source", "doc_id", k = 10)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))),
+
     // benchmark decontamination: the "benchmark" is every 10th doc's text,
     // so those docs are fully contaminated by construction and the rest
     // hit only via genuine shared 5-grams (n lowered from the published 13
@@ -1289,6 +1296,12 @@ object SparkEntry {
          SELECT d.doc_id, round(avg(s.lp), 6) AS avg_logp, count(s.lp) AS n_grams
          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
          GROUP BY d.doc_id""",
+
+    "curate_source_cap" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+           SELECT doc_id, text, lang, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn <= 10""",
 
     "decontaminate_stats" ->
       """WITH w AS (

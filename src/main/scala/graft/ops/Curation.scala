@@ -91,6 +91,30 @@ object Curation {
     else gated
   }
 
+  /** Per-source (domain) document cap — the anti-flood gate of web
+    * corpus curation: keep at most `k` docs per source, smallest `idCol`
+    * first (ingest order), so one SEO-spam domain cannot dominate the
+    * training mix.
+    *
+    * Skew is the whole problem at 100 TB: a single hot domain can hold
+    * 10^8 docs, and a naive per-source rank would sort them all in one
+    * task. Spark's rank-limit pushdown (WindowGroupLimit, 3.5+) makes the
+    * single declarative window skew-safe by itself: a PARTIAL group-limit
+    * prunes every map partition to its own top-k per source BEFORE the
+    * exchange, so the hot source's reducer sees ≤ k·inputPartitions rows,
+    * not 10^8 — the same bound a hand-salted two-phase window gives, with
+    * one exchange instead of two (the spec asserts the Partial node, so a
+    * regression to full-sort shows up as a plan diff).
+    */
+  def capPerSource(docs: DataFrame, sourceCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    docs.withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      .drop("__r")
+  }
+
   /** Persist a [[dedupBase]] artifact BUCKETED by `idCol` (with
     * `content_hash` alongside — the at-rest form both residual corpus
     * reads of [[curateDelta]] want): the near-dup verification's

@@ -887,6 +887,33 @@ class OpsSpec extends SparkTestBase {
     assert(ws.getLong(2) == 3L) // "ab ab" -> "ab ", "b a", " ab"
   }
 
+  test("per-source cap: smallest k ids per source survive; group-limit prunes pre-shuffle") {
+    import graft.ops.Curation
+    // hot source with 5000 docs, cold with 3; interleaved ids so the cap
+    // must pick by ORDER, not by arrival
+    val rows = (0L until 5000L).map(i => (i * 2, "hot")) ++
+      Seq((1L, "cold"), (9001L, "cold"), (5L, "cold"))
+    val docs = rows.toDF("doc_id", "source")
+    val capped = Curation.capPerSource(docs, "source", "doc_id", k = 4)
+    val kept = capped.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((0L, "hot"), (2L, "hot"), (4L, "hot"), (6L, "hot"),
+      (1L, "cold"), (5L, "cold"), (9001L, "cold")))
+    // skew-tolerance evidence: the rank-limit pushdown's PARTIAL
+    // WindowGroupLimit prunes each map partition to top-k per source
+    // before the single exchange — a regression to a full per-source sort
+    // (no Partial node, or a second exchange) fails here
+    // AQE's toString appends the Initial Plan — scope asserts to the final
+    val plan = capped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    // k = 1 keeps exactly the min id per source
+    val k1 = Curation.capPerSource(docs, "source", "doc_id", k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(k1 == Set((0L, "hot"), (1L, "cold")))
+  }
+
   test("decontamination: n-gram overlap flags, any-hit filter, short-doc immunity") {
     import graft.ops.Decontaminate
     val bench = Seq("The quick brown fox jumps").toDF("text") // one 5-gram
