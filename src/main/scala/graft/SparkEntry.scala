@@ -657,6 +657,43 @@ object SparkEntry {
       CharLm.score(d, model, "doc_id", "text")
     }),
 
+    // deterministic train/val/test split + per-source mixture sampling in
+    // one row-level-compared output: the md5 unit draw makes every
+    // decision reproducible in DuckDB bit-for-bit
+    "mix_sample_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sampled = graft.ops.Mix.sampleBySource(d,
+        Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5), "source", "doc_id",
+        defaultWeight = 0.75)
+      graft.ops.Mix.assignSplit(sampled, "doc_id", valFrac = 0.1, testFrac = 0.2)
+        .select(col("doc_id"), col("source"), col("split"))
+    }),
+
+    // PII scrub: plant deterministic emails/IPs/phones on modular doc
+    // subsets (counts vary per doc), redact, and count — byte-exact in
+    // DuckDB because every pattern is RE2-safe with greedy-class-only
+    // structure (see Pii scaladoc)
+    "text_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pid = col("doc_id")
+      val withPii = d.select(pid, concat(
+        col("text"),
+        when(pmod(pid, lit(3)) === 0,
+          concat(lit(" contact u"), pid, lit("@example.org"))).otherwise(lit("")),
+        when(pmod(pid, lit(4)) === 0,
+          concat(lit(" from 10.2."), pmod(pid, lit(256)), lit(".7"))).otherwise(lit("")),
+        when(pmod(pid, lit(5)) === 0,
+          concat(lit(" tel +1-555-01"), pmod(pid, lit(100)))).otherwise(lit("")))
+        .as("t"))
+      withPii.select(col("doc_id"),
+        graft.ops.Pii.redact(col("t")).as("text_redacted"),
+        graft.ops.Pii.piiCounts(col("t")).as("p"))
+        .select(col("doc_id"), col("text_redacted"),
+          col("p.n_emails").as("n_emails"),
+          col("p.n_ips").as("n_ips"),
+          col("p.n_phones").as("n_phones"))
+    }),
+
     // per-source document cap (anti-flood domain mix control): keep the
     // 10 earliest docs of each source via the salted two-phase window
     "curate_source_cap" -> ((s, dir) =>
@@ -1296,6 +1333,48 @@ object SparkEntry {
          SELECT d.doc_id, round(avg(s.lp), 6) AS avg_logp, count(s.lp) AS n_grams
          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
          GROUP BY d.doc_id""",
+
+    "mix_sample_split" ->
+      """WITH draws AS (
+           SELECT doc_id, source,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)
+               AS BIGINT) AS DOUBLE) / CAST(4294967296.0 AS DOUBLE) AS u_mix,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+               AS BIGINT) AS DOUBLE) / CAST(4294967296.0 AS DOUBLE) AS u_split
+           FROM documents),
+         sampled AS (
+           SELECT * FROM draws WHERE u_mix <
+             CASE source WHEN 'src0' THEN CAST(0.0 AS DOUBLE)
+               WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+               WHEN 'src2' THEN CAST(0.5 AS DOUBLE)
+               ELSE CAST(0.75 AS DOUBLE) END)
+         SELECT doc_id, source,
+           CASE WHEN u_split < CAST(0.1 AS DOUBLE) THEN 'val'
+                WHEN u_split < CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) THEN 'test'
+                ELSE 'train' END AS split
+         FROM sampled""",
+
+    "text_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' contact u' || doc_id || '@example.org' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+               THEN ' from 10.2.' || (doc_id % 256) || '.7' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' tel +1-555-01' || (doc_id % 100) ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+             '\+[0-9][0-9-]{6,}[0-9]', '[PHONE]', 'g') AS text_redacted,
+           len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(t, '\+[0-9][0-9-]{6,}[0-9]')) AS n_phones
+         FROM p""",
 
     "curate_source_cap" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (

@@ -914,6 +914,74 @@ class OpsSpec extends SparkTestBase {
     assert(k1 == Set((0L, "hot"), (1L, "cold")))
   }
 
+  test("mix: md5 unit draw matches reference digest; sampling/split deterministic and stable") {
+    import graft.ops.Mix
+    // reference draw for one (id, salt) computed with MessageDigest directly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("42split".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+    val expected = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    val got = Seq(42L).toDF("doc_id")
+      .select(Mix.unitDraw($"doc_id", "split")).collect().head.getDouble(0)
+    assert(got == expected)
+
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val weights = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5)
+    val kept = Mix.sampleBySource(docs, weights, "source", "doc_id",
+      defaultWeight = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!bySrc.contains("src0"))               // weight 0: nothing survives
+    assert(bySrc("src1") == 500)                  // weight 1: everything survives
+    assert(bySrc("src2") > 175 && bySrc("src2") < 325)   // ~250
+    assert(bySrc("src3") > 75 && bySrc("src3") < 175)    // default 0.25 → ~125
+    // deterministic: a second run selects the identical set
+    val again = Mix.sampleBySource(docs, weights, "source", "doc_id",
+      defaultWeight = 0.25).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+
+    val split = Mix.assignSplit(docs, "doc_id", valFrac = 0.1, testFrac = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("val") > 140 && counts("val") < 260)    // ~200
+    assert(counts("test") > 320 && counts("test") < 480)  // ~400
+    assert(counts("train") > 1300)
+    // stability under growth: labels of the first 500 ids are unchanged
+    // when the corpus doubles (the property rand()/sample() cannot give)
+    val grown = Mix.assignSplit(
+      (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source"),
+      "doc_id", valFrac = 0.1, testFrac = 0.2)
+      .filter($"doc_id" < 500).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((0L until 500L).forall(i => grown(i) == split(i)))
+  }
+
+  test("pii scrub: emails/ips/phones redact in order; near-misses untouched") {
+    import graft.ops.Pii
+    val df = Seq(
+      (1L, "write a.b+c@sub.example.org or x@y.io today"),   // 2 emails
+      (2L, "server 10.0.255.1 and 192.168.1.77 up"),         // 2 ips
+      (3L, "call +1-202-555-0173 now"),                      // 1 phone
+      (4L, "version 1.2.3 of lib, build 10.5, id 555-0100"), // near-misses: none
+      (5L, "mix bob@corp.net at 8.8.8.8 tel +49-30-1234567") // one of each
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      Pii.redact($"text").as("r"), Pii.piiCounts($"text").as("c"))
+      .select($"doc_id", $"r", $"c.n_emails", $"c.n_ips", $"c.n_phones")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == (("write [EMAIL] or [EMAIL] today", 2, 0, 0)))
+    assert(out(2L) == (("server [IP] and [IP] up", 0, 2, 0)))
+    assert(out(3L) == (("call [PHONE] now", 0, 0, 1)))
+    // 1.2.3 (three octets), 10.5, bare 555-0100: no redaction
+    assert(out(4L) == (("version 1.2.3 of lib, build 10.5, id 555-0100", 0, 0, 0)))
+    assert(out(5L) == (("mix [EMAIL] at [IP] tel [PHONE]", 1, 1, 1)))
+    // all-numeric domain: not an email (no alpha TLD), so the IP pass
+    // gets it — order is deterministic, not racy
+    val tricky = Seq((9L, "u@1.2.3.44 stop")).toDF("doc_id", "text")
+      .select(Pii.redact($"text")).collect().head.getString(0)
+    assert(tricky == "u@[IP] stop")
+  }
+
   test("decontamination: n-gram overlap flags, any-hit filter, short-doc immunity") {
     import graft.ops.Decontaminate
     val bench = Seq("The quick brown fox jumps").toDF("text") // one 5-gram
