@@ -471,6 +471,27 @@ object SparkEntry {
         .withColumn("token_ids", array_join(col("token_ids"), " "))
     }),
 
+    "tokenize_pack" -> ((s, dir) => {
+      // GPT-style packing: the encoded corpus concatenated in doc_id order
+      // (eos 99 after each doc — outside the 1..30 vocab and the 0 unk),
+      // cut into 16-id training sequences, tail kept at >= 8
+      val docs = t(s, dir, "documents")
+      val vocab = Tokenize.buildVocab(docs, "text", vocabSize = 30)
+      val enc = Tokenize.encode(docs, "text", "doc_id", vocab)
+      Tokenize.packSequences(enc, "doc_id", seqLen = 16, eosId = Some(99),
+          minLen = 8, prefixBuckets = 8)
+        .withColumn("token_ids", array_join(col("token_ids"), " "))
+    }),
+
+    "dedup_paragraph" -> ((s, dir) => {
+      // corpus-wide line dedup over a deterministic multi-line rendering of
+      // documents (every 8th space → newline): planted exact-copy docs lose
+      // every line and vanish; shared tails dedup to their first holder
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n").as("text"))
+      Dedup.paragraphDedup(d, "text", "doc_id")
+    }),
+
     "ann_lsh_pairs" -> ((s, dir) =>
       // no oracle (hash-derived hyperplanes); OpsSpec verifies vs brute force
       Ann.lshCandidatePairs(t(s, dir, "embeddings"),
@@ -1067,6 +1088,53 @@ object SparkEntry {
            WHERE len(token_ids) > 0)
          SELECT doc_id, chunk_idx, array_to_string(token_ids, ' ') AS token_ids
          FROM chunks WHERE len(token_ids) >= 8""",
+
+    "tokenize_pack" ->
+      """WITH base AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           FROM documents),
+         vocab AS (
+           SELECT token, CAST(rn AS INT) AS token_id FROM
+           (SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+            FROM (SELECT unnest(toks) AS token FROM base) GROUP BY token)
+           WHERE rn <= 30),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+           FROM base),
+         enc AS (
+           SELECT t.doc_id,
+             list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids
+           FROM tok t LEFT JOIN vocab v USING (token)
+           GROUP BY t.doc_id),
+         stream AS (
+           SELECT flatten(list(list_append(token_ids, 99) ORDER BY doc_id)) AS s
+           FROM enc WHERE len(token_ids) > 0),
+         packs AS (
+           SELECT CAST(k AS INT) AS seq_idx,
+             s[CAST(k*16 + 1 AS BIGINT) : CAST(k*16 + 16 AS BIGINT)] AS ids
+           FROM stream, unnest(range(0,
+             CAST(ceil(len(s) / 16.0) AS BIGINT))) AS t(k))
+         SELECT seq_idx, array_to_string(ids, ' ') AS token_ids
+         FROM packs WHERE len(ids) >= 8""",
+
+    "dedup_paragraph" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+         lines AS (
+           SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS idx
+           FROM ls),
+         kept AS (
+           SELECT doc_id, idx, line FROM
+           (SELECT doc_id, idx, line,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+            FROM lines)
+           WHERE rn = 1)
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+           CAST(count(*) AS INT) AS n_lines_kept
+         FROM kept GROUP BY doc_id""",
 
     "url_canonicalize" ->
       """SELECT o_orderkey,

@@ -370,6 +370,55 @@ object Dedup {
       seed: Long = 42L): DataFrame =
     Ann.lshCandidatePairs(corpus, bits, tables, dim, minCosine, idCol, vecCol, seed)
 
+  /** Corpus-wide paragraph-level exact dedup (CCNet/FineWeb line dedup):
+    * split every document on `sep`, keep each distinct line only at its
+    * FIRST occurrence over the whole corpus (ordered by (idCol, position) —
+    * document order, so the winner is deterministic), and reassemble the
+    * surviving lines back into documents. Within-document repeated lines
+    * dedup too (the boilerplate case: nav bars, footers, cookie banners
+    * repeated across a crawl). Documents whose every line loses disappear
+    * from the output — an exact copy of an earlier doc contributes nothing.
+    *
+    * Output: (idCol, textCol, n_lines_kept).
+    *
+    * Scale shape — two exchanges, no joins:
+    *  1. hash exchange on the line content for the keep-first window. The
+    *     `row_number <= 1` filter triggers Spark's rank-limit pushdown, so
+    *     a WindowGroupLimit(Partial) prunes every map partition to one
+    *     candidate per line BEFORE the shuffle — the 10^9-occurrence
+    *     boilerplate line ships ≤ one row per input partition, never a
+    *     hot reducer (same mechanism as [[Curation.capPerSource]]).
+    *  2. hash exchange on idCol for the reassembly aggregation.
+    * Lines shorter than `minLineChars` bypass dedup entirely (kept
+    * verbatim) — the CCNet guard against deleting every blank line or
+    * "###" separator corpus-wide; the bypass branch never enters the
+    * window shuffle, preserving the group-limit pushdown on the long side.
+    */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", minLineChars: Int = 0): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__idx", "__line")))
+    val (eligible, bypass) =
+      if (minLineChars > 0)
+        (lines.filter(length(col("__line")) >= minLineChars),
+          lines.filter(length(col("__line")) < minLineChars))
+      else (lines, lines.limit(0))
+    val w = Window.partitionBy(col("__line")).orderBy(col(idCol), col("__idx"))
+    val kept = eligible
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 1)
+      .drop("__rn")
+      .unionByName(bypass)
+    kept
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__idx"), col("__line")))).as("__o"),
+        count(lit(1)).cast("int").as("n_lines_kept"))
+      .select(col(idCol),
+        array_join(transform(col("__o"), x => x.getField("__line")), sep).as(textCol),
+        col("n_lines_kept"))
+  }
+
   /** Exact n-gram (character) Jaccard similarity — an ALL-PAIRS cartesian
     * product, usable only as the small-scale oracle twin of the LSH
     * operators (ground truth for recall checks). To make misuse at scale

@@ -122,4 +122,85 @@ object Tokenize {
       .filter(size(col("__chunk")) >= minLen)
       .select(col(idCol), col("chunk_idx"), col("__chunk").as("token_ids"))
   }
+
+  /** GPT-style sequence packing: conceptually concatenate every document's
+    * token ids in `idCol` order (appending `eosId` after each doc when
+    * set), then cut the single global stream into consecutive `seqLen`-id
+    * training sequences — documents cross sequence boundaries, no padding
+    * is ever emitted, and the one partial tail sequence is kept only if
+    * ≥ `minLen`. Output: (seq_idx, token_ids). Empty documents are dropped
+    * (they would contribute only a separator).
+    *
+    * The result is a pure function of the input — the internal bucketing
+    * below never affects which id lands in which sequence.
+    *
+    * Scale shape — the global concatenation is a distributed prefix sum,
+    * never a partitionless window:
+    *  1. the NARROW (id, length) projection is range-bucketed by id;
+    *     per-bucket token totals (one row per bucket) come to the driver —
+    *     the k-means-centroid-sized collect this repo allows — and the
+    *     exclusive bucket base offsets broadcast back.
+    *  2. within-bucket running sums use a window PARTITIONED by bucket
+    *     (`prefixBuckets`-way parallel; a partitionless window over the
+    *     corpus would be one task at 100 TB).
+    *  3. offsets rejoin the token arrays on idCol — the key `encode`'s
+    *     groupBy already laid the corpus out by — and each doc posexplodes
+    *     into the ≤ ⌈n/seqLen⌉+1 sequences it overlaps, slicing its
+    *     contribution per sequence. One final exchange on seq_idx
+    *     reassembles; token arrays transit exactly that one shuffle plus
+    *     the offset join.
+    */
+  def packSequences(encoded: DataFrame, idCol: String, seqLen: Int,
+      eosId: Option[Int] = None, minLen: Int = 1,
+      prefixBuckets: Int = 32): DataFrame = {
+    require(seqLen >= 1 && minLen >= 1 && minLen <= seqLen,
+      "need 1 <= minLen <= seqLen")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val L = seqLen.toLong
+    val docs = encoded.filter(size(col("token_ids")) > 0)
+    val withToks = eosId match {
+      case Some(e) => docs.withColumn("__toks",
+        concat(col("token_ids"), array(lit(e))))
+      case None => docs.withColumn("__toks", col("token_ids"))
+    }
+    // phase 1: exact global offsets over the narrow (id, n) projection.
+    // localCheckpoint pins the range bucketing so the totals job and the
+    // window job cannot disagree on spark_partition_id (correctness does
+    // not depend on the split points, but the two uses must share them).
+    val narrow = withToks.select(col(idCol), size(col("__toks")).cast("long").as("__n"))
+      .repartitionByRange(prefixBuckets, col(idCol))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = narrow.groupBy(col("__b")).agg(sum(col("__n")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive base for bucket b = sum of totals of buckets < b
+    val baseByBucket = totals.map(_._1).zip(
+      totals.scanLeft(0L) { case (acc, (_, t)) => acc + t }.init)
+    val baseDf = broadcast(baseByBucket.toSeq.toDF("__b", "__base"))
+    val wB = Window.partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = narrow
+      .withColumn("__local", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .join(baseDf, "__b")
+      .select(col(idCol), (col("__local") + col("__base")).as("__off"))
+    // phase 2: each doc contributes a slice to every sequence it overlaps
+    val pieces = withToks
+      .join(offsets, idCol)
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .select(col("__toks"), col("__off"), col("__n"),
+        posexplode(sequence(floor(col("__off") / L),
+          floor((col("__off") + col("__n") - lit(1L)) / L))).as(Seq("__p", "__k")))
+      .withColumn("__ls", greatest(col("__k") * L - col("__off"), lit(0L)))
+      .withColumn("__le", least((col("__k") + lit(1L)) * L - col("__off"), col("__n")))
+      .select(col("__k"), col("__off"),
+        slice(col("__toks"), (col("__ls") + 1).cast("int"),
+          (col("__le") - col("__ls")).cast("int")).as("__piece"))
+    pieces
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(struct(col("__off"), col("__piece")))).as("__o"))
+      .select(col("__k").cast("int").as("seq_idx"),
+        flatten(transform(col("__o"), x => x.getField("__piece"))).as("token_ids"))
+      .filter(size(col("token_ids")) >= minLen)
+  }
 }

@@ -310,6 +310,91 @@ class OpsSpec extends SparkTestBase {
       ("t197", 4), ("t196", 5), ("t195", 6)))
   }
 
+  test("paragraph dedup: corpus-wide keep-first lines, skew-safe plan, bypass") {
+    import graft.ops.Dedup
+    val docsP = Seq(
+      (0L, "x\nx"),          // within-doc dup: second x loses
+      (1L, "a\nb\nc"),
+      (2L, "b\nd\nb"),       // both b's lose to doc 1
+      (3L, "a\nb\nc"),       // exact copy → every line loses → doc vanishes
+      (4L, "e\n\nf\n")       // first "" kept, trailing "" loses
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docsP, "text", "doc_id")
+    val byId = got.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(byId == Map(
+      0L -> (("x", 1)),
+      1L -> (("a\nb\nc", 3)),
+      2L -> (("d", 1)),
+      4L -> (("e\n\nf", 3))))
+
+    // skew-tolerance: the keep-first rank filter must push a PARTIAL
+    // WindowGroupLimit below the line exchange (a corpus-hot boilerplate
+    // line ships ≤ 1 row per map partition); exactly two exchanges total
+    // (line window + reassembly agg)
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 2, plan)
+
+    // minLineChars: short lines bypass dedup (kept verbatim everywhere)
+    val docsS = Seq(
+      (1L, "aa\n-\nbb"),
+      (2L, "aa\n-\ncc")      // "aa" loses, "-" (short) bypasses
+    ).toDF("doc_id", "text")
+    val short = Dedup.paragraphDedup(docsS, "text", "doc_id", minLineChars = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(short == Map(1L -> "aa\n-\nbb", 2L -> "-\ncc"))
+  }
+
+  test("sequence packing: concat-and-chunk across docs, deterministic, partition-proof") {
+    import graft.ops.Tokenize
+    val fix = Seq(
+      (1L, Seq(1, 2, 3, 4, 5)),
+      (2L, Seq(6, 7)),
+      (3L, Seq.empty[Int]),  // empty doc: dropped, contributes no eos
+      (4L, Seq(8, 9, 10, 11, 12, 13, 14))
+    ).toDF("doc_id", "token_ids")
+    // stream with eos 0: 1 2 3 4 5 0 | 6 7 0 | 8..14 0  (17 ids)
+    val expected = Seq(
+      0 -> Seq(1, 2, 3, 4), 1 -> Seq(5, 0, 6, 7), 2 -> Seq(0, 8, 9, 10),
+      3 -> Seq(11, 12, 13, 14), 4 -> Seq(0))
+    val got = Tokenize.packSequences(fix, "doc_id", seqLen = 4,
+        eosId = Some(0), minLen = 1, prefixBuckets = 3)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+    assert(got == expected)
+    // minLen drops the partial tail only
+    val noTail = Tokenize.packSequences(fix, "doc_id", seqLen = 4,
+        eosId = Some(0), minLen = 2, prefixBuckets = 3)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+    assert(noTail == expected.init)
+
+    // randomized parity vs a single-node reference; scrambled input
+    // partitioning must not change a single id (offsets are exact)
+    val rnd = (0L until 200L).map { i =>
+      val n = (Sketches.mix(i * 31L) >>> 20).toInt.abs % 9 // 0..8 ids
+      (i, Seq.tabulate(n)(j => (i * 100 + j).toInt))
+    }
+    val refStream = rnd.filter(_._2.nonEmpty).sortBy(_._1).flatMap(_._2)
+    val refPacks = refStream.grouped(16).zipWithIndex
+      .map { case (g, k) => k -> g }.filter(_._2.size >= 5).toSeq
+    val gotR = Tokenize.packSequences(
+        rnd.toDF("doc_id", "token_ids").repartition(13),
+        "doc_id", seqLen = 16, eosId = None, minLen = 5, prefixBuckets = 8)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+    assert(gotR == refPacks)
+
+    // plan guard: the prefix sum must be the bucket-partitioned window —
+    // a partitionless (global, one-task) window is the scale regression
+    val plan = Tokenize.packSequences(fix, "doc_id", seqLen = 4)
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("__b")),
+      s"expected every window partitioned by __b, got $specs")
+  }
+
   test("embedding near-dup: planted identical vectors are exactly recovered") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => ((Sketches.mix(i * 977L + d) >>> 16) % 1000L) / 500.0f - 1.0f))
