@@ -492,6 +492,12 @@ object SparkEntry {
       Dedup.paragraphDedup(d, "text", "doc_id")
     }),
 
+    "dedup_span" -> ((s, dir) =>
+      // exact-substring dedup: every repeated 8-word span removed at its
+      // non-first occurrences; planted exact-copy docs are fully covered
+      // and vanish, genuinely shared long spans are excised in place
+      Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", k = 8)),
+
     "ann_lsh_pairs" -> ((s, dir) =>
       // no oracle (hash-derived hyperplanes); OpsSpec verifies vs brute force
       Ann.lshCandidatePairs(t(s, dir, "embeddings"),
@@ -1134,6 +1140,35 @@ object SparkEntry {
            WHERE rn = 1)
          SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
            CAST(count(*) AS INT) AS n_lines_kept
+         FROM kept GROUP BY doc_id""",
+
+    "dedup_span" ->
+      """WITH s AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+           FROM documents),
+         w AS (SELECT doc_id, ws FROM s WHERE len(ws) > 0),
+         g AS (
+           SELECT doc_id, CAST(p AS INT) AS pos,
+             array_to_string(ws[CAST(p + 1 AS BIGINT):CAST(p + 8 AS BIGINT)], ' ') AS gram
+           FROM w, unnest(range(0, len(ws) - 8 + 1)) AS t(p)),
+         losers AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             FROM g) WHERE rn > 1),
+         cov AS (
+           SELECT DISTINCT doc_id, CAST(c AS INT) AS cp
+           FROM losers, unnest(range(pos, pos + 8)) AS t(c)),
+         wp AS (
+           SELECT doc_id, unnest(ws) AS word,
+             CAST(generate_subscripts(ws, 1) - 1 AS INT) AS wpos
+           FROM w),
+         kept AS (
+           SELECT doc_id, word, wpos FROM wp
+           WHERE NOT EXISTS (SELECT 1 FROM cov
+             WHERE cov.doc_id = wp.doc_id AND cov.cp = wp.wpos))
+         SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text,
+           CAST(count(*) AS INT) AS n_words_kept
          FROM kept GROUP BY doc_id""",
 
     "url_canonicalize" ->

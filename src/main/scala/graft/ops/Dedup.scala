@@ -419,6 +419,80 @@ object Dedup {
         col("n_lines_kept"))
   }
 
+  /** Corpus-wide exact-substring dedup at word-k-gram granularity (the
+    * ExactSubstr operator of Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better" — arXiv:2107.06499 — re-expressed
+    * declaratively instead of via a suffix array): any k-word span whose
+    * exact text occurs more than once in the corpus is removed at every
+    * occurrence EXCEPT the first (ordered by (idCol, position) — document
+    * order, deterministic). Overlapping duplicated k-grams union into one
+    * removed region, so a repeated passage of length L ≥ k is excised as a
+    * whole at its non-first occurrences; within-document repetition dedups
+    * the same way. Documents are re-assembled from surviving words —
+    * whitespace normalizes to single spaces (word-level operator), empty
+    * and fully-covered documents vanish.
+    *
+    * Output: (idCol, textCol, n_words_kept).
+    *
+    * Scale shape — window-free, every stage linear in corpus tokens:
+    *  1. k-grams build array-locally via [[TextStats.wordNgrams]] (zip_with
+    *     over shifted copies — arguments evaluated once, no O(len²) lambda
+    *     capture) and are immediately projected to 16-byte md5 keys, so the
+    *     gram exchange carries (id, pos, hash) — never k-word strings.
+    *  2. the winner per repeated gram is a map-side-combining
+    *     min(struct(id, pos)) aggregation filtered to count ≥ 2 — a
+    *     10^9-occurrence boilerplate gram partial-aggregates to one row per
+    *     map partition, never a hot reducer (no rn>1 window, which has no
+    *     group-limit pushdown on the loser side).
+    *  3. occurrences join winners on the gram hash to identify losers; the
+    *     hot gram IS skewed here by nature (its losers are real rows that
+    *     must be enumerated), and the winner side is one row per gram —
+    *     exactly the shape AQE skew-join splits.
+    *  4. loser spans explode to covered positions (k rows per loser, loser
+    *     volume only) and anti-join the exploded word stream on the UNIQUE
+    *     key (id, position) — skew-impossible — then one groupBy(id)
+    *     reassembles. The explode mirrors [[Tokenize.encode]]'s accepted
+    *     corpus shape.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"spanDedup needs k >= 2 (got $k)")
+    val words = df
+      .select(col(idCol),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    val grams = words
+      .select(col(idCol),
+        posexplode(TextStats.wordNgrams(col("__ws"), k)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), md5(col("__g")).as("__gh"))
+    val winners = grams
+      .groupBy(col("__gh"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__win"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("__gh"), col("__win"))
+    val losers = grams
+      .join(winners, "__gh")
+      .filter(struct(col(idCol), col("__pos")) =!= col("__win"))
+      .select(col(idCol), col("__pos"))
+    val covered = losers
+      .select(col(idCol).as("__cid"),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__cp"))
+      .distinct()
+    val wordRows = words
+      .select(col(idCol), posexplode(col("__ws")).as(Seq("__wp", "__word")))
+    wordRows
+      .join(covered,
+        col(idCol) === col("__cid") && col("__wp") === col("__cp"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__wp"), col("__word")))).as("__o"),
+        count(lit(1)).cast("int").as("n_words_kept"))
+      .select(col(idCol),
+        array_join(transform(col("__o"), x => x.getField("__word")), " ").as(textCol),
+        col("n_words_kept"))
+  }
+
   /** Exact n-gram (character) Jaccard similarity — an ALL-PAIRS cartesian
     * product, usable only as the small-scale oracle twin of the LSH
     * operators (ground truth for recall checks). To make misuse at scale

@@ -395,6 +395,66 @@ class OpsSpec extends SparkTestBase {
       s"expected every window partitioned by __b, got $specs")
   }
 
+  test("span dedup: repeated k-grams excised at non-first occurrences, window-free") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),   // "a b c","b c d" lose → positions 1-4 covered
+      (3L, "a b c d e"),     // exact copy → fully covered → vanishes
+      (4L, "p q"),           // < k words: no grams, intact
+      (5L, "r r r r"),       // within-doc dup gram at pos 1 → covers 1-3
+      (6L, "")               // empty → vanishes
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "text", "doc_id", k = 3)
+    val byId = got.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(byId == Map(
+      1L -> (("a b c d e", 5)),
+      2L -> (("x y", 2)),
+      4L -> (("p q", 2)),
+      5L -> (("r", 1))))
+
+    // plan: window-free by construction (an rn>1 window has no group-limit
+    // pushdown for losers — the winner is a partial-aggregating min(struct)
+    // instead), and the coverage removal is a left-anti join
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+
+    // randomized parity vs a single-node reference (small alphabet so
+    // cross-doc k-gram collisions actually occur), scrambled partitioning
+    val k = 4
+    val rnd: Seq[(Long, Vector[String])] = (0L until 120L).map { i =>
+      val n = (Sketches.mix(i * 131L) >>> 20).toInt.abs % 14 // 0..13 words
+      (i, Vector.tabulate(n)(j =>
+        "w" + ((Sketches.mix(i * 7919L + j * 31L) >>> 17).toInt.abs % 5)))
+    }
+    val gramOcc = for {
+      (id, ws) <- rnd; p <- 0 to ws.length - k
+    } yield (ws.slice(p, p + k).mkString(" "), id, p)
+    val winners = gramOcc.groupBy(_._1).collect {
+      case (g, occ) if occ.size >= 2 => g -> occ.map(o => (o._2, o._3)).min
+    }
+    val covered: Map[Long, Set[Int]] = gramOcc
+      .filter { case (g, id, p) => winners.get(g).exists(_ != ((id, p))) }
+      .groupBy(_._2)
+      .map { case (id, ls) => id -> ls.flatMap(l => l._3 until l._3 + k).toSet }
+    val expected = rnd.flatMap { case (id, ws) =>
+      val kept = ws.zipWithIndex
+        .filterNot { case (_, j) => covered.getOrElse(id, Set.empty).contains(j) }
+      if (kept.isEmpty) None
+      else Some((id, kept.map(_._1).mkString(" "), kept.size))
+    }.sortBy(_._1)
+    val gotR = Dedup.spanDedup(
+        rnd.map { case (id, ws) => (id, ws.mkString(" ")) }
+          .toDF("doc_id", "text").repartition(11),
+        "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(gotR == expected)
+  }
+
   test("embedding near-dup: planted identical vectors are exactly recovered") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => ((Sketches.mix(i * 977L + d) >>> 16) % 1000L) / 500.0f - 1.0f))
