@@ -492,6 +492,14 @@ object SparkEntry {
       Dedup.paragraphDedup(d, "text", "doc_id")
     }),
 
+    "bpe_pair_counts" -> ((s, dir) =>
+      // BPE training's first iteration: adjacent code-point pair counts
+      // weighted by word frequency, top 20 by (count desc, pair asc) —
+      // a fully deterministic slice of the argmax the trainer loops on
+      Tokenize.bpePairCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(20)),
+
     "dedup_span" -> ((s, dir) =>
       // exact-substring dedup: every repeated 8-word span removed at its
       // non-first occurrences; planted exact-copy docs are fully covered
@@ -1141,6 +1149,23 @@ object SparkEntry {
          SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
            CAST(count(*) AS INT) AS n_lines_kept
          FROM kept GROUP BY doc_id""",
+
+    "bpe_pair_counts" ->
+      """WITH words AS (
+           SELECT w AS word, count(*) AS wc FROM (
+             SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+             FROM documents)
+           GROUP BY w),
+         syms AS (
+           SELECT wc, list_append(string_split(word, ''), '</w>') AS s
+           FROM words),
+         p AS (
+           SELECT s[CAST(i AS BIGINT)] AS left_sym,
+             s[CAST(i + 1 AS BIGINT)] AS right_sym, wc
+           FROM syms, unnest(range(1, len(s))) AS t(i))
+         SELECT left_sym, right_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+         FROM p GROUP BY 1, 2
+         ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""",
 
     "dedup_span" ->
       """WITH s AS (

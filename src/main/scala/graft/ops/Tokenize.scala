@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -202,5 +202,182 @@ object Tokenize {
       .select(col("__k").cast("int").as("seq_idx"),
         flatten(transform(col("__o"), x => x.getField("__piece"))).as("token_ids"))
       .filter(size(col("token_ids")) >= minLen)
+  }
+
+  /** A trained byte-pair-encoding model (Sennrich et al. 2016,
+    * arXiv:1508.07909 — "Neural Machine Translation of Rare Words with
+    * Subword Units", the public algorithm every GPT/Llama tokenizer
+    * descends from).
+    *
+    * @param merges   learned merge rules in rank order (left, right,
+    *                 pair_count at learn time) — human-scale (numMerges
+    *                 entries), held on the driver like k-means centroids.
+    * @param segments memoized (word, syms) segmentation of every TRAINING
+    *                 word under the full merge sequence — the distributed
+    *                 lookup table that lets encode skip merge replay for
+    *                 every word seen in training.
+    * @param vocab    (symbol, token_id): sorted base alphabet first, then
+    *                 merged symbols in rank order; deterministic ids.
+    */
+  final case class BpeModel(merges: Seq[(String, String, Long)],
+      segments: DataFrame, vocab: DataFrame, eow: String)
+
+  /** Greedy left-to-right single-merge application — the classic BPE
+    * recurrence (acc ends with `l` and the next symbol is `r` → replace
+    * the tail with the merged symbol), expressed as an array fold so it
+    * runs inside codegen on the distributed word table. `get` (not
+    * element_at) keeps the empty-accumulator probe null-safe under ANSI.
+    * Per-element accumulator copies make this O(m²) in SYMBOLS PER WORD —
+    * words are short (m ≲ 40), never documents, so the quadratic is
+    * harmless by construction (contrast the O(doc²) HOF-capture trap,
+    * CharLm.charNgrams).
+    */
+  private def applyMergeCol(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The same recurrence on the driver/executor side, for the typed
+    * unseen-word replay kernel and the specs' reference implementation.
+    */
+  private[graft] def foldMergeLocal(s: Vector[String], l: String,
+      r: String): Vector[String] =
+    s.foldLeft(Vector.empty[String])((acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+      else acc :+ x)
+
+  /** (word, wc, syms): the distinct-word frequency table with each word
+    * split to code-point symbols + the end-of-word marker. This is the
+    * ONLY corpus-wide pass BPE training makes — every training iteration
+    * afterwards touches just this vocabulary-sized table.
+    */
+  private def initialSegs(docs: DataFrame, textCol: String,
+      eow: String): DataFrame =
+    docs
+      .select(explode(filter(split(col(textCol), " "), w => length(w) > 0))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        concat(filter(split(col("word"), ""), s => length(s) > 0),
+          array(lit(eow))).as("syms"))
+
+  /** Adjacent-symbol pair counts weighted by word frequency — one
+    * map-side-combining aggregation over the word table; pairs build
+    * array-locally via zip_with over a shifted copy (arguments evaluated
+    * once — no per-element re-split).
+    */
+  private def symPairCounts(segs: DataFrame): DataFrame =
+    segs
+      .select(col("wc"), explode(filter(
+        zip_with(col("syms"),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r"))),
+        p => p.getField("r").isNotNull)).as("p"))
+      .groupBy(col("p").getField("l").as("left_sym"),
+        col("p").getField("r").as("right_sym"))
+      .agg(sum(col("wc")).as("pair_count"))
+
+  /** First-iteration pair counts over the raw character segmentation —
+    * the auditable (and DuckDB-oraclable) first step of [[bpeTrain]].
+    * Output: (left_sym, right_sym, pair_count).
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+      eow: String = "</w>"): DataFrame =
+    symPairCounts(initialSegs(docs, textCol, eow))
+
+  /** Distributed BPE training. The corpus is read once (word-frequency
+    * aggregation); each of the ≤ `numMerges` iterations then runs on the
+    * distinct-word table only: one pair-count aggregation + a
+    * TakeOrdered(1) argmax to the driver (ties broken by (count desc,
+    * left, right) — fully deterministic), and one array-local fold
+    * applying the winning merge. Stops early when no pair reaches
+    * `minPairCount`. Lineage is flattened with localCheckpoint every
+    * `checkpointEvery` merges (the k-means/clusterAssign pattern) so plan
+    * depth stays bounded at any numMerges.
+    *
+    * At 100 TB the word table is large but vocabulary-shaped (10⁷-10⁸
+    * rows), orders of magnitude below the corpus; nothing per-iteration
+    * touches documents. The per-iteration driver traffic is one row.
+    * The base alphabet (charset-bounded, the CharLm justification) is
+    * collected once to assign deterministic vocab ids.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L, eow: String = "</w>",
+      checkpointEvery: Int = 8): BpeModel = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var segs = initialSegs(docs, textCol, eow).localCheckpoint(true)
+    val alphabet = segs
+      .select(explode(col("syms")).as("s")).distinct()
+      .as[String].collect().sorted.toIndexedSeq
+    val merges = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val top = symPairCounts(segs)
+        .filter(col("pair_count") >= minPairCount)
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, c))
+        segs = segs.withColumn("syms", applyMergeCol(col("syms"), l, r))
+        if (merges.size % checkpointEvery == 0) segs = segs.localCheckpoint(true)
+      }
+    }
+    val vocabSyms = (alphabet ++ merges.map(m => m._1 + m._2)).distinct
+    val vocab = vocabSyms.zipWithIndex
+      .map { case (s, i) => (s, i + 1) }.toDF("symbol", "token_id")
+    BpeModel(merges.toList, segs.localCheckpoint(true)
+      .select(col("word"), col("syms")), vocab, eow)
+  }
+
+  /** Encode documents with a trained [[BpeModel]]: words seen in training
+    * resolve through the memoized `segments` join (no merge replay — the
+    * common case covers the entire training corpus by construction);
+    * unseen words — the delta-ingest tail — replay the merge sequence in
+    * rank order through a typed per-word kernel (sequential replay is
+    * exactly equivalent to rank-priority application: a merge's components
+    * can only be produced by strictly lower-rank merges, so by induction
+    * processing ranks in order leaves no earlier-rank pair behind). The
+    * kernel is the justified-last-resort typed map of this repo: an
+    * unbounded iterative per-word loop no builtin expresses — and it runs
+    * on the DISTINCT unseen-word table only, never the corpus.
+    * Symbols map to ids via the broadcast (alphabet+numMerges)-row vocab;
+    * unknown symbols (impossible for text whose charset appeared in
+    * training) fall back to `unkId`.
+    * Output: (idCol, token_ids: array<int>).
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+      model: BpeModel, unkId: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), w => length(w) > 0))
+        .as(Seq("__pos", "__word")))
+    val mergePairs = model.merges.map(m => (m._1, m._2))
+    val eow = model.eow
+    val newSegs = toks.select(col("__word").as("word")).distinct()
+      .join(model.segments.select("word"), Seq("word"), "left_anti")
+      .as[String].map { w =>
+        var s = w.split("").filter(_.nonEmpty).toVector :+ eow
+        mergePairs.foreach { case (l, r) => s = foldMergeLocal(s, l, r) }
+        (w, s)
+      }.toDF("word", "syms")
+    val allSegs = model.segments.select("word", "syms").unionByName(newSegs)
+    toks
+      .join(allSegs, col("__word") === col("word"))
+      .select(col(idCol), col("__pos"),
+        posexplode(col("syms")).as(Seq("__sp", "__sym")))
+      .join(broadcast(model.vocab), col("__sym") === col("symbol"), "left")
+      .withColumn("__tid", coalesce(col("token_id"), lit(unkId)))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("__pos"), col("__sp"), col("__tid")))).as("__o"))
+      .select(col(idCol),
+        transform(col("__o"), x => x.getField("__tid")).as("token_ids"))
   }
 }

@@ -455,6 +455,92 @@ class OpsSpec extends SparkTestBase {
     assert(gotR == expected)
   }
 
+  test("BPE: distributed training matches the classic algorithm; encode covers unseen words") {
+    import graft.ops.Tokenize
+
+    // single-node reference: the textbook Sennrich et al. loop
+    def refBpe(corpus: Seq[String], numMerges: Int, minPair: Long)
+        : (Vector[(String, String, Long)], Map[String, Vector[String]]) = {
+      val wc = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      var segs: Map[String, Vector[String]] = wc.keys
+        .map(w => w -> (w.split("").filter(_.nonEmpty).toVector :+ "</w>")).toMap
+      var merges = Vector.empty[(String, String, Long)]
+      var done = false
+      while (merges.size < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, s) <- segs; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + wc(w)
+        val live = counts.filter(_._2 >= minPair)
+        if (live.isEmpty) done = true
+        else {
+          val ((l, r), c) = live.minBy { case ((a, b), n) => (-n, a, b) }
+          merges :+= ((l, r, c))
+          segs = segs.map { case (w, s) =>
+            w -> Tokenize.foldMergeLocal(s, l, r) }
+        }
+      }
+      (merges, segs)
+    }
+
+    val corpus = Seq(
+      "low low low low low", "lower lower", "newest newest newest",
+      "newest newest newest", "widest widest widest", "low lowest")
+    val (refMerges, refSegs) = refBpe(corpus, numMerges = 12, minPair = 2L)
+    assert(refMerges.nonEmpty && refMerges.size <= 12)
+
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(7)
+    val model = Tokenize.bpeTrain(docs, "text", numMerges = 12,
+      minPairCount = 2L, checkpointEvery = 3)
+    assert(model.merges == refMerges)
+    val gotSegs = model.segments.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(gotSegs == refSegs)
+
+    // encode over training docs: ids expand each word's memoized segments
+    // in order; reference built from refSegs + the model's vocab mapping
+    val vocabMap = model.vocab.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    def refEncode(text: String): Seq[Int] = text.split(" ").filter(_.nonEmpty)
+      .flatMap(w => refSegs(w).map(vocabMap(_))).toSeq
+    val gotEnc = Tokenize.bpeEncode(docs, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      assert(gotEnc(i.toLong) == refEncode(t), s"doc $i") }
+
+    // unseen words (delta ingest): the typed replay kernel must agree with
+    // sequentially replaying the merge list over fresh segmentations
+    val unseen = Seq((100L, "slowest wide low")).toDF("doc_id", "text")
+    def refReplay(w: String): Vector[String] = {
+      var s = w.split("").filter(_.nonEmpty).toVector :+ "</w>"
+      refMerges.foreach { case (l, r, _) => s = Tokenize.foldMergeLocal(s, l, r) }
+      s
+    }
+    val gotUnseen = Tokenize.bpeEncode(unseen, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val expectUnseen = Seq("slowest", "wide", "low")
+      .flatMap(w => refReplay(w).map(s => vocabMap.getOrElse(s, 0)))
+    assert(gotUnseen(100L) == expectUnseen)
+
+    // randomized parity: small alphabet so merges cascade several levels
+    val rndCorpus = (0 until 60).map { i =>
+      (0 until 1 + (Sketches.mix(i * 37L) >>> 22).toInt.abs % 8).map { j =>
+        val len = 1 + (Sketches.mix(i * 101L + j) >>> 21).toInt.abs % 6
+        (0 until len).map(p =>
+          ("abc" ((Sketches.mix(i * 13L + j * 7L + p) >>> 18).toInt.abs % 3))).mkString
+      }.mkString(" ")
+    }
+    val (refM2, refS2) = refBpe(rndCorpus, numMerges = 15, minPair = 2L)
+    val model2 = Tokenize.bpeTrain(
+      rndCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(9),
+      "text", numMerges = 15, minPairCount = 2L, checkpointEvery = 4)
+    assert(model2.merges == refM2)
+    assert(model2.segments.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap == refS2)
+  }
+
   test("embedding near-dup: planted identical vectors are exactly recovered") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => ((Sketches.mix(i * 977L + d) >>> 16) % 1000L) / 500.0f - 1.0f))
