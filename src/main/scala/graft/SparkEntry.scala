@@ -492,6 +492,42 @@ object SparkEntry {
       Dedup.paragraphDedup(d, "text", "doc_id")
     }),
 
+    "pipeline_training_data" -> ((s, dir) => {
+      // the full path from raw corpus to training sequences, oracle-exact:
+      // constructed docs (+ planted exact/near copies that curation must
+      // kill, + a shared 10-token boilerplate tail on even ids that
+      // SURVIVES curation — jaccard vs original 0.96 > 0.9 for its near
+      // copy, so the copy still dies — and then loses everywhere but its
+      // first holder at span dedup) → curate → exact-substring dedup →
+      // vocab → encode → pack into 64-id sequences. The oracle recomputes
+      // curation analytically (the adjudicated pipeline_curate planting)
+      // and the dedup/tokenize/pack stages via the generic SQL chains.
+      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val gen = array_join(transform(sequence(lit(0), lit(39)),
+        j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
+          j.cast("string"))), 1, 8)), " ")
+      val suffix = (0 until 10).map(j => s"boiler$j").mkString(" ")
+      val d = ids.select(col("doc_id"), gen.as("text")).localCheckpoint(true)
+        .withColumn("text", when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" " + suffix))).otherwise(col("text")))
+      val exactCopies = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val nearCopies = d.select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      val survivors = Curation.curate(d.union(exactCopies).union(nearCopies),
+        "doc_id", "text",
+        Curation.Config(langs = Set("latin"), minTokens = 10, maxTokens = 200,
+          jaccardThreshold = 0.9))
+        .select(col("doc_id"), col("text"))
+      val deduped = Dedup.spanDedup(survivors, "text", "doc_id", k = 8)
+        .select(col("doc_id"), col("text"))
+      val vocab = Tokenize.buildVocab(deduped, "text", vocabSize = 30)
+      val enc = Tokenize.encode(deduped, "text", "doc_id", vocab)
+      Tokenize.packSequences(enc, "doc_id", seqLen = 64, eosId = Some(99),
+          minLen = 8, prefixBuckets = 8)
+        .withColumn("token_ids", array_join(col("token_ids"), " "))
+    }),
+
     "bpe_pair_counts" -> ((s, dir) =>
       // BPE training's first iteration: adjacent code-point pair counts
       // weighted by word frequency, top 20 by (count desc, pair asc) —
@@ -1149,6 +1185,73 @@ object SparkEntry {
          SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
            CAST(count(*) AS INT) AS n_lines_kept
          FROM kept GROUP BY doc_id""",
+
+    "pipeline_training_data" ->
+      """WITH ids0 AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS doc_id FROM orders
+           WHERE o_orderkey < 4000),
+         d0 AS (
+           SELECT doc_id, array_to_string(list_transform(range(0, 40),
+             j -> substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 8)),
+             ' ') AS text
+           FROM ids0),
+         surv AS (
+           SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text ||
+             ' boiler0 boiler1 boiler2 boiler3 boiler4 boiler5 boiler6 boiler7 boiler8 boiler9'
+             ELSE text END AS text
+           FROM d0),
+         sd_w AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+           FROM surv),
+         sd_g AS (
+           SELECT doc_id, CAST(p AS INT) AS pos,
+             array_to_string(ws[CAST(p + 1 AS BIGINT):CAST(p + 8 AS BIGINT)], ' ') AS gram
+           FROM sd_w, unnest(range(0, len(ws) - 8 + 1)) AS t(p)),
+         sd_losers AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             FROM sd_g) WHERE rn > 1),
+         sd_cov AS (
+           SELECT DISTINCT doc_id, CAST(c AS INT) AS cp
+           FROM sd_losers, unnest(range(pos, pos + 8)) AS t(c)),
+         sd_wp AS (
+           SELECT doc_id, unnest(ws) AS word,
+             CAST(generate_subscripts(ws, 1) - 1 AS INT) AS wpos
+           FROM sd_w),
+         sd_kept AS (
+           SELECT doc_id, word, wpos FROM sd_wp
+           WHERE NOT EXISTS (SELECT 1 FROM sd_cov
+             WHERE sd_cov.doc_id = sd_wp.doc_id AND sd_cov.cp = sd_wp.wpos)),
+         dd AS (
+           SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text
+           FROM sd_kept GROUP BY doc_id),
+         base AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           FROM dd),
+         vocab AS (
+           SELECT token, CAST(rn AS INT) AS token_id FROM
+           (SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+            FROM (SELECT unnest(toks) AS token FROM base) GROUP BY token)
+           WHERE rn <= 30),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+           FROM base),
+         enc AS (
+           SELECT t.doc_id,
+             list(coalesce(v.token_id, 0) ORDER BY t.pos) AS token_ids
+           FROM tok t LEFT JOIN vocab v USING (token)
+           GROUP BY t.doc_id),
+         stream AS (
+           SELECT flatten(list(list_append(token_ids, 99) ORDER BY doc_id)) AS s
+           FROM enc WHERE len(token_ids) > 0),
+         packs AS (
+           SELECT CAST(k AS INT) AS seq_idx,
+             s[CAST(k*64 + 1 AS BIGINT) : CAST(k*64 + 64 AS BIGINT)] AS pids
+           FROM stream, unnest(range(0,
+             CAST(ceil(len(s) / 64.0) AS BIGINT))) AS t(k))
+         SELECT seq_idx, array_to_string(pids, ' ') AS token_ids
+         FROM packs WHERE len(pids) >= 8""",
 
     "bpe_pair_counts" ->
       """WITH words AS (

@@ -453,28 +453,45 @@ object Dedup {
     *     key (id, position) — skew-impossible — then one groupBy(id)
     *     reassembles. The explode mirrors [[Tokenize.encode]]'s accepted
     *     corpus shape.
+    *
+    * EAGER (the [[minhashLshPairs]] pattern): the gram table feeds both the
+    * winner aggregation and the loser join — uncached, the input plan would
+    * evaluate 3× per action (fatal when the input is a derived pipeline,
+    * e.g. curation output; 3 scans even off parquet). With `eager = true`
+    * grams persist across the two consumers, the loser set (dup volume
+    * only — small) materializes via localCheckpoint, and the cache is
+    * released before returning; the input then evaluates exactly twice
+    * (gram build + word reassembly). `eager = false` returns the fully
+    * live plan for audits/composition.
     */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, eager: Boolean = true): DataFrame = {
     require(k >= 2, s"spanDedup needs k >= 2 (got $k)")
     val words = df
       .select(col(idCol),
         filter(split(col(textCol), " "), w => length(w) > 0).as("__ws"))
       .filter(size(col("__ws")) > 0)
-    val grams = words
+    val gramsBase = words
       .select(col(idCol),
         posexplode(TextStats.wordNgrams(col("__ws"), k)).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos"), md5(col("__g")).as("__gh"))
+    val grams = if (eager) gramsBase.persist() else gramsBase
     val winners = grams
       .groupBy(col("__gh"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__win"),
         count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
       .select(col("__gh"), col("__win"))
-    val losers = grams
+    val losersPlan = grams
       .join(winners, "__gh")
       .filter(struct(col(idCol), col("__pos")) =!= col("__win"))
       .select(col(idCol), col("__pos"))
+    val losers =
+      if (eager) {
+        val l = losersPlan.localCheckpoint(true)
+        grams.unpersist()
+        l
+      } else losersPlan
     val covered = losers
       .select(col(idCol).as("__cid"),
         explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__cp"))

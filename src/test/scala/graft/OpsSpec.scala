@@ -416,8 +416,10 @@ class OpsSpec extends SparkTestBase {
 
     // plan: window-free by construction (an rn>1 window has no group-limit
     // pushdown for losers — the winner is a partial-aggregating min(struct)
-    // instead), and the coverage removal is a left-anti join
-    val plan = got.queryExecution.executedPlan.toString
+    // instead), and the coverage removal is a left-anti join. Audited on
+    // the eager=false LIVE plan so the checkpoint hides nothing.
+    val plan = Dedup.spanDedup(docs, "text", "doc_id", k = 3, eager = false)
+      .queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("LeftAnti"), plan)
