@@ -684,6 +684,43 @@ object SparkEntry {
           col("frame_payload").cast("string").as("frame_payload"))
     }),
 
+    "multimodal_image_meta" -> ((s, dir) => {
+      // REAL byte parse under oracle: payloads are structurally-valid
+      // PNG / GIF89a / JPEG(JFIF+COM+SOF0) headers CONSTRUCTED in SQL
+      // from doc_id arithmetic; the oracle computes the dims analytically
+      // from the same arithmetic and never touches bytes — so the unit
+      // under test is imageMeta's offsets/endianness/segment walk (a
+      // mirrored construction+parse bug can't hide: OpsSpec parses
+      // JDK-ImageIO-encoded bytes with the same code). The JPEG payload
+      // deliberately carries APP0 and COM segments before SOF0 so the
+      // gate exercises the bounded segment walk, not just offset math.
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val w = (pmod(col("doc_id"), lit(300)) + lit(16)).cast("int")
+      val h = (pmod(col("doc_id"), lit(200)) + lit(16)).cast("int")
+      val wHex4 = lpad(hex(w), 4, "0") // 2-byte big-endian
+      val hHex4 = lpad(hex(h), 4, "0")
+      val wHex8 = lpad(hex(w), 8, "0") // 4-byte big-endian
+      val hHex8 = lpad(hex(h), 8, "0")
+      val leW = concat(substring(wHex4, 3, 2), substring(wHex4, 1, 2))
+      val leH = concat(substring(hHex4, 3, 2), substring(hHex4, 1, 2))
+      val png = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        wHex8, hHex8, lit("0806000000" + "DEADBEEF"))
+      val gif = concat(lit("474946383961"), leW, leH, lit("F70000"))
+      val jpeg = concat(
+        lit("FFD8" + // SOI
+          "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" +
+          "00" + "00" + // APP0/JFIF, length 16
+          "FFFE" + "0004" + "ABCD" + // COM, length 4 — a skip segment
+          "FFC0" + "0011" + "08"), // SOF0, length 17, precision 8
+        hHex4, wHex4, lit("03" + "012200" + "021101" + "031101" + "FFD9"))
+      val payload = when(pmod(col("doc_id"), lit(3)) === 0, png)
+        .when(pmod(col("doc_id"), lit(3)) === 1, gif)
+        .otherwise(jpeg)
+      Multimodal.imageMeta(d.select(col("doc_id"), unhex(payload).as("payload")))
+        .select(col("doc_id"), col("img_format"), col("img_width"),
+          col("img_height"))
+    }),
+
     // ---- text analysis ----
     "text_lang_id" -> ((s, dir) => t(s, dir, "documents")
       .groupBy(TextStats.langIdByScript(col("text")).as("pred_lang"))
@@ -1485,6 +1522,14 @@ object SparkEntry {
            CAST(frame_idx AS BIGINT) * 1000 AS frame_ts_ms,
            sha256(payload || CAST(frame_idx AS VARCHAR)) AS frame_payload
          FROM frames""",
+
+    "multimodal_image_meta" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+             ELSE 'jpeg' END AS img_format,
+           CAST(doc_id % 300 + 16 AS INT) AS img_width,
+           CAST(doc_id % 200 + 16 AS INT) AS img_height
+         FROM documents""",
 
     "text_lang_id" ->
       """SELECT CASE WHEN length(regexp_replace(text, '[^a-zA-Zа-яА-Я؀-ۿ]', '', 'g')) = 0

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: treat image/audio/video payloads as opaque
@@ -127,6 +127,107 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "width", "height", "payload")
+  }
+
+  /** REAL byte-level image-header decode — no stub. Format dispatch on
+    * magic bytes and dimension extraction straight from the binary payload
+    * column, entirely in JVM expressions (no UDF, no shuffle — a narrow
+    * projection that stays in the scan stage). At 100 TB this is the
+    * "read metadata without decoding pixels" pass an ingest runs before
+    * size-partitioning / filtering a media corpus.
+    *
+    * Formats:
+    *  - PNG — IHDR chunk at fixed offset: big-endian u32 dims at bytes
+    *    17-24 (codegen'd hex/conv/substring).
+    *  - GIF87a/89a — logical screen descriptor: little-endian u16 dims at
+    *    bytes 7-10 (codegen'd; the LE decode is a hex byte-swap).
+    *  - JPEG — dims live in the SOF frame header at a VARIABLE offset, so
+    *    the parser walks FF-marker segments as a bounded `aggregate` fold
+    *    over the state (offset, w, h): skip each non-SOF segment by its
+    *    big-endian length field, stop at the first SOF0-SOF15 (minus
+    *    DHT/JPG/DAC which reuse the C4/C8/CC codes). SOF precedes SOS in
+    *    every legal stream, so entropy-coded scan data is never touched;
+    *    `maxJpegSegments` bounds the fold (JFIF/EXIF + quant + Huffman
+    *    preambles fit in well under 32 segments). The fold is a
+    *    higher-order function (CodegenFallback, still expression-tree —
+    *    no UDF, nothing leaves the row).
+    *
+    * Unknown/corrupt/truncated payloads yield img_format="unknown" or
+    * null dims — never an error. Output: input columns + img_format,
+    * img_width, img_height. Validated in OpsSpec against REAL bytes
+    * encoded by the JDK's own ImageIO writers.
+    */
+  def imageMeta(df: DataFrame, payloadCol: String = "payload",
+      maxJpegSegments: Int = 32): DataFrame = {
+    val p = col(payloadCol)
+    val fmt =
+      when(hex(substring(p, 1, 8)) === "89504E470D0A1A0A", "png")
+        .when(hex(substring(p, 1, 6)).isin("474946383961", "474946383761"), "gif")
+        .when(hex(substring(p, 1, 2)) === "FFD8", "jpeg")
+        .otherwise("unknown")
+    def beU32(pos: Int): Column =
+      conv(hex(substring(p, pos, 4)), 16, 10).cast("int")
+    def leU16(pos: Int): Column = // byte-swap: payload is little-endian
+      conv(concat(hex(substring(p, pos + 1, 1)), hex(substring(p, pos, 1))),
+        16, 10).cast("int")
+    val pngOk = length(p) >= 24 && hex(substring(p, 13, 4)) === "49484452"
+    val gifOk = length(p) >= 10
+    val jd = col("__jd")
+    val width =
+      when(col("img_format") === "png" && pngOk, beU32(17))
+        .when(col("img_format") === "gif" && gifOk, leU16(7))
+        .when(col("img_format") === "jpeg" && jd.getField("w") >= 0,
+          jd.getField("w"))
+    val height =
+      when(col("img_format") === "png" && pngOk, beU32(21))
+        .when(col("img_format") === "gif" && gifOk, leU16(9))
+        .when(col("img_format") === "jpeg" && jd.getField("w") >= 0,
+          jd.getField("h"))
+    df.withColumn("img_format", fmt)
+      // project the fold ONCE to a temp column: width/height each read a
+      // field of it, and a HOF re-evaluates per consumer if left inline
+      .withColumn("__jd",
+        when(col("img_format") === "jpeg", jpegSof(p, maxJpegSegments)))
+      .withColumn("img_width", width)
+      .withColumn("img_height", height)
+      .drop("__jd")
+  }
+
+  /** SOF0-SOF15 marker codes minus C4 (DHT), C8 (JPG ext), CC (DAC). */
+  private val JpegSofMarkers = Seq(
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+
+  /** The bounded JPEG segment walk: folds (off, w, h) over up to
+    * `maxSegments` steps; off starts at 3 (1-based position of the first
+    * post-SOI marker byte), w = -1 means "SOF not found yet", a null off
+    * is the stuck/corrupt state (non-FF where a marker must be, or not
+    * enough bytes left for a SOF read). `p` MUST be an attribute — a HOF
+    * lambda re-evaluates captured non-attribute expressions per element.
+    */
+  private def jpegSof(p: Column, maxSegments: Int): Column = {
+    def state(off: Column, w: Column, h: Column): Column =
+      struct(off.cast("long").as("off"), w.cast("int").as("w"),
+        h.cast("int").as("h"))
+    val fail = state(lit(null), lit(-1), lit(-1))
+    aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      state(lit(3L), lit(-1), lit(-1)),
+      (st, _) => {
+        val off = st.getField("off")
+        val iOff = off.cast("int")
+        val marker = conv(hex(p.substr(iOff + 1, lit(1))), 16, 10).cast("int")
+        val segLen = conv(hex(p.substr(iOff + 2, lit(2))), 16, 10).cast("long")
+        when(st.getField("w") >= 0, st) // found: carry through remaining steps
+          .when(off.isNull || off + 8L > length(p).cast("long") ||
+            hex(p.substr(iOff, lit(1))) =!= "FF", fail)
+          .when(marker.isin(JpegSofMarkers: _*),
+            // SOF layout: FF Cx len(2) precision(1) height(2 BE) width(2 BE)
+            state(off,
+              conv(hex(p.substr(iOff + 7, lit(2))), 16, 10),
+              conv(hex(p.substr(iOff + 5, lit(2))), 16, 10)))
+          .otherwise(state(off + 2L + segLen, lit(-1), lit(-1)))
+      })
   }
 
   /** Deterministic stand-in for pixel/waveform feature extraction. */

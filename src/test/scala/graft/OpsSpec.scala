@@ -991,6 +991,54 @@ class OpsSpec extends SparkTestBase {
     media.unpersist(false); frames.unpersist(false); resized.unpersist(false)
   }
 
+  test("multimodal imageMeta: parses REAL JDK-ImageIO-encoded bytes (PNG/GIF/JPEG)") {
+    // the one test the SQL-constructed gate fixture cannot give: the
+    // payloads here come out of the JDK's own encoders, so a wrong
+    // offset/endianness in the parser cannot hide behind a fixture that
+    // shares its mistake
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); y += 1 }
+        x += 1
+      }
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer")
+      out.toByteArray
+    }
+    val cases = Seq(
+      (1L, "png", 321, 17), (2L, "png", 1, 1), (3L, "gif", 200, 321),
+      (4L, "gif", 65, 1), (5L, "jpeg", 123, 45), (6L, "jpg", 640, 480))
+    val rows = cases.map { case (id, f, w, h) => (id, f, w, h, encode(f, w, h)) } ++ Seq(
+      (7L, "unknown", -1, -1, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+      // truncated PNG: signature intact, IHDR missing → png with null dims
+      (8L, "png", -1, -1, encode("png", 9, 9).take(10)))
+    val df = rows.toDF("doc_id", "exp_fmt", "exp_w", "exp_h", "payload")
+    val got = Multimodal.imageMeta(df)
+      .select("doc_id", "exp_fmt", "exp_w", "exp_h",
+        "img_format", "img_width", "img_height")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.foreach { case (id, f, w, h, _) =>
+      val r = got(id)
+      val expFmt = if (f == "jpg") "jpeg" else f
+      assert(r.getString(4) == expFmt, s"doc $id fmt: $r")
+      if (w >= 0) {
+        assert(r.getInt(5) == w && r.getInt(6) == h, s"doc $id dims: $r")
+      } else {
+        assert(r.isNullAt(5) && r.isNullAt(6), s"doc $id should have null dims: $r")
+      }
+    }
+    // scale shape: a narrow projection — no Exchange, no UDF stage
+    val plan = Multimodal.imageMeta(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+  }
+
   test("tokenize chunking: stride windows with overlap, tail policy, shuffle-free plan") {
     import graft.ops.Tokenize
     val enc = Seq(
