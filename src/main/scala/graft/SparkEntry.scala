@@ -721,6 +721,37 @@ object SparkEntry {
           col("img_height"))
     }),
 
+    "multimodal_audio_meta" -> ((s, dir) => {
+      // REAL RIFF chunk walk under oracle: WAV headers constructed in SQL
+      // with doc_id-arithmetic channels/rate/bits/frame-count; the data
+      // chunk declares its true size but the fixture truncates the body —
+      // deliberately: an at-scale metadata pass reads only a header-sized
+      // prefix of each blob, and audioMeta never dereferences sample
+      // bytes. Every 7th row is junk to exercise the unknown path. The
+      // oracle computes every field analytically, touching no bytes.
+      def le(v: Column, bytes: Int): Column = {
+        val hx = lpad(hex(v), bytes * 2, "0")
+        concat((bytes to 1 by -1).map(i => substring(hx, i * 2 - 1, 2)): _*)
+      }
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val bits = ((pmod(col("doc_id"), lit(3)) + 1) * 8).cast("int")
+      val rate = ((pmod(col("doc_id"), lit(4)) + 1) * 8000).cast("int")
+      val align = ch * bits / lit(8)
+      val frames = ((pmod(col("doc_id"), lit(3000)) + 1) * 10).cast("int")
+      val dsz = frames * align
+      val wav = concat(
+        lit("52494646"), le(dsz + 36, 4), lit("57415645"), // RIFF size WAVE
+        lit("666D7420" + "10000000" + "0100"), // "fmt " len=16 tag=PCM
+        le(ch, 2), le(rate, 4), le(rate * align, 4), le(align, 2), le(bits, 2),
+        lit("64617461"), le(dsz, 4)) // "data" + declared size, body truncated
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("0102030405060708090A0B0C")).otherwise(wav)
+      Multimodal.audioMeta(d.select(col("doc_id"), unhex(payload).as("payload")))
+        .select(col("doc_id"), col("audio_format"), col("audio_channels"),
+          col("audio_sample_rate"), col("audio_bits"), col("audio_duration_ms"))
+    }),
+
     // ---- text analysis ----
     "text_lang_id" -> ((s, dir) => t(s, dir, "documents")
       .groupBy(TextStats.langIdByScript(col("text")).as("pred_lang"))
@@ -1529,6 +1560,20 @@ object SparkEntry {
              ELSE 'jpeg' END AS img_format,
            CAST(doc_id % 300 + 16 AS INT) AS img_width,
            CAST(doc_id % 200 + 16 AS INT) AS img_height
+         FROM documents""",
+
+    "multimodal_audio_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'wav' END AS audio_format,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             ELSE CAST(doc_id % 2 + 1 AS INT) END AS audio_channels,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             ELSE CAST((doc_id % 4 + 1) * 8000 AS INT) END AS audio_sample_rate,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             ELSE CAST((doc_id % 3 + 1) * 8 AS INT) END AS audio_bits,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             ELSE CAST(floor((doc_id % 3000 + 1) * 10 * 1000.0 /
+               ((doc_id % 4 + 1) * 8000)) AS BIGINT) END AS audio_duration_ms
          FROM documents""",
 
     "text_lang_id" ->

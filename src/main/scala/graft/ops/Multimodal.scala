@@ -230,6 +230,84 @@ object Multimodal {
       })
   }
 
+  /** REAL byte-level audio-header decode — the WAV/RIFF sibling of
+    * [[imageMeta]]. Walks RIFF chunks (id, little-endian u32 size, padded
+    * to even) from byte 13 as a bounded `aggregate` fold collecting BOTH
+    * the `fmt ` chunk (audio format tag, channels, sample rate, bits per
+    * sample at fixed offsets within the chunk) and the `data` chunk size,
+    * from which duration follows: data bytes / (rate · channels · bits/8).
+    * Same scale shape as imageMeta: narrow projection, no UDF, no shuffle;
+    * non-RIFF/corrupt payloads yield audio_format="unknown"/null fields.
+    * Output: input columns + audio_format, audio_channels,
+    * audio_sample_rate, audio_bits, audio_duration_ms. Validated in
+    * OpsSpec against REAL bytes from the JDK's javax.sound.sampled writer.
+    */
+  def audioMeta(df: DataFrame, payloadCol: String = "payload",
+      maxChunks: Int = 16): DataFrame = {
+    val p = col(payloadCol)
+    val isWav = length(p) >= 44 &&
+      hex(substring(p, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(p, 9, 4)) === "57415645" // "WAVE"
+    val fmt = when(isWav, "wav").otherwise("unknown")
+    val st = col("__wd")
+    val found = st.getField("ch") >= 0
+    def f(field: String): Column =
+      when(col("audio_format") === "wav" && found, st.getField(field))
+    val denom = st.getField("rate") * st.getField("ch") *
+      (st.getField("bits") / 8)
+    df.withColumn("audio_format", fmt)
+      .withColumn("__wd", when(isWav, wavChunks(p, maxChunks)))
+      .withColumn("audio_channels", f("ch"))
+      .withColumn("audio_sample_rate", f("rate").cast("int"))
+      .withColumn("audio_bits", f("bits"))
+      .withColumn("audio_duration_ms",
+        when(col("audio_format") === "wav" && found &&
+          st.getField("dsz") >= 0 && denom > 0,
+          // Column./ is double division; floor restores integral ms
+          floor(st.getField("dsz") * 1000L / denom).cast("long")))
+      .drop("__wd")
+  }
+
+  /** The bounded RIFF chunk walk: state (off, ch, rate, bits, dsz); ch/dsz
+    * = -1 until their chunks are seen, null off = stuck/corrupt. `p` MUST
+    * be an attribute (HOF lambda capture rule, see [[jpegSof]]).
+    */
+  private def wavChunks(p: Column, maxChunks: Int): Column = {
+    def leU(pos: Column, n: Int): Column = // little-endian: swap byte order
+      conv(concat((n to 1 by -1).map(i => hex(p.substr(pos + (i - 1), lit(1)))): _*),
+        16, 10).cast("long")
+    def state(off: Column, ch: Column, rate: Column, bits: Column,
+        dsz: Column): Column =
+      struct(off.cast("long").as("off"), ch.cast("int").as("ch"),
+        rate.cast("long").as("rate"), bits.cast("int").as("bits"),
+        dsz.cast("long").as("dsz"))
+    val fail = state(lit(null), lit(-1), lit(-1), lit(-1), lit(-1))
+    aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      state(lit(13L), lit(-1), lit(-1), lit(-1), lit(-1)), // first chunk after RIFF hdr
+      (st, _) => {
+        val off = st.getField("off")
+        val iOff = off.cast("int")
+        val id = hex(p.substr(iOff, lit(4)))
+        val size = leU(iOff + 4, 4)
+        // RIFF pads odd-sized chunks to even
+        val next = off + 8L + size + pmod(size, lit(2L))
+        val done = st.getField("ch") >= 0 && st.getField("dsz") >= 0
+        when(done, st)
+          .when(off.isNull || off + 8L > length(p).cast("long") + 1L, fail)
+          .when(id === "666D7420" && off + 24L <= length(p).cast("long") + 1L,
+            // "fmt ": tag u16 @+8 (unused), ch u16 @+10, rate u32 @+12,
+            // byterate u32 @+16, align u16 @+20, bits u16 @+22
+            state(next, leU(iOff + 10, 2), leU(iOff + 12, 4),
+              leU(iOff + 22, 2), st.getField("dsz")))
+          .when(id === "64617461", // "data": size is the sample byte count
+            state(next, st.getField("ch"), st.getField("rate"),
+              st.getField("bits"), size))
+          .otherwise(state(next, st.getField("ch"), st.getField("rate"),
+            st.getField("bits"), st.getField("dsz")))
+      })
+  }
+
   /** Deterministic stand-in for pixel/waveform feature extraction. */
   private def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

@@ -1039,6 +1039,45 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("batchevalpython"), plan)
   }
 
+  test("multimodal audioMeta: parses REAL JDK-AudioSystem-encoded WAV bytes") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def encode(rate: Float, bits: Int, channels: Int, frames: Int): Array[Byte] = {
+      val af = new AudioFormat(rate, bits, channels, true, false)
+      val bytesPerFrame = channels * bits / 8
+      val raw = Array.tabulate[Byte](frames * bytesPerFrame)(i => (i * 37 % 251).toByte)
+      val ais = new AudioInputStream(new ByteArrayInputStream(raw), af, frames.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // (id, rate, bits, channels, frames) → duration = frames*1000/rate
+    val cases = Seq(
+      (1L, 44100f, 16, 2, 44100), // 1000 ms stereo CD
+      (2L, 16000f, 16, 1, 4000), // 250 ms mono
+      (3L, 8000f, 8, 1, 123)) // 15 ms 8-bit
+    val rows = cases.map { case (id, r, b, c, n) => (id, r.toInt, b, c, n, encode(r, b, c, n)) }
+    val df = rows.map { case (id, r, b, c, n, bytes) => (id, r, b, c, n, bytes) }
+      .toDF("doc_id", "exp_rate", "exp_bits", "exp_ch", "frames", "payload")
+    val got = Multimodal.audioMeta(df).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { case (id, rate, bits, ch, frames, _) =>
+      val r = got(id)
+      assert(r.getAs[String]("audio_format") == "wav", s"doc $id: $r")
+      assert(r.getAs[Int]("audio_channels") == ch, s"doc $id ch: $r")
+      assert(r.getAs[Int]("audio_sample_rate") == rate, s"doc $id rate: $r")
+      assert(r.getAs[Int]("audio_bits") == bits, s"doc $id bits: $r")
+      assert(r.getAs[Long]("audio_duration_ms") == frames.toLong * 1000 / rate,
+        s"doc $id duration: $r")
+    }
+    // corrupt / non-RIFF payloads degrade to unknown, never error
+    val junk = Seq((9L, Array.fill[Byte](50)(0x42))).toDF("doc_id", "payload")
+    val jr = Multimodal.audioMeta(junk).collect().head
+    assert(jr.getAs[String]("audio_format") == "unknown" &&
+      jr.isNullAt(jr.fieldIndex("audio_channels")))
+    val plan = Multimodal.audioMeta(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tokenize chunking: stride windows with overlap, tail policy, shuffle-free plan") {
     import graft.ops.Tokenize
     val enc = Seq(
