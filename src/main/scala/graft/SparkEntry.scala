@@ -2,6 +2,7 @@ package graft
 
 import graft.extract.Extractor
 import graft.ops.{Ann, CharLm, Curation, Decontaminate, Dedup, Multimodal, Search, TextStats, Tokenize}
+import graft.sources.WarcSource
 import graft.text.JalaliDate
 import graft.url.Urls
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -750,6 +751,36 @@ object SparkEntry {
       Multimodal.audioMeta(d.select(col("doc_id"), unhex(payload).as("payload")))
         .select(col("doc_id"), col("audio_format"), col("audio_channels"),
           col("audio_sample_rate"), col("audio_bits"), col("audio_duration_ms"))
+    }),
+
+    "warc_parse" -> ((s, dir) => {
+      // the WARC framing parser under oracle: blobs are framed IN SQL from
+      // documents rows (10 records per blob, doc_id order within the blob;
+      // Content-Length is the UTF-8 BYTE length, which the Persian
+      // documents text makes a genuine byte-vs-char test), then parsed
+      // back by the real streaming parser. The oracle never frames — it
+      // emits the expected fields analytically, so a framing/length bug
+      // on either side of the round-trip hash-mismatches.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val uri = concat(lit("https://example.org/doc/"),
+        col("doc_id").cast("string"))
+      val header = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+          "Content-Type: text/html\r\nContent-Length: "),
+        length(encode(col("text"), "UTF-8")).cast("string"), lit("\r\n\r\n"))
+      val rec = concat(encode(header, "UTF-8"), encode(col("text"), "UTF-8"),
+        encode(lit("\r\n\r\n"), "UTF-8"))
+      val blobs = d
+        .select(floor(col("doc_id") / 10).as("b"),
+          struct(col("doc_id"), rec.as("rec")).as("r"))
+        .groupBy("b")
+        .agg(aggregate(sort_array(collect_list(col("r"))),
+          lit(Array.empty[Byte]),
+          (acc, x) => concat(acc, x.getField("rec"))).as("warc"))
+      WarcSource.parseRecords(s, blobs, "warc")
+        .select(col("target_uri"), col("content_length"),
+          decode(col("body"), "UTF-8").as("body"))
     }),
 
     // ---- text analysis ----
@@ -1574,6 +1605,12 @@ object SparkEntry {
            CASE WHEN doc_id % 7 = 0 THEN NULL
              ELSE CAST(floor((doc_id % 3000 + 1) * 10 * 1000.0 /
                ((doc_id % 4 + 1) * 8000)) AS BIGINT) END AS audio_duration_ms
+         FROM documents""",
+
+    "warc_parse" ->
+      """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           text AS body
          FROM documents""",
 
     "text_lang_id" ->

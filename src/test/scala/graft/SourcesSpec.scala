@@ -41,4 +41,67 @@ class SourcesSpec extends SparkTestBase {
     assert(viaSpark == viaJackson)
     assert(viaSpark.size == 20)
   }
+
+  test("WARC source: framing round-trip, multi-member gzip files, byte-exact Content-Length") {
+    import spark.implicits._
+    import graft.sources.WarcSource
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.GZIPOutputStream
+    import java.nio.charset.StandardCharsets.UTF_8
+
+    // bodies chosen to break char-vs-byte confusion: Persian + emoji text
+    // where UTF-8 byte length != char count, plus raw binary
+    val recs = Seq(
+      ("response", "https://example.org/a", "متن فارسی با طول بایتی متفاوت"),
+      ("response", "https://example.org/b", "emoji 😀 body"),
+      ("metadata", "https://example.org/c", "plain ascii"))
+    val framed = recs.map { case (t, u, body) =>
+      WarcSource.frameRecord(t, u, "2026-01-01T00:00:00Z", "text/html",
+        body.getBytes(UTF_8))
+    }
+    val blob = framed.reduce(_ ++ _)
+
+    // 1) plain-bytes parse: every field + byte-exact body
+    val parsed = WarcSource.parseStream(
+      new java.io.ByteArrayInputStream(blob)).toSeq
+    assert(parsed.size == 3)
+    parsed.zip(recs).foreach { case (r, (t, u, body)) =>
+      assert(r.record_type == t && r.target_uri == u)
+      assert(r.content_length == body.getBytes(UTF_8).length)
+      assert(new String(r.body, UTF_8) == body)
+    }
+
+    // 2) multi-member gzip FILE (one member per record — the Common Crawl
+    //    layout) through the file surface
+    val dir = Files.createTempDirectory("graft-warc").toString
+    val gzBytes = {
+      val out = new ByteArrayOutputStream()
+      framed.foreach { f => // one gzip member per record
+        val g = new GZIPOutputStream(out); g.write(f); g.finish(); g.close()
+      }
+      out.toByteArray
+    }
+    Files.write(java.nio.file.Paths.get(dir, "f1.warc.gz"), gzBytes)
+    Files.write(java.nio.file.Paths.get(dir, "f2.warc"), blob)
+    val viaFiles = WarcSource.read(spark, s"$dir/*").collect()
+    assert(viaFiles.length == 6) // both files carry all 3 records
+    assert(viaFiles.map(_.target_uri).toSet == recs.map(_._2).toSet)
+    assert(viaFiles.count(_.record_type == "metadata") == 2)
+
+    // 3) the distributed binary-column kernel: rows of multi-record blobs
+    //    (one plain, one gz) parse identically
+    val df = Seq(Tuple1(blob), Tuple1(gzBytes)).toDF("warc")
+    val viaCol = WarcSource.parseRecords(spark, df, "warc").collect()
+    assert(viaCol.length == 6)
+    assert(viaCol.map(r => new String(r.body, UTF_8)).sorted.toSeq ==
+      (recs.map(_._3) ++ recs.map(_._3)).sorted)
+
+    // 4) corrupt framing fails LOUDLY (a bad length desyncs the stream —
+    //    silence here would emit garbage records forever)
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n" +
+      "\r\nshort").getBytes(UTF_8)
+    intercept[Exception] {
+      WarcSource.parseStream(new java.io.ByteArrayInputStream(bad)).toSeq
+    }
+  }
 }
