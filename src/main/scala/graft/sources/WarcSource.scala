@@ -81,7 +81,13 @@ object WarcSource {
         // skip blank separator lines between records
         var line = readLine()
         while (line != null && line.isEmpty) line = readLine()
-        if (line == null) { eof = true; return }
+        if (line == null) {
+          eof = true
+          // release the underlying handle at natural EOF — a task draining
+          // thousands of .warc.gz files must not hold them all open
+          try in.close() catch { case _: java.io.IOException => }
+          return
+        }
         if (!line.startsWith("WARC/"))
           throw new IllegalArgumentException(s"not a WARC record header: '$line'")
         var rtype, uri, date, ctype = ""
@@ -161,9 +167,10 @@ object WarcSource {
       .flatMap { f =>
         val path = new org.apache.hadoop.fs.Path(f)
         val in = path.getFileSystem(conf.value).open(path)
+        // parseStream closes the stream at natural EOF; an interrupted
+        // task's stream falls to GC finalization (standard for streamed
+        // Hadoop record readers)
         parseStream(openMaybeGz(in))
-        // stream closes on executor GC if not exhausted; the iterator is
-        // normally drained by the task, reaching natural EOF
       }
   }
 
