@@ -167,9 +167,7 @@ object Multimodal {
         .otherwise("unknown")
     def beU32(pos: Int): Column =
       conv(hex(substring(p, pos, 4)), 16, 10).cast("int")
-    def leU16(pos: Int): Column = // byte-swap: payload is little-endian
-      conv(concat(hex(substring(p, pos + 1, 1)), hex(substring(p, pos, 1))),
-        16, 10).cast("int")
+    def leU16(pos: Int): Column = leUInt(p, lit(pos), 2).cast("int")
     val pngOk = length(p) >= 24 && hex(substring(p, 13, 4)) === "49484452"
     val gifOk = length(p) >= 10
     val jd = col("__jd")
@@ -272,10 +270,16 @@ object Multimodal {
     * = -1 until their chunks are seen, null off = stuck/corrupt. `p` MUST
     * be an attribute (HOF lambda capture rule, see [[jpegSof]]).
     */
+  /** Little-endian unsigned int read off a binary column: bytes at 1-based
+    * `pos` .. pos+n-1, least-significant first (hex byte-swap, one conv).
+    * Shared by the GIF screen descriptor and every RIFF field.
+    */
+  private def leUInt(p: Column, pos: Column, n: Int): Column =
+    conv(concat((n to 1 by -1).map(i => hex(p.substr(pos + (i - 1), lit(1)))): _*),
+      16, 10).cast("long")
+
   private def wavChunks(p: Column, maxChunks: Int): Column = {
-    def leU(pos: Column, n: Int): Column = // little-endian: swap byte order
-      conv(concat((n to 1 by -1).map(i => hex(p.substr(pos + (i - 1), lit(1)))): _*),
-        16, 10).cast("long")
+    def leU(pos: Column, n: Int): Column = leUInt(p, pos, n)
     def state(off: Column, ch: Column, rate: Column, bits: Column,
         dsz: Column): Column =
       struct(off.cast("long").as("off"), ch.cast("int").as("ch"),

@@ -46,25 +46,33 @@ object WarcSource {
     * length desyncs everything after it — better to fail the file loudly
     * than emit garbage records silently); tolerant on headers (unknown
     * keys ignored, missing optional keys become empty strings).
+    * `maxRecordBytes` bounds one record's body allocation so a corrupt
+    * Content-Length fails THIS task with a clear error instead of OOM-ing
+    * the executor JVM (which kills co-resident tasks and is not retryable).
     */
-  def parseStream(in: InputStream): Iterator[WarcRecord] =
+  def parseStream(in: InputStream,
+      maxRecordBytes: Long = 1L << 30): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = null
       private var eof = false
 
       private def readLine(): String = {
-        // header lines are ASCII per spec; CRLF terminated
-        val sb = new java.lang.StringBuilder(64)
+        // header values may be UTF-8 (IRIs in WARC-Target-URI) — collect
+        // bytes and decode the line as UTF-8, never byte-to-char (latin-1
+        // mojibake); CRLF terminated, tolerant of bare LF
+        val buf = new java.io.ByteArrayOutputStream(64)
         var b = in.read()
         while (b != -1 && b != '\n') {
-          if (b != '\r') sb.append(b.toChar)
+          if (b != '\r') buf.write(b)
           b = in.read()
         }
-        if (b == -1 && sb.length == 0) null else sb.toString
+        if (b == -1 && buf.size == 0) null
+        else new String(buf.toByteArray, StandardCharsets.UTF_8)
       }
 
       private def readFully(n: Long): Array[Byte] = {
-        require(n <= Int.MaxValue, s"record body too large for one buffer: $n")
+        if (n > maxRecordBytes) throw new IllegalArgumentException(
+          s"implausible WARC Content-Length $n (bound $maxRecordBytes) — corrupt header?")
         val buf = new Array[Byte](n.toInt)
         var off = 0
         while (off < n) {
@@ -117,6 +125,7 @@ object WarcSource {
       advance()
       override def hasNext: Boolean = !eof
       override def next(): WarcRecord = {
+        if (eof) throw new java.util.NoSuchElementException("WARC stream exhausted")
         val r = nextRec; advance(); r
       }
     }
@@ -124,10 +133,25 @@ object WarcSource {
   /** Gzip-or-plain dispatch on the 0x1F8B magic; multi-member gz streams
     * (one member per record, the Common Crawl layout) decompress as one
     * continuous stream under GZIPInputStream.
+    *
+    * Member-boundary caveat: GZIPInputStream only attempts the NEXT member
+    * when the underlying stream's `available() > 0` at the trailer — and
+    * an InputStream may legally return 0 with data remaining (remote-FS /
+    * network streams do). That silently TRUNCATES a multi-member file
+    * after one member. The wrapper below makes `available()` optimistic
+    * (≥1 until proven EOF); at true EOF the next-header read fails and
+    * GZIPInputStream's own catch treats it as a normal end — so honesty
+    * costs nothing and remote streams stop losing records.
     */
   def openMaybeGz(raw: InputStream): InputStream = {
-    val in = if (raw.markSupported) raw
+    val buffered = if (raw.markSupported) raw
       else new java.io.BufferedInputStream(raw)
+    val in = new java.io.FilterInputStream(buffered) {
+      override def available(): Int = {
+        val a = super.available()
+        if (a > 0) a else 1 // optimistic: only read() == -1 proves EOF
+      }
+    }
     in.mark(2)
     val b0 = in.read(); val b1 = in.read()
     in.reset()
@@ -143,25 +167,33 @@ object WarcSource {
       bytesCol: String = "warc"): Dataset[WarcRecord] = {
     import spark.implicits._
     df.select(col(bytesCol)).as[Array[Byte]].flatMap { blob =>
-      parseStream(openMaybeGz(new ByteArrayInputStream(blob)))
+      // a SQL NULL blob (outer-join product, corrupt upstream) carries no
+      // records; skipping beats an uninformative NPE deep in the flatMap
+      if (blob == null) Iterator.empty
+      else parseStream(openMaybeGz(new ByteArrayInputStream(blob)))
     }
   }
 
-  /** File surface: every file matching the glob becomes one unit of work;
-    * tasks stream their files (Hadoop FileSystem open — works for any
-    * supported scheme) through the same parser. `minPartitions` spreads
-    * small file counts across the cluster; at real scale the file count
-    * dwarfs it.
+  /** File surface: every file matching the glob becomes one unit of work —
+    * one file per partition by default, the maximal spread a file-framed
+    * container admits (a file cannot be split below record framing).
+    * `maxPartitions` (0 = off) caps the task count when the file count
+    * runs to millions and scheduling overhead matters; it can only ever
+    * batch files per task, never split one. A missing non-glob path fails
+    * with a clear error (Hadoop globStatus returns NULL there, not empty);
+    * a glob matching nothing yields an empty dataset.
     */
   def read(spark: SparkSession, pathGlob: String,
-      minPartitions: Int = 0): Dataset[WarcRecord] = {
+      maxPartitions: Int = 0): Dataset[WarcRecord] = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = p.getFileSystem(conf.value)
-    val files = fs.globStatus(p).filter(_.isFile).map(_.getPath.toString)
-    val parts = if (minPartitions > 0) math.min(minPartitions, files.length)
+    val matched = Option(fs.globStatus(p)).getOrElse(
+      throw new java.io.FileNotFoundException(s"WARC path does not exist: $pathGlob"))
+    val files = matched.filter(_.isFile).map(_.getPath.toString)
+    val parts = if (maxPartitions > 0) math.min(maxPartitions, files.length)
       else files.length
     spark.createDataset(files.toSeq).repartition(math.max(parts, 1))
       .flatMap { f =>

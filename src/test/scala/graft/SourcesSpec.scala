@@ -103,5 +103,57 @@ class SourcesSpec extends SparkTestBase {
     intercept[Exception] {
       WarcSource.parseStream(new java.io.ByteArrayInputStream(bad)).toSeq
     }
+
+    // 5) UTF-8 HEADER values (IRIs) survive the parse — header lines must
+    //    decode as UTF-8, not byte-to-char latin-1 mojibake
+    val iri = "https://example.org/متن/😀"
+    val iriBlob = WarcSource.frameRecord("response", iri,
+      "2026-01-01T00:00:00Z", "text/html", "x".getBytes(UTF_8))
+    val iriRec = WarcSource.parseStream(
+      new java.io.ByteArrayInputStream(iriBlob)).next()
+    assert(iriRec.target_uri == iri, iriRec.target_uri)
+
+    // 6) multi-member gzip on a stream whose available() lies (returns 0
+    //    with data remaining — legal per the InputStream contract, typical
+    //    of remote-FS streams): GZIPInputStream would silently stop after
+    //    member 1 without openMaybeGz's optimistic-available wrapper
+    val zeroAvail = new java.io.InputStream {
+      val in = new java.io.ByteArrayInputStream(gzBytes)
+      override def read(): Int = in.read()
+      override def read(b: Array[Byte], o: Int, l: Int): Int = in.read(b, o, l)
+      override def available(): Int = 0
+    }
+    val viaZero = WarcSource.parseStream(WarcSource.openMaybeGz(zeroAvail)).toSeq
+    assert(viaZero.size == 3, s"multi-member gz truncated: got ${viaZero.size}")
+
+    // 7) iterator contract: next() past exhaustion throws, never repeats
+    //    the final record
+    val one = WarcSource.parseStream(new java.io.ByteArrayInputStream(
+      WarcSource.frameRecord("response", "u", "d", "t", "b".getBytes(UTF_8))))
+    one.next()
+    assert(!one.hasNext)
+    intercept[NoSuchElementException] { one.next() }
+
+    // 8) an implausible Content-Length fails with a bounded, clear error
+    //    (never a multi-GB allocation / executor OOM)
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 2000000000\r\n\r\n").getBytes(UTF_8)
+    val e = intercept[IllegalArgumentException] {
+      WarcSource.parseStream(new java.io.ByteArrayInputStream(huge),
+        maxRecordBytes = 1 << 20).toSeq
+    }
+    assert(e.getMessage.contains("implausible"), e.getMessage)
+
+    // 9) a NULL blob row yields no records (not an NPE mid-stage)
+    val withNull = Seq(Tuple1(blob), Tuple1(null.asInstanceOf[Array[Byte]]))
+      .toDF("warc")
+    assert(WarcSource.parseRecords(spark, withNull, "warc").count() == 3)
+
+    // 10) a missing non-glob path fails with a named error (Hadoop
+    //     globStatus returns null there, not an empty array)
+    val fnf = intercept[java.io.FileNotFoundException] {
+      WarcSource.read(spark, s"$dir/nope.warc.gz.missing")
+    }
+    assert(fnf.getMessage.contains("nope"), fnf.getMessage)
   }
 }
