@@ -1186,13 +1186,13 @@ object SparkEntry {
       """SELECT token, CAST(rn AS INT) AS token_id, n_occurrences FROM
          (SELECT token, count(*) AS n_occurrences,
             row_number() OVER (ORDER BY count(*) DESC, token) AS rn
-          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
           WHERE len(token) > 0 GROUP BY token)
          WHERE rn <= 30""",
 
     "tokenize_encode" ->
       """WITH base AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
            FROM documents),
          vocab AS (
            SELECT token, CAST(rn AS INT) AS token_id FROM
@@ -1214,7 +1214,7 @@ object SparkEntry {
 
     "tokenize_chunk" ->
       """WITH base AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
            FROM documents),
          vocab AS (
            SELECT token, CAST(rn AS INT) AS token_id FROM
@@ -1240,7 +1240,7 @@ object SparkEntry {
 
     "tokenize_pack" ->
       """WITH base AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
            FROM documents),
          vocab AS (
            SELECT token, CAST(rn AS INT) AS token_id FROM
@@ -1259,7 +1259,7 @@ object SparkEntry {
            SELECT flatten(list(list_append(token_ids, 99) ORDER BY doc_id)) AS s
            FROM enc WHERE len(token_ids) > 0),
          packs AS (
-           SELECT CAST(k AS INT) AS seq_idx,
+           SELECT CAST(k AS BIGINT) AS seq_idx,
              s[CAST(k*16 + 1 AS BIGINT) : CAST(k*16 + 16 AS BIGINT)] AS ids
            FROM stream, unnest(range(0,
              CAST(ceil(len(s) / 16.0) AS BIGINT))) AS t(k))
@@ -1300,7 +1300,7 @@ object SparkEntry {
              ELSE text END AS text
            FROM d0),
          sd_w AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
            FROM surv),
          sd_g AS (
            SELECT doc_id, CAST(p AS INT) AS pos,
@@ -1326,7 +1326,7 @@ object SparkEntry {
            SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text
            FROM sd_kept GROUP BY doc_id),
          base AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
            FROM dd),
          vocab AS (
            SELECT token, CAST(rn AS INT) AS token_id FROM
@@ -1345,7 +1345,7 @@ object SparkEntry {
            SELECT flatten(list(list_append(token_ids, 99) ORDER BY doc_id)) AS s
            FROM enc WHERE len(token_ids) > 0),
          packs AS (
-           SELECT CAST(k AS INT) AS seq_idx,
+           SELECT CAST(k AS BIGINT) AS seq_idx,
              s[CAST(k*64 + 1 AS BIGINT) : CAST(k*64 + 64 AS BIGINT)] AS pids
            FROM stream, unnest(range(0,
              CAST(ceil(len(s) / 64.0) AS BIGINT))) AS t(k))
@@ -1355,7 +1355,7 @@ object SparkEntry {
     "bpe_pair_counts" ->
       """WITH words AS (
            SELECT w AS word, count(*) AS wc FROM (
-             SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+             SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS w
              FROM documents)
            GROUP BY w),
          syms AS (
@@ -1371,7 +1371,7 @@ object SparkEntry {
 
     "dedup_span" ->
       """WITH s AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
            FROM documents),
          w AS (SELECT doc_id, ws FROM s WHERE len(ws) > 0),
          g AS (
@@ -1512,7 +1512,7 @@ object SparkEntry {
              trim(regexp_replace(lower(CASE f.field
                WHEN 'question' THEN d.question
                WHEN 'answer' THEN d.answer
-               ELSE d.content END), ' +', ' ', 'g')) AS txt
+               ELSE d.content END), '\s+', ' ', 'g')) AS txt
            FROM docs3 d, fields f),
          tok AS (SELECT doc_id, field, unnest(string_split(txt, ' ')) AS term FROM ftext),
          tok2 AS (SELECT * FROM tok WHERE len(term) > 0),
@@ -1527,7 +1527,7 @@ object SparkEntry {
            (3, 'merge batch'), (3, 'stream group'), (3, 'key scan'),
            (4, 'vector')),
          phr AS (SELECT DISTINCT query_id,
-             trim(regexp_replace(lower(phrase), ' +', ' ', 'g')) AS phrase
+             trim(regexp_replace(lower(phrase), '\s+', ' ', 'g')) AS phrase
            FROM phraseq WHERE len(trim(phrase)) > 0),
          pterm AS (SELECT query_id, phrase,
              unnest(string_split(phrase, ' ')) AS term FROM phr),

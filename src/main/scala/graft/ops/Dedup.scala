@@ -469,7 +469,7 @@ object Dedup {
     require(k >= 2, s"spanDedup needs k >= 2 (got $k)")
     val words = df
       .select(col(idCol),
-        filter(split(col(textCol), " "), w => length(w) > 0).as("__ws"))
+        filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__ws"))
       .filter(size(col("__ws")) > 0)
     val gramsBase = words
       .select(col(idCol),

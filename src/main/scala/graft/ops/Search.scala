@@ -201,7 +201,7 @@ object Search {
     * `trim(regexp_replace(lower(x), ' +', ' ', 'g'))`.
     */
   private def canonText(c: Column): Column =
-    trim(regexp_replace(lower(c), " +", " "))
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** The reference caller's per-query min_score tier by phrase count
     * (/root/reference/src/html_converter.py:431-437): base 1.5, `> 5`
@@ -415,6 +415,12 @@ object Search {
       termBuckets: Int = 64,
       withText: Boolean = true): Unit = {
     val spark = newDocs.sparkSession
+    // validate BEFORE the first write: a mismatched bucket count appended
+    // tf rows into partitions probes never read (silently-missing docs)
+    // and double-counted dlen on retry, with the loud failure arriving
+    // only after the corruption was already on disk
+    val oldMeta = spark.read.parquet(s"$path/meta")
+    requireBuckets(oldMeta, termBuckets, "bm25IndexAppend")
     val fieldsLong = fields.map { f =>
       newDocs.select(col(idCol).as("id"), lit(f.name).as("field"),
         canonText(col(f.name)).as("txt"))
@@ -435,7 +441,6 @@ object Search {
     deltaDlen.select(dlenCols: _*)
       .write.mode("append").parquet(s"$path/dlen")
     // meta: old sums + delta sums (both tiny) — never re-reads dlen
-    val oldMeta = spark.read.parquet(s"$path/meta")
     val deltaSums = deltaDlen.groupBy("field")
       .agg(sum(col("dl")).as("d_sum"), count(lit(1)).as("d_cnt"))
     val merged = oldMeta.select("field", "sum_dl", "cnt")
@@ -445,7 +450,6 @@ object Search {
           .as("sum_dl"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as("cnt"))
-    requireBuckets(oldMeta, termBuckets, "bm25IndexAppend")
     val nTotal = oldMeta.select(max(col("n"))).head().getLong(0) + newDocs.count()
     writeMeta(spark, path, merged, nTotal, termBuckets)
   }

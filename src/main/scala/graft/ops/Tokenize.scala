@@ -40,7 +40,7 @@ object Tokenize {
   def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int,
       minCount: Long = 1L, prePartitions: Int = 64): DataFrame = {
     val counts = docs
-      .select(explode(split(col(textCol), " ")).as("token"))
+      .select(explode(split(col(textCol), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
@@ -67,7 +67,7 @@ object Tokenize {
   def encode(docs: DataFrame, textCol: String, idCol: String,
       vocab: DataFrame, unkId: Int = 0): DataFrame = {
     val toks = docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .select(col(idCol), posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "token")))
       .filter(length(col("token")) > 0)
     toks
       .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
@@ -199,7 +199,10 @@ object Tokenize {
     pieces
       .groupBy(col("__k"))
       .agg(sort_array(collect_list(struct(col("__off"), col("__piece")))).as("__o"))
-      .select(col("__k").cast("int").as("seq_idx"),
+      // seq_idx stays LONG: the design-point corpus (100 TB / seqLen 2048)
+      // packs ~10^10 sequences — an int cast wraps past 2.1e9 and aliases
+      // training sequences
+      .select(col("__k").as("seq_idx"),
         flatten(transform(col("__o"), x => x.getField("__piece"))).as("token_ids"))
       .filter(size(col("token_ids")) >= minLen)
   }
@@ -255,7 +258,7 @@ object Tokenize {
   private def initialSegs(docs: DataFrame, textCol: String,
       eow: String): DataFrame =
     docs
-      .select(explode(filter(split(col(textCol), " "), w => length(w) > 0))
+      .select(explode(filter(split(col(textCol), "\\s+"), w => length(w) > 0))
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .select(col("word"), col("wc"),
@@ -356,7 +359,7 @@ object Tokenize {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(col(idCol),
-      posexplode(filter(split(col(textCol), " "), w => length(w) > 0))
+      posexplode(filter(split(col(textCol), "\\s+"), w => length(w) > 0))
         .as(Seq("__pos", "__word")))
     val mergePairs = model.merges.map(m => (m._1, m._2))
     val eow = model.eow

@@ -38,7 +38,11 @@ object StreamOps {
   def fetchRateByHost(pages: DataFrame, windowLen: String = "1 minute",
       lateness: String = "2 minutes"): DataFrame = {
     pages
-      .withColumn("host", regexp_extract(col("url"), "://([^/]+)/", 1))
+      // authority up to /, ? or # — same semantics as Urls.host, kept as a
+      // codegen'd regexp (no UDF in the streaming agg); the old pattern
+      // required a trailing slash, collapsing path-less URLs
+      // ("http://example.com", "...com?x=1") into one bogus host="" group
+      .withColumn("host", regexp_extract(col("url"), "://([^/?#]+)", 1))
       .withWatermark("warc_ts", lateness)
       .groupBy(window(col("warc_ts"), windowLen), col("host"))
       .agg(count(lit(1)).as("pages"))
@@ -189,20 +193,36 @@ object StreamOps {
   def readCuratedSurvivors(spark: SparkSession, storeDir: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(livePaths(fs, s"$storeDir/survivors"): _*)
+    val live = livePaths(fs, s"$storeDir/survivors")
+    // zero-path read.parquet fails with an opaque schema-inference error;
+    // name the actual condition instead
+    if (live.isEmpty) throw new IllegalStateException(
+      s"curated store has no survivor partitions yet: $storeDir " +
+        "(no micro-batch committed, or wrong storeDir)")
+    spark.read.parquet(live: _*)
   }
 
-  /** Fold the store's live partitions into one `compact_<batchId>` dir per
-    * sub-table, then sweep superseded parts. Crash-safe without a
-    * manifest: the compacted dir is written to a temp path and RENAMED
-    * into place (atomic on local/HDFS), readers resolve strictly by the
-    * newest-generation rule, so a crash between rename and sweep only
-    * leaves ignored directories behind.
+  /** Fold the store's live PRIOR-batch partitions into one
+    * `compact_<batchId-1>` dir per sub-table, then sweep superseded parts.
+    * Crash-safe without a manifest: the compacted dir is written to a temp
+    * path and RENAMED into place (atomic on local/HDFS), readers resolve
+    * strictly by the newest-generation rule, so a crash between rename and
+    * sweep only leaves ignored directories behind.
+    *
+    * THE CURRENT BATCH IS NEVER FOLDED (generation = batchId - 1, fold
+    * excludes batchId): if it were, a crash after one sub-table's rename
+    * but before the others would make the REPLAY of this batch read its
+    * own rows as "prior corpus" (livePaths' excludeBatchId cannot see
+    * inside a compact dir), kill every doc as a self-duplicate, and
+    * overwrite the still-live survivors/index partitions with empty data —
+    * silent loss. With only prior batches folded, replay recomputes the
+    * identical delta against the identical prior set in EVERY crash state.
     */
   private def compactStore(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
       batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    val gen = batchId - 1
     // the three sub-tables are independent directories with independent
     // generation counters — fold them CONCURRENTLY (each fold is a
     // read+write+rename+sweep chain; run sequentially a compaction batch
@@ -214,22 +234,23 @@ object StreamOps {
     import scala.concurrent.ExecutionContext.Implicits.global
     val folds = Seq("base", "index", "survivors").map { sub => Future {
       val root = s"$storeDir/$sub"
-      val live = livePaths(fs, root)
+      val live = livePaths(fs, root, excludeBatchId = batchId)
       if (live.nonEmpty) {
-        val tmp = new Path(s"$root/_tmp_$CompactPrefix$batchId")
+        val tmp = new Path(s"$root/_tmp_$CompactPrefix$gen")
         fs.delete(tmp, true)
         spark.read.parquet(live: _*).write.parquet(tmp.toString)
-        val dst = new Path(s"$root/$CompactPrefix$batchId")
+        val dst = new Path(s"$root/$CompactPrefix$gen")
         fs.delete(dst, true)
         require(fs.rename(tmp, dst), s"compaction rename failed for $dst")
-        // sweep: every batch dir ≤ the new generation and every older
-        // compact generation is now unreferenced
+        // sweep: every PRIOR batch dir (≤ the new generation) and every
+        // older compact generation is now unreferenced; the current
+        // batch's dir stays its own live partition
         fs.listStatus(new Path(root)).foreach { st =>
           val n = st.getPath.getName
           val stale =
             (n.startsWith("batch_id=") &&
-              n.stripPrefix("batch_id=").toLong <= batchId) ||
-            (n.startsWith(CompactPrefix) && n != s"$CompactPrefix$batchId" &&
+              n.stripPrefix("batch_id=").toLong <= gen) ||
+            (n.startsWith(CompactPrefix) && n != s"$CompactPrefix$gen" &&
               !n.startsWith("_"))
           if (stale) fs.delete(st.getPath, true)
         }

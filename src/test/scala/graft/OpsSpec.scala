@@ -275,6 +275,27 @@ class OpsSpec extends SparkTestBase {
     assert(enc(2L)._1 == Seq(2, 0, 1)) // "rare" is OOV → 0
     assert(enc(2L)._2 == 3 && enc(2L)._3 == 1)
     assert(!enc.contains(3L)) // token-free doc encodes to no row
+
+    // ALL whitespace tokenizes (\s+, matching Curation's tokenCountWs
+    // budget definition): a real web corpus is full of newlines/tabs, and
+    // a single-space split would glue "a\nb" into one garbage vocab token
+    // while curation counted it as two
+    val wsDocs = Seq((1L, "x\ny\tz  x\r\nw")).toDF("doc_id", "text")
+    val wsVocab = Tokenize.buildVocab(wsDocs, "text", vocabSize = 10)
+      .collect().map(r => r.getString(0)).toSet
+    assert(wsVocab == Set("x", "y", "z", "w"), wsVocab)
+    val wsEnc = Tokenize.encode(wsDocs, "text", "doc_id",
+        Tokenize.buildVocab(wsDocs, "text", 10))
+      .collect().head.getAs[scala.collection.Seq[Int]]("token_ids")
+    assert(wsEnc.size == 5, wsEnc) // x y z x w
+    val wsSpan = graft.ops.Dedup.spanDedup(
+      Seq((1L, "p q r\ns t"), (2L, "p q r\ns t")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 2).collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // the 5-word span repeats across docs 1/2: doc 1 keeps all five words
+    // (split on \n too), doc 2 loses every word and drops out entirely
+    assert(wsSpan(1L).split("\\s+").length == 5 && !wsSpan.contains(2L),
+      wsSpan)
   }
 
   test("vocab build: partition pre-prune bounds the global window; minCount prefilters") {
@@ -362,12 +383,12 @@ class OpsSpec extends SparkTestBase {
       3 -> Seq(11, 12, 13, 14), 4 -> Seq(0))
     val got = Tokenize.packSequences(fix, "doc_id", seqLen = 4,
         eosId = Some(0), minLen = 1, prefixBuckets = 3)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1).toSeq
     assert(got == expected)
     // minLen drops the partial tail only
     val noTail = Tokenize.packSequences(fix, "doc_id", seqLen = 4,
         eosId = Some(0), minLen = 2, prefixBuckets = 3)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1).toSeq
     assert(noTail == expected.init)
 
     // randomized parity vs a single-node reference; scrambled input
@@ -382,7 +403,7 @@ class OpsSpec extends SparkTestBase {
     val gotR = Tokenize.packSequences(
         rnd.toDF("doc_id", "token_ids").repartition(13),
         "doc_id", seqLen = 16, eosId = None, minLen = 5, prefixBuckets = 8)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Int](1)).sortBy(_._1).toSeq
     assert(gotR == refPacks)
 
     // plan guard: the prefix sum must be the bucket-partitioned window —
@@ -897,6 +918,16 @@ class OpsSpec extends SparkTestBase {
     assert(viaInc == direct, "indexed must reproduce the direct path")
     // appended docs actually surface (not just old-corpus agreement)
     assert(viaInc.exists(_._2 >= 40L), s"no appended doc in top-k: $viaInc")
+
+    // a mismatched-bucket append must fail BEFORE any write: the old
+    // order appended tf rows into wrong partitions (silently unfindable)
+    // and double-counted dlen on retry before throwing
+    intercept[IllegalArgumentException] {
+      Search.bm25IndexAppend(mk(60L, 65L), fields, inc, termBuckets = 4)
+    }
+    assert(asSet(Search.bm25TopKIndexed(spark, inc, queries, fields,
+      termBuckets = 8, k = 5, minScore = 0.0)) == viaInc,
+      "failed append must leave the index byte-identical")
 
     // indexed phrase probe: gate over candidates' stored text == the
     // direct corpus-scan gate, across the appended index

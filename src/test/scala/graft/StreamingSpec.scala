@@ -133,6 +133,31 @@ class StreamingSpec extends SparkTestBase {
       compactThreshold = 2)
     assert(StreamOps.readCuratedSurvivors(spark, store2)
       .select("doc_id").collect().map(_.getLong(0)).toSet == surv)
+
+    // ---- CRASH MID-COMPACTION then replay: the batch must survive ----
+    // Compaction folds only PRIOR batches (gen = batchId-1). Simulate the
+    // worst crash window: batch 2's own writes landed, then the BASE
+    // sub-table's fold renamed compact_1 into place and swept, but the
+    // survivors/index folds never ran. The replay of batch 2 must then
+    // read only batches 0-1 as prior corpus (if compact_1 held batch 2's
+    // own rows, every doc would die as a self-duplicate and the replay
+    // would overwrite batch 2's still-live survivors with empty data).
+    val store3 = java.nio.file.Files.createTempDirectory("stream-curate-x").toString
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      StreamOps.foldCurateBatch(b.toDF("doc_id", "text"), i.toLong, store3, ccfg)
+    }
+    locally { // base-only partial compaction at batchId=2 (prior = 0,1)
+      val prior = Seq(0L, 1L).map(i => s"$store3/base/batch_id=$i")
+      spark.read.parquet(prior: _*).write.parquet(s"$store3/base/compact_1")
+      prior.foreach { p =>
+        new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+      }
+    }
+    StreamOps.foldCurateBatch(b3.toDF("doc_id", "text"), 2L, store3, ccfg,
+      compactThreshold = 2)
+    assert(StreamOps.readCuratedSurvivors(spark, store3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == surv,
+      "crash-window replay lost the batch's survivors")
   }
 
   test("watermarked windowed fetch-rate counts per host") {
