@@ -1062,7 +1062,8 @@ object SparkEntry {
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, count(*) AS dup_count,
-         min(doc_id) AS keep_id FROM
+         CASE WHEN count(*) FILTER (WHERE doc_id IS NULL) > 0 THEN NULL
+           ELSE min(doc_id) END AS keep_id FROM
          (SELECT doc_id, text FROM documents
           UNION ALL SELECT doc_id + 100000, text FROM documents)
          GROUP BY 1 HAVING count(*) >= 2""",
@@ -1409,7 +1410,7 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
          CAST(1.0 AS DOUBLE) AS jaccard FROM documents
-         WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+         WHERE len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
            x -> len(x) > 0)) > 0""",
 
     "dedup_simhash" ->
@@ -1419,7 +1420,7 @@ object SparkEntry {
     "dedup_incremental_lsh" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
          CAST(1.0 AS DOUBLE) AS jaccard FROM documents
-         WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+         WHERE len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
            x -> len(x) > 0)) > 0""",
 
     "dedup_cluster_assign" ->
@@ -1651,7 +1652,7 @@ object SparkEntry {
              THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
              ELSE 0.0 END AS dup_line_frac FROM lines),
          wordsarr AS (
-           SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
              w -> len(w) > 0) AS ws FROM base),
          words AS (SELECT doc_id, unnest(ws) AS w FROM wordsarr),
          wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
@@ -1742,7 +1743,7 @@ object SparkEntry {
 
     "decontaminate_stats" ->
       """WITH w AS (
-           SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
              x -> len(x) > 0) AS ws FROM documents),
          g AS (
            SELECT doc_id,

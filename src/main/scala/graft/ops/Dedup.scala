@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups by content hash (A1 generalized):
-    * groupBy(hash).count >= 2.
+    * groupBy(hash).count >= 2. keep_id uses the SAME nulls-first
+    * (isNotNull, id) key as [[exactKeepFirst]] — plain min(id) skips
+    * nulls, so a {null, 5} group would report keeper 5 while keepFirst
+    * actually keeps the null-id row; a pipeline reporting via one and
+    * deleting via the other would name a keeper it deleted. keep_id is
+    * null exactly when the surviving row's id is null.
     */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
+      .agg(count(lit(1)).as("dup_count"),
+        min_by(col(idCol),
+          struct(col(idCol).isNotNull.cast("int"), col(idCol))).as("keep_id"))
       .filter(col("dup_count") >= 2)
 
   /** Keep-first dedup (W1 made deterministic): one row per content hash,
@@ -207,11 +214,12 @@ object Dedup {
     // cache): an unbounded hint on a corpus-sized "delta" is a
     // driver/broadcast-limit OOM, and such a batch belongs to
     // [[minhashLshPairs]] anyway — above the gate the join degrades to a
-    // shuffle of both sides instead of failing.
-    val deltaDocs = deltaSh.count()
+    // shuffle of both sides instead of failing. In eager=false (live-plan
+    // audit) mode no job may run at build time and nothing is cached to
+    // absorb the count, so the hint is skipped rather than measured.
     val deltaBands = deltaBanded.withColumnRenamed("id", "delta_id")
     val probeSide =
-      if (deltaDocs <= maxBroadcastDeltaDocs) broadcast(deltaBands)
+      if (eager && deltaSh.count() <= maxBroadcastDeltaDocs) broadcast(deltaBands)
       else deltaBands
     val vsIndex = bandIndex
       .join(probeSide, Seq("band", "band_hash"))
@@ -257,23 +265,45 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash per doc (typed map),
-    * split into 4 16-bit blocks (two docs within hamming 3 share at least
-    * one block); verify hamming via bit_count(xor).
+    * split into `maxHamming + 1` bit blocks — the pigeonhole count that
+    * GUARANTEES two hashes within the hamming budget share at least one
+    * block (a fixed 4-block layout silently loses recall for any
+    * maxHamming > 3: one differing bit per block and the pair never
+    * becomes a candidate). Default maxHamming = 3 keeps the classic
+    * 4 × 16-bit layout. Verify is exact via bit_count(xor).
+    *
+    * Token-free docs (simhash 0) are excluded — they are not near-dups of
+    * each other, and at corpus scale a shared all-zero hash degenerates
+    * into an O(n²) pair blowup.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"need 0 <= maxHamming <= 31 (got $maxHamming; blocks need >= 2 bits)")
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
     val spark = df.sparkSession
     import spark.implicits._
     val withHash = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
-      .map { case (id, t) => (id, Sketches.simhash64(if (t == null) "" else t)) }
-      .toDF("id", "sh64")
+      .map { case (id, t) =>
+        val tokens = Sketches.tokenize(if (t == null) "" else t)
+        (id, Sketches.simhash64(if (t == null) "" else t), tokens.nonEmpty)
+      }
+      .toDF("id", "sh64", "has_tokens")
+      .filter(col("has_tokens"))
+      .drop("has_tokens")
+    val blockCols = (0 until nBlocks).map { b =>
+      val start = b * width
+      val len = if (b == nBlocks - 1) 64 - start else width // last takes remainder
+      val mask = if (len >= 64) -1L else (1L << len) - 1
+      struct(lit(b).as("block"),
+        shiftright(col("sh64"), start).bitwiseAND(lit(mask)).as("block_val"))
+    }
     val blocked = withHash
+      .select(col("id"), col("sh64"), explode(array(blockCols: _*)).as("bb"))
       .select(col("id"), col("sh64"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("sh64"), b * 16).bitwiseAND(lit(0xffffL)))))
-      .withColumnRenamed("pos", "block")
-      .withColumnRenamed("col", "block_val")
+        col("bb.block").as("block"), col("bb.block_val").as("block_val"))
     val l = blocked.select(col("block"), col("block_val"), col("id").as("id_a"), col("sh64").as("h_a"))
     val r = blocked.select(col("block"), col("block_val"), col("id").as("id_b"), col("sh64").as("h_b"))
     l.join(r, Seq("block", "block_val"))
@@ -393,6 +423,12 @@ object Dedup {
     * verbatim) — the CCNet guard against deleting every blank line or
     * "###" separator corpus-wide; the bypass branch never enters the
     * window shuffle, preserving the group-limit pushdown on the long side.
+    *
+    * NOTE: with `minLineChars > 0` the line table feeds two branches, so
+    * the INPUT plan evaluates twice per action — persist/checkpoint a
+    * derived input (e.g. curation output) before calling. The default
+    * `minLineChars = 0` path folds the empty bypass to a LocalRelation
+    * and scans once.
     */
   def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n", minLineChars: Int = 0): DataFrame = {

@@ -27,7 +27,9 @@ object TextStats {
     val pieces = filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
     val wordTokens = aggregate(pieces, lit(0L),
       (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
-    val punct = size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]")))
+    // one codegen'd regex pass, not a per-char array + interpreted rlike
+    // lambda (the ~10x trap langIdByScript documents)
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
     wordTokens + punct.cast("long")
   }
 
@@ -58,9 +60,10 @@ object TextStats {
       .otherwise(lit("unknown"))
   }
 
-  /** Quality features struct: length, token count, mean word length,
-    * punctuation ratio, digit ratio, uppercase ratio, stopword-ish ratio
-    * (English function words as a crude proxy).
+  /** Quality features struct: n_chars, n_tokens, mean word length,
+    * punctuation ratio, digit ratio (any Unicode decimal digit — Persian
+    * ۰-۹ included), stopword-ish ratio (English function words as a crude
+    * proxy).
     */
   def qualityFeatures(text: Column): Column = {
     val n = greatest(length(text), lit(1)).cast("double")
@@ -69,7 +72,7 @@ object TextStats {
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     val stopN = size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("double")
     val punctN = (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
-    val digitN = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+    val digitN = (length(text) - length(regexp_replace(text, "[\\p{Nd}]", ""))).cast("double")
     val meanWordLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks
     struct(
       length(text).as("n_chars"),
@@ -106,7 +109,7 @@ object TextStats {
     val dupLineFrac = when(nLines > 0,
       lit(1.0) - size(array_distinct(lines)).cast("double") / nLines.cast("double"))
       .otherwise(lit(0.0))
-    val words = filter(split(lower(text), "\\W+"), w => length(w) > 0)
+    val words = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
     val nWords = size(words)
     // longest run in the sorted array == the most frequent word's count
     val sorted = array_sort(words)
@@ -165,7 +168,7 @@ object TextStats {
     * to the empty array.
     */
   def minKFingerprint(text: Column, k: Int = 8): Column = {
-    val words = filter(split(lower(text), "\\W+"), t => length(t) > 0)
+    val words = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
     val hashes = transform(wordTriGrams(words), g => xxhash64(g))
     slice(array_sort(array_distinct(hashes)), 1, k)
   }

@@ -1208,6 +1208,26 @@ class OpsSpec extends SparkTestBase {
     assert(out(2L) == ((0.0, 0.25, 0.0)))
     assert(out(3L) == ((0.0, 0.0, 0.0)))
     assert(out(4L) == ((0.0, 1.0, 0.5)))
+
+    // NON-LATIN text must not be invisible to the gates (the \W+
+    // regression: an ASCII word class tokenized Persian to zero words,
+    // so a pure-repetition Persian doc sailed through Gopher thresholds
+    // with top_word_frac = 0)
+    val fa = Seq((1L, "تکرار تکرار تکرار تکرار")).toDF("doc_id", "text")
+      .select(TextStats.repetitionSignals($"text").as("r"))
+      .select($"r.top_word_frac", $"r.dup_3gram_frac")
+      .collect().head
+    assert(fa.getDouble(0) == 1.0 && fa.getDouble(1) == 0.5, fa)
+    // and Persian exact near-dups are found by minhash (tokenize must
+    // see Persian words — an empty shingle set silently excluded them)
+    val faDocs = Seq(
+      (1L, "این یک سند آزمایشی درباره مطالبه خسارت و رای دادگاه است"),
+      (2L, "این یک سند آزمایشی درباره مطالبه خسارت و رای دادگاه است"),
+      (3L, "متن کاملا متفاوت درباره اجاره ملک و تخلیه مسکونی")).toDF("doc_id", "text")
+    val faPairs = Dedup.minhashLshPairs(faDocs, "text", "doc_id",
+        numHashes = 16, bands = 8, jaccardThreshold = 0.9, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(faPairs == Set((1L, 2L)), s"Persian near-dup missed: $faPairs")
   }
 
   test("char-LM: MLE trigram probabilities, floor for unseen, short-doc nulls") {
@@ -1358,6 +1378,35 @@ class OpsSpec extends SparkTestBase {
       n = 5, minHits = 2L)
       .collect().map(_.getLong(0)).toSet
     assert(keptMin2 == Set(1L, 2L, 3L, 4L))
+
+    // SHORT benchmark rows (< n words) are protected via full-row grams:
+    // a 6-word answer appearing verbatim in a doc must flag it even at
+    // the published n = 13, while a 3-word row stays ignored (a tri-gram
+    // membership test would nuke the corpus)
+    val shortBench = Seq(
+      "paris is the capital of france", // 6 words < 13
+      "yes it is"                       // 3 words < minShortLen: ignored
+    ).toDF("text")
+    val docs2 = Seq(
+      (1L, "everyone knows paris is the capital of france since forever and a day extra words"),
+      (2L, "a wholly unrelated answer yes it is claimed by some people here today now then")
+    ).toDF("doc_id", "text")
+    val kept2 = Decontaminate.removeContaminated(docs2, shortBench,
+        "doc_id", "text", n = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L), s"short benchmark row unprotected: $kept2")
+    // decontamination over non-Latin text works (the \W+ regression: an
+    // ASCII-only word class tokenizes Persian to nothing and the gate
+    // silently passes everything)
+    val faBench = Seq("مطالبه خسارت تاخیر تادیه از صندوق").toDF("text") // 6 words
+    val faDocs = Seq(
+      (1L, "در این پرونده مطالبه خسارت تاخیر تادیه از صندوق مطرح شده است و رای صادر گردید"),
+      (2L, "موضوع دیگری درباره اجاره و تخلیه ملک مسکونی بدون ارتباط با آن متن قبلی")
+    ).toDF("doc_id", "text")
+    val faKept = Decontaminate.removeContaminated(faDocs, faBench,
+        "doc_id", "text", n = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(faKept == Set(2L), s"Persian decontamination inert: $faKept")
   }
 
   test("wordNgrams: n = 2 and n = 4 windows, exact boundary, sub-n empty") {
