@@ -215,12 +215,17 @@ object Dedup {
     // driver/broadcast-limit OOM, and such a batch belongs to
     // [[minhashLshPairs]] anyway — above the gate the join degrades to a
     // shuffle of both sides instead of failing. In eager=false (live-plan
-    // audit) mode no job may run at build time and nothing is cached to
-    // absorb the count, so the hint is skipped rather than measured.
+    // audit / composition) mode no job may run at build time and nothing
+    // is cached to absorb a count, so the gate falls back to the
+    // optimizer's size ESTIMATE — conservative enough to keep a
+    // corpus-sized parquet "delta" off the broadcast path while the
+    // documented small-batch contract still audits with the hint.
     val deltaBands = deltaBanded.withColumnRenamed("id", "delta_id")
-    val probeSide =
-      if (eager && deltaSh.count() <= maxBroadcastDeltaDocs) broadcast(deltaBands)
-      else deltaBands
+    val deltaSmall =
+      if (eager) deltaSh.count() <= maxBroadcastDeltaDocs
+      else delta.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        maxBroadcastDeltaDocs * 512L
+    val probeSide = if (deltaSmall) broadcast(deltaBands) else deltaBands
     val vsIndex = bandIndex
       .join(probeSide, Seq("band", "band_hash"))
       .select(least(col("delta_id"), col("id")).as("id_a"),
