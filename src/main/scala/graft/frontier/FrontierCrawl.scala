@@ -55,7 +55,16 @@ object FrontierCrawl {
     val (startRound, frontier0, seen0, seenParts0) = store.flatMap(_.latest()) match {
       case Some(snap) =>
         val st = store.get
-        val parts = snap.tables.getOrElse("seen_parts", "").split(";").filter(_.nonEmpty)
+        val aliasParts = snap.tables.getOrElse("seen_parts", "")
+          .split(";").filter(_.nonEmpty)
+        // legacy (round-1-era single-manifest) stores committed the
+        // CUMULATIVE seen set as a plain 'seen' table and carry no
+        // seen_parts alias — resuming one off the alias alone would
+        // silently drop the whole seen set and re-fetch every crawled URL.
+        // The legacy table becomes the single initial part.
+        val parts =
+          if (aliasParts.nonEmpty) aliasParts
+          else snap.tables.get("seen").toArray
         // a crash between a compacting commit's publish and its gc leaves
         // folded dirs orphaned with no future reclaim — sweep them now.
         // UNCONDITIONAL (keyed on the manifest's part list, not the current
@@ -164,9 +173,6 @@ object FrontierCrawl {
           // ~one small-job latency instead of four (per-round driver
           // latency is the fixed cost that dominates small rounds)
           frontier = out.newFrontier.localCheckpoint(true).as[FrontierEntry]
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration.Duration
-          import scala.concurrent.ExecutionContext.Implicits.global
           val fSeen = Future(out.newSeenKeys.localCheckpoint(true))
           val fSched = Future(scheduledR.localCheckpoint(true))
           val fResults = Future(out.results.localCheckpoint(true))

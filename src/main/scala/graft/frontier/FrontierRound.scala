@@ -221,8 +221,12 @@ object FrontierRound {
 
     val plan = schedule(spark, frontier, robots, cfg)
     val scheduled = plan.scheduled.cache()
+    // the cuckoo seen path never consults a bloom (notSeen short-circuits
+    // before the bloom branch), so building one there would be a per-round
+    // job + merge feeding a structure nothing reads
     val willBuildBloom =
-      cfg.useBloomPrefilter && !(seenKeys.isDefined && seenBloom.isEmpty)
+      cfg.useBloomPrefilter && cfg.cuckooSeenBuckets == 0 &&
+        !(seenKeys.isDefined && seenBloom.isEmpty)
     // forces the cache in one pass AT FULL PARALLELISM; also feeds the
     // bloom-sizing hint and the caller's running seen count. Forced even
     // when the count isn't tracked if a delta bloom will be built below:

@@ -57,10 +57,13 @@ final case class PolitenessConfig(
     // bloom — which takes the delta-bloom build (a sequential per-round
     // job, ~0.3-0.5s of the fixed cost that dominates small rounds) off
     // the round's critical path (FrontierCrawl overlaps it with the
-    // checkpoint/commit wave). Above the gate — 10^7+ urls scheduled in
-    // one round, where a broadcast of the delta would not fit — rounds
-    // fall back to the eager merged-bloom prefilter (one exact anti-join,
-    // bloom build paid in-line), the at-scale shape
+    // checkpoint/commit wave). Above the gate rounds fall back to the
+    // eager merged-bloom prefilter (one exact anti-join, bloom build paid
+    // in-line), the at-scale shape. The gate counts KEYS, and a key is a
+    // 64-char sha256 hex (~100 B as a broadcast-relation row): the 2^20
+    // default bounds the shipped relation at ~100 MB — memory pressure on
+    // a modest driver starts well before a count "stops fitting", so size
+    // this down with driver memory, not up with round size
     broadcastDeltaMaxKeys: Long = 1L << 20,
     // > 0 bounds the stored seen-set's manifest part list: when the prior
     // rounds' delta list reaches this length, the next commit folds them

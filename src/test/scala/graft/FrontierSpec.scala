@@ -260,4 +260,41 @@ class FrontierSpec extends SparkTestBase {
     assert(snap.round == 3)
     assert(snap.tables("frontier").endsWith("r00003/frontier"))
   }
+
+  test("resuming a legacy store keeps its cumulative seen set") {
+    // legacy manifests committed the cumulative seen set as a plain 'seen'
+    // table with NO seen_parts alias; a resume reading only the alias
+    // would silently drop the whole set and re-fetch every crawled URL.
+    // Equivalence check: a legacy-layout resume must behave exactly like
+    // a modern resume with the same seen keys — zero re-scheduled URLs.
+    import spark.implicits._
+    val web = FixtureConfig(seed = 7L, hosts = 4, totalDetails = 200)
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft-legacy-pages").toString
+    FixtureGen.pages(spark, web, 4).write.mode("overwrite").parquet(pagesDir)
+    val pages = spark.read.parquet(pagesDir)
+
+    // first: a full crawl records what a complete run schedules + sees
+    val full = FrontierCrawl.run(spark, pages, web.seeds, store = None)
+    assert(full.rounds > 1)
+
+    // legacy store: the full seen set under a plain 'seen' table (no
+    // seen_parts alias) and a drained frontier. The resumed crawl's seen
+    // VIEW must carry every legacy key — the alias-only bug loaded None
+    // and reported an empty seen set (so rediscovered outlinks would all
+    // pass the not-seen check and be re-fetched).
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy-resume").toString
+    val seenPath = s"$dir/rounds/r9/seen"
+    val frontPath = s"$dir/rounds/r9/frontier"
+    full.seenKeys.select("url_key").write.parquet(seenPath)
+    spark.emptyDataset[graft.model.FrontierEntry].write.parquet(frontPath)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest.json"),
+      s"""{"round": 9, "tables": {"frontier": "$frontPath", "seen": "$seenPath"}}""")
+    val resumed = FrontierCrawl.run(spark, pages, web.seeds,
+      store = Some(new FrontierStore(spark, dir)))
+    val fullSeen = full.seenKeys.count()
+    assert(fullSeen > 0)
+    assert(resumed.seenKeys.count() == fullSeen,
+      s"legacy seen set dropped on resume (${resumed.seenKeys.count()} vs $fullSeen)")
+  }
 }
