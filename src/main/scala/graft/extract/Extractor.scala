@@ -158,7 +158,9 @@ object Extractor extends Serializable {
   def extract(url: String, fileId: String, htmlText: String): Extracted = {
     val result =
       try HtmlDom.parseContainer(htmlText, ContainerId)
-      catch { case _: Throwable => HtmlDom.EmptyDoc }
+      // NonFatal only: an OOM/LinkageError must fail the task (retryable),
+      // not silently become a sentinel data row
+      catch { case scala.util.control.NonFatal(_) => HtmlDom.EmptyDoc }
     result match {
       case HtmlDom.EmptyDoc => fullSentinelRow(url, fileId)
       case HtmlDom.NoContainer => noContainerRow(url, fileId)
@@ -174,7 +176,7 @@ object Extractor extends Serializable {
       htmlText: String): Extracted = {
     val rootOpt =
       try HtmlDom.parse(htmlText)
-      catch { case _: Throwable => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     rootOpt match {
       case None => fullSentinelRow(url, fileId)
       case Some(root) =>

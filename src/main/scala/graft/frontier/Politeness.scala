@@ -115,7 +115,7 @@ object RobotsRules {
       val line = lineRaw.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
       if (colon > 0) {
-        val key = line.substring(0, colon).trim.toLowerCase
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(colon + 1).trim
         key match {
           case "user-agent" =>

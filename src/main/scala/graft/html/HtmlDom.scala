@@ -143,10 +143,76 @@ object HtmlDom {
     "input", "link", "meta", "param", "source", "track", "wbr")
   private val rawTextTags = Set("script", "style")
 
-  private val namedEntities = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> "\u00a0", "zwnj" -> "\u200c", "zwj" -> "\u200d", "shy" -> "\u00ad",
-    "copy" -> "©", "laquo" -> "«", "raquo" -> "»")
+  /** True when position `p` ends a close-tag NAME (whitespace, '/', '>',
+    * or end of input) — the HTML5 rule for leaving a raw-text element.
+    */
+  private def isCloseNameEnd(s: String, p: Int): Boolean =
+    p >= s.length || {
+      val c = s.charAt(p)
+      c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' ||
+        c == '\r' || c == '\f'
+    }
+
+  /** HTML4 named entities (the set lxml's parser resolves): XML basics,
+    * the full Latin-1 block (U+00A0-U+00FF, names in codepoint order),
+    * general punctuation/symbols, and Greek letters — the prior 11-name
+    * subset left &mdash;/&hellip;/&eacute; and friends as literal text,
+    * silently diverging byte-for-byte from the reference extraction on
+    * any page using them. Semicolon-less legacy forms are NOT decoded
+    * (documented divergence; rare).
+    */
+  private val namedEntities: Map[String, String] = {
+    val latin1Names = Array( // names for U+00A0..U+00FF, in codepoint order
+      "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+      "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
+      "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
+      "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+      "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
+      "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
+      "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
+      "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute", "Ucirc",
+      "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
+      "atilde", "auml", "aring", "aelig", "ccedil", "egrave", "eacute",
+      "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth", "ntilde",
+      "ograve", "oacute", "ocirc", "otilde", "ouml", "divide", "oslash",
+      "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+    val latin1 = latin1Names.zipWithIndex.map { case (n, i) =>
+      n -> (0xa0 + i).toChar.toString
+    }
+    val greekUpperNames = Array("Alpha", "Beta", "Gamma", "Delta", "Epsilon",
+      "Zeta", "Eta", "Theta", "Iota", "Kappa", "Lambda", "Mu", "Nu", "Xi",
+      "Omicron", "Pi", "Rho", "Sigma", "Tau", "Upsilon", "Phi", "Chi",
+      "Psi", "Omega")
+    // uppercase Greek skips U+03A2 (there is no capital final sigma): the
+    // hole sits AFTER Rho (index 16), so Sigma (17) onward shift by one
+    val greekUpper = greekUpperNames.zipWithIndex.map { case (n, i) =>
+      n -> (0x391 + i + (if (i >= 17) 1 else 0)).toChar.toString
+    }
+    val greekLower = greekUpperNames.zipWithIndex.map { case (n, i) =>
+      n.toLowerCase(java.util.Locale.ROOT) ->
+        (0x3b1 + i + (if (i >= 17) 1 else 0)).toChar.toString
+    }
+    val misc = Map(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+      "zwnj" -> "\u200c", "zwj" -> "\u200d", "lrm" -> "\u200e",
+      "rlm" -> "\u200f", "ensp" -> "\u2002", "emsp" -> "\u2003",
+      "thinsp" -> "\u2009", "ndash" -> "\u2013", "mdash" -> "\u2014",
+      "lsquo" -> "\u2018", "rsquo" -> "\u2019", "sbquo" -> "\u201a",
+      "ldquo" -> "\u201c", "rdquo" -> "\u201d", "bdquo" -> "\u201e",
+      "dagger" -> "\u2020", "Dagger" -> "\u2021", "bull" -> "\u2022",
+      "hellip" -> "\u2026", "permil" -> "\u2030", "prime" -> "\u2032",
+      "Prime" -> "\u2033", "lsaquo" -> "\u2039", "rsaquo" -> "\u203a",
+      "oline" -> "\u203e", "frasl" -> "\u2044", "euro" -> "\u20ac",
+      "trade" -> "\u2122", "minus" -> "\u2212", "fnof" -> "\u0192",
+      "circ" -> "\u02c6", "tilde" -> "\u02dc", "OElig" -> "\u0152",
+      "oelig" -> "\u0153", "Scaron" -> "\u0160", "scaron" -> "\u0161",
+      "Yuml" -> "\u0178", "larr" -> "\u2190", "uarr" -> "\u2191",
+      "rarr" -> "\u2192", "darr" -> "\u2193", "harr" -> "\u2194",
+      "infin" -> "\u221e", "ne" -> "\u2260", "le" -> "\u2264",
+      "ge" -> "\u2265", "asymp" -> "\u2248", "equiv" -> "\u2261",
+      "sigmaf" -> "\u03c2")
+    misc ++ latin1 ++ greekUpper ++ greekLower
+  }
 
   /** Decode &name; &#nnn; &#xhh; references; unknown refs pass through. */
   def decodeEntities(s: String): String = {
@@ -214,7 +280,7 @@ object HtmlDom {
             val end = html.indexOf('>', lt)
             if (end < 0) i = n
             else {
-              val tag = html.substring(lt + 2, end).trim.toLowerCase
+              val tag = html.substring(lt + 2, end).trim.toLowerCase(java.util.Locale.ROOT)
               // close matching open tag if present anywhere in the stack
               val idx = stack.lastIndexWhere(_.tag == tag)
               if (idx > 0) stack.remove(idx, stack.length - idx)
@@ -227,7 +293,10 @@ object HtmlDom {
             i = next
             if (!selfClosed && !voidTags.contains(el.tag)) {
               if (rawTextTags.contains(el.tag)) {
-                // raw text until the matching close tag, case-insensitive
+                // raw text until the matching close tag, case-insensitive;
+                // the name must END there (whitespace / '/' / '>') — a
+                // prefix match alone would cut '<style>a</styles>b</style>'
+                // at '</styles' where lxml keeps scanning
                 val closeTag = "</" + el.tag
                 val lower = html
                 var j = i
@@ -235,7 +304,8 @@ object HtmlDom {
                 while (found < 0 && j < n) {
                   val k = lower.indexOf('<', j)
                   if (k < 0) j = n
-                  else if (lower.regionMatches(true, k, closeTag, 0, closeTag.length)) found = k
+                  else if (lower.regionMatches(true, k, closeTag, 0, closeTag.length) &&
+                      isCloseNameEnd(lower, k + closeTag.length)) found = k
                   else j = k + 1
                 }
                 if (found < 0) {
@@ -398,7 +468,9 @@ object HtmlDom {
     }
 
     // raw text until the matching close tag, case-insensitive; returns the
-    // span end (exclusive) and advances past the close tag via the caller
+    // span end (exclusive) and advances past the close tag via the caller.
+    // Same name-boundary rule as the full parse ('</styles>' is raw text,
+    // not a close of '</style') so streaming == full stays exact.
     def rawTextEnd(tag: String, from: Int): Int = {
       val closeTag = "</" + tag
       var j = from
@@ -406,7 +478,8 @@ object HtmlDom {
       while (found < 0 && j < n) {
         val k = html.indexOf('<', j)
         if (k < 0) j = n
-        else if (html.regionMatches(true, k, closeTag, 0, closeTag.length)) found = k
+        else if (html.regionMatches(true, k, closeTag, 0, closeTag.length) &&
+            isCloseNameEnd(html, k + closeTag.length)) found = k
         else j = k + 1
       }
       found
@@ -434,7 +507,7 @@ object HtmlDom {
             val end = html.indexOf('>', lt)
             if (end < 0) i = n
             else {
-              val tag = html.substring(lt + 2, end).trim.toLowerCase
+              val tag = html.substring(lt + 2, end).trim.toLowerCase(java.util.Locale.ROOT)
               val idx = tags.lastIndexWhere(_ == tag)
               if (idx > 0) {
                 // popping the container frame (or an ancestor) means the
@@ -474,7 +547,7 @@ object HtmlDom {
                 els += el
                 containerIdx = tags.length - 1
               } else {
-                val tag = html.substring(lt + 1, scan.tagEnd).toLowerCase
+                val tag = html.substring(lt + 1, scan.tagEnd).toLowerCase(java.util.Locale.ROOT)
                 i = scan.next
                 if (!scan.selfClosed && !voidTags.contains(tag)) {
                   if (rawTextTags.contains(tag)) {
@@ -490,7 +563,7 @@ object HtmlDom {
             } else {
               // build mode: inner attrs are never read by the extractor —
               // skip the Map, keep the traversal identical
-              val tag = html.substring(lt + 1, scan.tagEnd).toLowerCase
+              val tag = html.substring(lt + 1, scan.tagEnd).toLowerCase(java.util.Locale.ROOT)
               val el = new Element(tag, Map.empty)
               els(els.length - 1).children += el
               i = scan.next
@@ -525,7 +598,7 @@ object HtmlDom {
     var i = lt + 1
     val tagStart = i
     while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
-    val tag = html.substring(tagStart, i).toLowerCase
+    val tag = html.substring(tagStart, i).toLowerCase(java.util.Locale.ROOT)
     var attrs = Map.newBuilder[String, String]
     var selfClosed = false
     var done = false
@@ -541,7 +614,7 @@ object HtmlDom {
           val nameStart = i
           while (i < n && !html.charAt(i).isWhitespace &&
             html.charAt(i) != '=' && html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
-          val name = html.substring(nameStart, i).toLowerCase
+          val name = html.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
           while (i < n && html.charAt(i).isWhitespace) i += 1
           var value = ""
           if (i < n && html.charAt(i) == '=') {

@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** cosine(a, b) as a double Column over two array<float> columns. */
+  /** cosine(a, b) as a double Column over two array<float> columns.
+    * Zero-norm vectors yield 0.0, NOT null — Spark's non-ANSI divide
+    * returns null on /0, which would leak null cosines into top-k output
+    * and diverge from the typed Sketches.cosine the LSH path uses.
+    */
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, v) => s + v)
     val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, v) => s + v))
     val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, v) => s + v))
-    dot / (na * nb)
+    val denom = na * nb
+    when(denom > 0.0, dot / denom).otherwise(lit(0.0))
   }
 
   /** Exact brute-force top-k neighbors for each query id: broadcast the
@@ -36,8 +41,11 @@ object Ann {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // ids cast long like every IVF/LSH path: without it a non-long idCol
+    // ranks lexicographically here and numerically there, breaking the
+    // documented "ivfTopK(nprobe = nlist) == bruteForceTopK" contract
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
       .withColumn("cos", cosine(col("v"), col("qv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))

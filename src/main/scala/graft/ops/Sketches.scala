@@ -32,7 +32,7 @@ object Sketches extends Serializable {
 
   /** Lowercased \W+ word tokens. */
   def tokenize(text: String): Array[String] =
-    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
   /** Distinct word k-shingles. */
   def shingles(text: String, k: Int): Array[String] = {

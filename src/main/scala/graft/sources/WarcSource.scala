@@ -104,7 +104,7 @@ object WarcSource {
         while (h != null && h.nonEmpty) {
           val i = h.indexOf(':')
           if (i > 0) {
-            val k = h.substring(0, i).trim.toLowerCase
+            val k = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
             val v = h.substring(i + 1).trim
             k match {
               case "warc-type" => rtype = v

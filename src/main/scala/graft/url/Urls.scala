@@ -23,13 +23,24 @@ object Urls extends Serializable {
     // split off fragment first
     val noFrag = { val h = s.indexOf('#'); if (h >= 0) s.substring(0, h) else s }
     val schemeEnd = noFrag.indexOf("://")
-    if (schemeEnd < 0) return normPercent(noFrag) // not absolute; leave mostly as-is
-    val scheme = noFrag.substring(0, schemeEnd).toLowerCase
+    // a URL is absolute only when the text before "://" is a REAL scheme
+    // (RFC 3986 ALPHA *(ALPHA/DIGIT/+/-/.)): a relative URL carrying an
+    // absolute URL in its query ("page?a=http://h.ir") must take the
+    // pass-through branch, not parse "page?a=http" as a scheme
+    val schemeValid = schemeEnd > 0 && {
+      val sc = noFrag.substring(0, schemeEnd)
+      val c0 = sc.charAt(0)
+      ((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')) &&
+        sc.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')
+    }
+    if (!schemeValid) return normPercent(noFrag) // not absolute; leave mostly as-is
+    val scheme = noFrag.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
     val rest = noFrag.substring(schemeEnd + 3)
     val pathStart = { val i = rest.indexOf('/'); if (i >= 0) i else rest.length }
     val qInAuth = rest.indexOf('?')
     val authEnd = if (qInAuth >= 0 && qInAuth < pathStart) qInAuth else pathStart
-    var authority = rest.substring(0, authEnd).toLowerCase
+    var authority = rest.substring(0, authEnd).toLowerCase(java.util.Locale.ROOT)
     // strip default port
     val defaultPort = scheme match { case "http" => ":80"; case "https" => ":443"; case _ => "" }
     if (defaultPort.nonEmpty && authority.endsWith(defaultPort))
@@ -39,10 +50,16 @@ object Urls extends Serializable {
     val pathRaw = if (qIdx >= 0) afterAuth.substring(0, qIdx) else afterAuth
     val queryRaw = if (qIdx >= 0) afterAuth.substring(qIdx + 1) else null
     val path = resolveDotSegments(normPercent(if (pathRaw.isEmpty) "/" else pathRaw))
+    // all-empty param lists ("?", "?&", "?&&") normalize to NO query —
+    // emitting a bare "?" would make canonicalize non-idempotent (a second
+    // pass strips it) and key the same page twice
     val query =
       if (queryRaw == null || queryRaw.isEmpty) ""
-      else "?" + queryRaw.split("&", -1).filter(_.nonEmpty).map(normPercent)
-        .sorted(Ordering.String).mkString("&")
+      else {
+        val parts = queryRaw.split("&", -1).filter(_.nonEmpty).map(normPercent)
+        if (parts.isEmpty) ""
+        else "?" + parts.sorted(Ordering.String).mkString("&")
+      }
     s"$scheme://$authority$path$query"
   }
 
@@ -73,9 +90,14 @@ object Urls extends Serializable {
     c == '-' || c == '.' || c == '_' || c == '~'
   }
 
-  /** RFC 3986 dot-segment removal. */
+  /** RFC 3986 dot-segment removal. A path ending in "/." or "/.." keeps
+    * its trailing slash (the RFC's remove_dot_segments and every browser
+    * resolve "/a/b/.." to "/a/", not "/a" — a distinct resource on most
+    * servers).
+    */
   private def resolveDotSegments(path: String): String = {
     if (!path.contains("./") && !path.endsWith("/.") && !path.endsWith("/..")) return path
+    val endsDir = path.endsWith("/.") || path.endsWith("/..")
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     path.split("/", -1).foreach {
       case "." =>
@@ -83,7 +105,8 @@ object Urls extends Serializable {
       case seg => out += seg
     }
     val joined = out.mkString("/")
-    if (joined.startsWith("/")) joined else "/" + joined.dropWhile(_ == '/')
+    val base = if (joined.startsWith("/")) joined else "/" + joined.dropWhile(_ == '/')
+    if (endsDir && !base.endsWith("/")) base + "/" else base
   }
 
   /** Registered host (lowercased), empty string when unparseable. */
@@ -103,8 +126,17 @@ object Urls extends Serializable {
     val auth = rest.substring(0, end)
     val at = auth.lastIndexOf('@')
     val hostPort = if (at >= 0) auth.substring(at + 1) else auth
-    val colon = hostPort.indexOf(':')
-    (if (colon >= 0) hostPort.substring(0, colon) else hostPort).toLowerCase
+    // IPv6 literals are bracketed and full of colons — take through ']'
+    // (splitting on the first ':' collapsed every IPv6 site to host "[")
+    val h =
+      if (hostPort.startsWith("[")) {
+        val e = hostPort.indexOf(']')
+        if (e >= 0) hostPort.substring(0, e + 1) else hostPort
+      } else {
+        val colon = hostPort.indexOf(':')
+        if (colon >= 0) hostPort.substring(0, colon) else hostPort
+      }
+    h.toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Frontier key: sha2-256 hex of the canonical URL (north_rule). */

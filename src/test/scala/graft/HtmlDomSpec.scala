@@ -22,6 +22,29 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(el.isDefined)
   }
 
+  test("HTML4 named entities decode like lxml (Latin-1, punctuation, Greek)") {
+    val root = HtmlDom.parse(
+      "<div>caf&eacute; &mdash; &hellip; &alpha;&Sigma;&sigma;&sigmaf; " +
+        "&rsquo;&euro;&Omega;&rho; &notareal;</div>").get
+    assert(root.textContent ==
+      "café — … αΣσς ’€Ωρ &notareal;", root.textContent)
+  }
+
+  test("raw-text close needs a name boundary ('</styles>' stays raw text)") {
+    // a prefix match would cut at '</styles' where lxml keeps scanning
+    val root = HtmlDom.parse("<div><style>a</styles>b</style>c</div>").get
+    assert(root.textContent == "a</styles>bc", root.textContent)
+    // streaming parse agrees (the parity spec uses shared fixtures; this
+    // pins the specific edge)
+    val stream = HtmlDom.parseContainer(
+      """<div id="t"><style>a</styles>b</style>c</div>""", "t")
+    stream match {
+      case HtmlDom.FoundContainer(c) =>
+        assert(c.textContent == "a</styles>bc", c.textContent)
+      case other => fail(s"container not found: $other")
+    }
+  }
+
   test("void and self-closing tags don't swallow siblings") {
     val root = HtmlDom.parse("<div>a<br>b<img src=x>c<span/>d</div>").get
     assert(root.textContent == "abcd")

@@ -86,6 +86,31 @@ class SeenSpec extends AnyFunSuite {
     assert(Urls.host("https://h3.example.ir/x?y=1") == "h3.example.ir")
     assert(Urls.host("https://user@H.IR:8443/p") == "h.ir")
     assert(Urls.host("not a url") == "")
+    // IPv6 literals keep their brackets (first-colon split returned "[",
+    // collapsing every IPv6 site into one politeness bucket)
+    assert(Urls.host("https://[2001:db8::1]/x") == "[2001:db8::1]")
+    assert(Urls.host("https://[2001:db8::1]:8443/x") == "[2001:db8::1]")
+  }
+
+  test("canonicalize edge cases: degenerate query, dot-segment dirs, embedded absolute URL") {
+    // all-empty param lists normalize to NO query — a bare '?' made
+    // canonicalize non-idempotent (second pass stripped it → two keys for
+    // one page)
+    for (u <- Seq("http://h.ir/p?&", "http://h.ir/p?", "http://h.ir/p?&&")) {
+      val c = Urls.canonicalize(u)
+      assert(c == "http://h.ir/p", s"$u -> $c")
+      assert(Urls.canonicalize(c) == c)
+    }
+    // RFC 3986 remove_dot_segments keeps the trailing slash for /. and /..
+    // ("/a/" and "/a" are different resources on most servers)
+    assert(Urls.canonicalize("https://h.ir/a/b/..") == "https://h.ir/a/")
+    assert(Urls.canonicalize("https://h.ir/a/.") == "https://h.ir/a/")
+    assert(Urls.canonicalize("https://h.ir/..") == "https://h.ir/")
+    // a RELATIVE url carrying an absolute url in its query must take the
+    // pass-through branch, not parse "page?a=http" as a scheme
+    assert(Urls.canonicalize("page?a=http://h.ir&b=2") == "page?a=http://h.ir&b=2")
+    // scheme chars are RFC ALPHA *(ALPHA/DIGIT/+/-/.)
+    assert(Urls.canonicalize("ht+tp://h.ir/x") == "ht+tp://h.ir/x")
   }
 
   test("urlKey is stable sha256 of canonical form") {
