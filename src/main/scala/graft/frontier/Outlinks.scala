@@ -12,10 +12,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * scalar simulator, so ordering equivalence is definitional.
   *
   * Priority contract (lower fetches earlier): listing page p has priority
-  * p*PageBlock; the k-th result on page p has p*PageBlock + 1 + k; the
-  * next listing page has (p+1)*PageBlock. This reproduces the reference's
-  * sequential "page loop feeds a FIFO queue" order (handler.py:457-481)
-  * deterministically.
+  * (p-1)*PageBlock — seeds carry 0 and are page 1 (FrontierCrawl
+  * .seedFrontier) — the k-th result (0-based) on page p has
+  * (p-1)*PageBlock + 1 + k, and the next listing page has p*PageBlock.
+  * This reproduces the reference's sequential "page loop feeds a FIFO
+  * queue" order (handler.py:457-481) deterministically.
   */
 object Outlinks extends Serializable {
 
@@ -35,7 +36,11 @@ object Outlinks extends Serializable {
   }
 
   private def extractFromListingJson(pageUrl: String, json: String): Seq[(String, Double)] = {
-    val page = PageParam.findFirstMatchIn(pageUrl).map(_.group(1).toInt).getOrElse(1)
+    // a page number too large for Int must not NumberFormatException the
+    // task (one pathological URL would abort the whole round job) — such
+    // a URL falls back to page 1 ordering, still fetched
+    val page = PageParam.findFirstMatchIn(pageUrl)
+      .flatMap(m => scala.util.Try(m.group(1).toInt).toOption).getOrElse(1)
     val base = (page - 1) * PageBlock
     val node: JsonNode =
       try mapper.readTree(json)
@@ -54,6 +59,19 @@ object Outlinks extends Serializable {
         val docUrl = item.path("DocumentUrl")
         if (!docUrl.isMissingNode && !docUrl.isNull && docUrl.asText.nonEmpty)
           links += ((docUrl.asText, base + 1 + i))
+        else {
+          // reference fallback (handler.py:314-315 → get_idea_page:273):
+          // an item with no DocumentUrl is STILL fetched, by IdeaId
+          // against the site's detail endpoint — skipping it would
+          // silently drop the document from the crawl
+          val ideaId = item.path("IdeaId")
+          if (!ideaId.isMissingNode && !ideaId.isNull && ideaId.asText.nonEmpty) {
+            val h = graft.url.Urls.host(pageUrl)
+            if (h.nonEmpty)
+              links += ((s"https://$h/opinions/Detail?IdeaId=${ideaId.asText}",
+                base + 1 + i))
+          }
+        }
         i += 1
       }
     }

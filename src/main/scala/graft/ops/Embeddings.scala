@@ -28,11 +28,10 @@ object Embeddings {
       var i = 0
       var norm = 0.0
       while (i < dim) {
+        // Sketches.mix IS splitmix64 (golden-ratio step + finalizer) — one
+        // shared implementation, stream identical to the prior inline copy
+        val x = Sketches.mix(z)
         z += 0x9e3779b97f4a7c15L
-        var x = z
-        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-        x ^= x >>> 31
         v(i) = ((x.toDouble / Long.MaxValue.toDouble)).toFloat
         norm += v(i).toDouble * v(i)
         i += 1
@@ -69,8 +68,16 @@ object Embeddings {
           var out: Seq[Array[Float]] = null
           var lastErr: Throwable = null
           while (out == null && attempt <= maxRetries) {
-            try out = c(texts)
-            catch { case e: Throwable => lastErr = e; attempt += 1 }
+            // a null RETURN counts as a failed attempt too — a client that
+            // reports failure by returning null (instead of throwing) must
+            // not spin this loop forever inside the task
+            try {
+              out = c(texts)
+              if (out == null) {
+                lastErr = new IllegalStateException("embedding client returned null")
+                attempt += 1
+              }
+            } catch { case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1 }
           }
           if (out == null) throw lastErr
           require(out.length == batch.length,

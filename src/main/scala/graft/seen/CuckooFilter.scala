@@ -116,14 +116,24 @@ final class CuckooFilter private (
     }
   }
 
-  /** Delete one copy; true when a matching fingerprint was removed. */
+  /** Delete one copy; true when a matching fingerprint was removed. Also
+    * checks the overflow stash — a key whose fingerprint was displaced
+    * there past capacity must still be deletable (retry re-admission is
+    * the whole reason deletion exists), else it is "seen" forever and
+    * `count` desynchronizes.
+    */
   def remove(key: String): Boolean = {
     val h = hash64(key)
     val fp = fingerprint(h)
     val i1 = bucketIndex(h, numBuckets)
     if (bucketRemove(i1, fp)) { count -= 1; true }
     else if (bucketRemove(altIndex(i1, fp, numBuckets), fp)) { count -= 1; true }
-    else false
+    else {
+      val i2 = altIndex(i1, fp, numBuckets)
+      val at = stash.indexWhere { case (b, f) => f == fp && (b == i1 || b == i2) }
+      if (at >= 0) { stash.remove(at); count -= 1; true }
+      else false
+    }
   }
 
   /** Merge another filter of the same size (used by the Spark Aggregator);
@@ -156,7 +166,16 @@ final class CuckooFilter private (
   }
 
   def serialize(): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + 8 + 4 + table.length * 2 + stash.length * 6)
+    // size the buffer in LONG arithmetic: at the maximum create() allows
+    // (2^28 buckets → 2^30 slots) table.length * 2 overflows Int and
+    // ByteBuffer.allocate(negative) throws an unnamed error mid-job. A
+    // filter that genuinely cannot fit one JVM array gets a named error
+    // telling the operator which knob to turn.
+    val size = 4L + 8L + 4L + table.length.toLong * 2L + stash.length.toLong * 6L
+    require(size <= Int.MaxValue,
+      s"cuckoo filter too large to serialize ($size bytes) — raise the " +
+        "bucket count (cuckooSeenBuckets) so each bucket's filter shrinks")
+    val buf = ByteBuffer.allocate(size.toInt)
     buf.putInt(numBuckets)
     buf.putLong(count)
     buf.putInt(stash.length)

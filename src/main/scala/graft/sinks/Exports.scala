@@ -80,6 +80,12 @@ object Exports {
   /** K6: assign each row a (key, chunk) pair so no chunk holds more than
     * `chunkSize` rows per key — word_export.py's ≤999-docs-per-file rule as
     * a window expression.
+    *
+    * CONTRACT: `orderCol` must be unique within each key (the exporters
+    * order by a unique doc id). With ties, row_number is
+    * shuffle-order-dependent, so a boundary row could land in different
+    * chunk directories across runs/task retries — non-reproducible output.
+    * Same contract applies to [[writeKeyValueText]]'s global order.
     */
   def chunkAssign(df: DataFrame, keyCol: String, orderCol: String,
       chunkSize: Int): DataFrame = {

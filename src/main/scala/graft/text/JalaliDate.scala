@@ -111,16 +111,22 @@ object JalaliDate {
     // CPython str.split('/') keeps empty strings
     val parts = normalized.split("/", -1)
     if (parts.length != 3) return Default
-    var year, month, day = 0
+    // CPython int() is arbitrary-precision: a 10-digit "year" still formats
+    // into the shamsi string (validation then fails → default gregorian),
+    // so components parse as Long — an Int-bounded parse returned full
+    // Default and dropped the shamsi the reference preserves
+    var year, month, day = 0L
     try {
-      year = PyText.pyInt(parts(0))
-      month = PyText.pyInt(parts(1))
-      day = PyText.pyInt(parts(2))
+      year = PyText.pyLong(parts(0))
+      month = PyText.pyLong(parts(1))
+      day = PyText.pyLong(parts(2))
     } catch { case _: NumberFormatException => return Default }
     if (year < 100) year += 1400
     val shamsi = f"$year%04d/$month%02d/$day%02d"
-    if (!isValid(year, month, day)) return (shamsi, "0001/01/01")
-    val (gy, gmn, gdy) = toGregorian(year, month, day)
+    val intRange = year <= Int.MaxValue && month <= Int.MaxValue && day <= Int.MaxValue
+    if (!intRange || !isValid(year.toInt, month.toInt, day.toInt))
+      return (shamsi, "0001/01/01")
+    val (gy, gmn, gdy) = toGregorian(year.toInt, month.toInt, day.toInt)
     (shamsi, f"$gy%04d/$gmn%02d/$gdy%02d")
   }
 

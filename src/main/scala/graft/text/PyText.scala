@@ -75,19 +75,26 @@ object PyText {
 
   /** CPython `str.isdigit()` for a single char: Unicode Numeric_Type Digit
     * or Decimal. Covers ASCII 0-9, Persian ۰-۹ (U+06F0-06F9), Arabic-Indic
-    * ٠-٩ (U+0660-0669), superscripts, etc. `Character.isDigit` covers Nd;
-    * Numeric_Type=Digit extras (², ³, ¹, circled digits) are added since
-    * `parser.py:56,286` relies on `c.isdigit()`.
+    * ٠-٩ (U+0660-0669), superscripts, subscripts, circled digits, etc.
+    *
+    * Java has no Numeric_Type accessor, so the Digit extras are derived:
+    * category No (other number) WITH an integral numeric value 0-9 —
+    * fractions report getNumericValue = -2 and are correctly excluded,
+    * letterlike numerics (Nl, e.g. Roman numerals, 〇) are excluded as
+    * CPython does. A hand-rolled range list here previously admitted
+    * U+2071 'ⁱ' (a LETTER inside the superscript block) and missed the
+    * subscript/dingbat digits CPython accepts — byte divergence in
+    * cleanMetadataField vs parser.py.
     */
-  def isPyDigit(c: Char): Boolean =
-    Character.isDigit(c) || (c match {
-      case '²' | '³' | '¹' => true
-      case _ if c >= '⁰' && c <= '⁹' => true // superscripts
-      case _ if c >= '①' && c <= '⑨' => true // circled 1-9
-      case _ if c >= '⑴' && c <= '⑼' => true // parenthesized
-      case _ if c >= '⒈' && c <= '⒐' => true // digit full stop
-      case _ => false
-    })
+  def isPyDigit(c: Char): Boolean = {
+    val t = Character.getType(c)
+    t == Character.DECIMAL_DIGIT_NUMBER || {
+      t == Character.OTHER_NUMBER && {
+        val v = Character.getNumericValue(c)
+        v >= 0 && v <= 9
+      }
+    }
+  }
 
   /** CPython `int(str)` for strings of unicode decimal digits with optional
     * ASCII sign; throws NumberFormatException like `int()` raises ValueError
@@ -95,11 +102,23 @@ object PyText {
     * CPython: `int("۱۴۰۳")` == 1403 but `int("²")` raises).
     */
   def pyInt(sRaw: String): Int = {
+    val v = pyLong(sRaw)
+    if (v > Int.MaxValue || v < Int.MinValue)
+      throw new NumberFormatException(s"overflow: '$sRaw'")
+    v.toInt
+  }
+
+  /** CPython `int(str)` up to Long range — int() itself is
+    * arbitrary-precision, so callers that must mirror its behavior on huge
+    * inputs (e.g. a 10-digit Shamsi "year") parse through this instead of
+    * [[pyInt]]; values past ~19 digits still throw (documented bound).
+    */
+  def pyLong(sRaw: String): Long = {
     val s = pyStrip(sRaw)
     if (s.isEmpty) throw new NumberFormatException(s"invalid int: '$sRaw'")
     var i = 0
-    var sign = 1
-    if (s.charAt(0) == '-') { sign = -1; i = 1 }
+    var sign = 1L
+    if (s.charAt(0) == '-') { sign = -1L; i = 1 }
     else if (s.charAt(0) == '+') i = 1
     if (i >= s.length) throw new NumberFormatException(s"invalid int: '$sRaw'")
     var acc = 0L
@@ -107,11 +126,12 @@ object PyText {
       val d = Character.digit(s.charAt(i), 10)
       if (d < 0 || Character.getType(s.charAt(i)) != Character.DECIMAL_DIGIT_NUMBER)
         throw new NumberFormatException(s"invalid int: '$sRaw'")
+      if (acc > (Long.MaxValue - d) / 10)
+        throw new NumberFormatException(s"overflow: '$sRaw'")
       acc = acc * 10 + d
-      if (acc > Int.MaxValue) throw new NumberFormatException(s"overflow: '$sRaw'")
       i += 1
     }
-    sign * acc.toInt
+    sign * acc
   }
 
   /** One unicode decimal digit (Nd) — CPython `re \d` semantics. */

@@ -56,6 +56,17 @@ class SeenSpec extends AnyFunSuite {
     keys.foreach(k => assert(f.mightContain(k), k))
   }
 
+  test("cuckoo: stashed keys are removable (retry re-admission past capacity)") {
+    // overflow a tiny filter so some fingerprints live in the stash, then
+    // delete EVERY key: a remove() that only scanned the two table buckets
+    // left stashed keys 'seen' forever and desynchronized count
+    val f = CuckooFilter.create(64)
+    val keys = (0 until 2000).map(i => s"y$i")
+    keys.foreach(k => f.insert(k))
+    keys.foreach(k => assert(f.remove(k), s"unremovable: $k"))
+    assert(f.size == 0, s"count desync: ${f.size}")
+  }
+
   // --- URL canonicalization ---
 
   test("canonicalize: case, port, fragment, query sort") {

@@ -42,6 +42,33 @@ class SourcesSpec extends SparkTestBase {
     assert(viaSpark.size == 20)
   }
 
+  test("Outlinks: IdeaId fallback for results without DocumentUrl; page-overflow guard") {
+    // reference behavior (handler.py:314-315 → get_idea_page:273): a
+    // listing item with no DocumentUrl is STILL fetched, by IdeaId against
+    // the site's detail endpoint — it must not vanish from the crawl
+    val body =
+      """{"more":false,"results":[
+        {"DocumentUrl":"/opinions/Detail?IdeaId=1","Title":"a"},
+        {"IdeaId":"42","Title":"no-url"},
+        {"DocumentUrl":"","IdeaId":"43","Title":"empty-url"},
+        {"Title":"neither"}]}"""
+    val links = Outlinks.extract("https://h.example.ir/search?page=2", body)
+    assert(links.map(_._1) == Seq(
+      "/opinions/Detail?IdeaId=1",
+      "https://h.example.ir/opinions/Detail?IdeaId=42",
+      "https://h.example.ir/opinions/Detail?IdeaId=43"))
+    // discovery order → priorities keep the listing-position slots
+    assert(links.map(_._2) == Seq(
+      1 * Outlinks.PageBlock + 1, 1 * Outlinks.PageBlock + 2,
+      1 * Outlinks.PageBlock + 3))
+
+    // a page number past Int range must not NumberFormatException the
+    // task (one pathological URL would abort the round job after retries)
+    val huge = Outlinks.extract(
+      "https://h.example.ir/search?page=99999999999", body)
+    assert(huge.nonEmpty)
+  }
+
   test("WARC source: framing round-trip, multi-member gzip files, byte-exact Content-Length") {
     import spark.implicits._
     import graft.sources.WarcSource

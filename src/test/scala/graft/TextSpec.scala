@@ -36,6 +36,26 @@ class TextSpec extends AnyFunSuite {
     assert(!PyText.isPyDigit('ک'))
   }
 
+  test("isPyDigit matches CPython str.isdigit on the tricky cases") {
+    // verified against CPython 3.11: superscripts/subscripts/circled/
+    // dingbat digits are True; 'ⁱ' (a letter inside the superscript
+    // block), fractions, Roman numerals, 〇 are False
+    "²³¹⁰⁴⁵⁶⁷⁸⁹₀₁₂₃₄₅₆₇₈₉①⑨❶➒⑴⒈".foreach(c =>
+      assert(PyText.isPyDigit(c), s"expected isdigit: $c U+${c.toInt.toHexString}"))
+    "ⁱ¼½¾ⅤⅩ〇十".foreach(c =>
+      assert(!PyText.isPyDigit(c), s"expected NOT isdigit: $c U+${c.toInt.toHexString}"))
+  }
+
+  test("pyLong/processDate: huge components keep the formatted shamsi like CPython int()") {
+    assert(PyText.pyLong("9999999999") == 9999999999L)
+    assertThrows[NumberFormatException](PyText.pyInt("9999999999"))
+    // reference: int('9999999999') succeeds, jdatetime validation fails →
+    // (formatted shamsi, default gregorian) — an Int-bounded parse
+    // returned full Default and lost the shamsi column
+    assert(graft.text.JalaliDate.processDate("9999999999/01/01") ==
+      ("9999999999/01/01", "0001/01/01"))
+  }
+
   test("pyInt parses Persian digits like CPython int()") {
     assert(PyText.pyInt("۱۴۰۳") == 1403)
     assert(PyText.pyInt("0012") == 12)
