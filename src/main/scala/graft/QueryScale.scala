@@ -45,20 +45,23 @@ object QueryScale {
     // blocks and eviction churn (observed: search_bm25_topk 31s polluted
     // vs 6.4s in a clean session at local[4]). Session startup is outside
     // the timed region; the in-session warm run covers JIT + footers.
-    def measure(cores: Int, name: String): (Double, Boolean) = {
+    // a query that CRASHES must not be published as a certified timing:
+    // exceptions propagate out of the gated block and the query's row is
+    // emitted as failed (excluded from eff/F-W) instead of silently timing
+    // the failed attempt
+    def measure(cores: Int, name: String): Option[(Double, Boolean)] = {
       val spark = session(cores)
       try {
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          Console.err.println(s"[qscale] warm $name failed: ${e.getMessage}")
-        }
-        BenchGate.gated(s"qscale:$name@$cores", cores,
+        SparkEntry.queries(name)(spark, sfDir).count() // warm
+        Some(BenchGate.gated(s"qscale:$name@$cores", cores,
           maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1, maxWaits = 8) {
           val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
+          SparkEntry.queries(name)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        }
+        })
+      } catch { case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"[qscale] $name@$cores FAILED: $e")
+        None
       } finally spark.stop()
     }
 
@@ -150,17 +153,21 @@ object QueryScale {
     val iso4 = isolatedOps(4)
     val iso16 = isolatedOps(16)
 
-    def row(q: String, m4: Map[String, (Double, Boolean)],
-        m16: Map[String, (Double, Boolean)]): String = {
-      val (t4, c4) = m4(q)
-      val (t16, c16) = m16(q)
-      val w = 16.0 * (t4 - t16) / 3.0
-      val f = t4 - w / 4.0
-      val eff = t4 / (4.0 * t16)
-      s"""{"query":"$q","t_n":$t4,"t_4n":$t16,"eff":$eff,"fixed_s":$f,"work_core_s":$w,"certified_n":$c4,"certified_4n":$c16}"""
-    }
+    def row(q: String, m4: Map[String, Option[(Double, Boolean)]],
+        m16: Map[String, Option[(Double, Boolean)]]): String =
+      (m4(q), m16(q)) match {
+        case (Some((t4, c4)), Some((t16, c16))) =>
+          val w = 16.0 * (t4 - t16) / 3.0
+          val f = t4 - w / 4.0
+          val eff = t4 / (4.0 * t16)
+          s"""{"query":"$q","t_n":$t4,"t_4n":$t16,"eff":$eff,"fixed_s":$f,"work_core_s":$w,"certified_n":$c4,"certified_4n":$c16}"""
+        case _ =>
+          s"""{"query":"$q","failed":true}"""
+      }
     val rows = queries.map(row(_, at4, at16)) ++
-      iso4.keys.toSeq.sorted.map(row(_, iso4, iso16))
+      iso4.keys.toSeq.sorted.map(row(_,
+        iso4.map { case (k, v) => k -> Option(v) },
+        iso16.map { case (k, v) => k -> Option(v) }))
     println(s"""{"metric":"query_scaling","sf":"$sfDir","rows":${rows.mkString("[", ",", "]")}}""")
   }
 }

@@ -193,8 +193,11 @@ object SparkEntry {
 
     "jalali_convert" -> ((s, dir) => {
       import s.implicits._
-      // no oracle (DuckDB has no Jalali chronology); unit-tested vs known
-      // pairs, included here so the driver exercises the UDF end-to-end
+      // oracled: DuckDB has no Jalali chronology, but the conversion is pure
+      // 33-year-cycle integer arithmetic and the day count maps linearly to
+      // epoch days (offset 719528, validated exhaustively over years
+      // 1300-1500), so the oracle SQL transliterates the arithmetic and
+      // finishes with DATE '1970-01-01' + (days - 719528)
       t(s, dir, "orders").select(col("o_orderkey")).as[Long]
         .map { k =>
           val y = 1390 + (k % 15).toInt
@@ -1398,6 +1401,32 @@ object SparkEntry {
          SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text,
            CAST(count(*) AS INT) AS n_words_kept
          FROM kept GROUP BY doc_id""",
+
+    // toGregorian's 33-year-cycle day count, transliterated: the algorithm's
+    // Gregorian reconstruction equals proleptic-Gregorian date arithmetic at
+    // a fixed epoch offset (day 719528 = 1970-01-01; verified exhaustively
+    // for jy 1300-1500 against graft.text.JalaliDate)
+    "jalali_convert" ->
+      """WITH j AS (
+           SELECT o_orderkey,
+             1390 + (o_orderkey % 15) AS jy,
+             1 + (o_orderkey % 12) AS jm,
+             1 + (o_orderkey % 28) AS jd
+           FROM orders),
+         c AS (
+           SELECT *, jy + 1595 AS y2,
+             CASE WHEN jm < 7 THEN (jm - 1) * 31
+                  ELSE (jm - 7) * 30 + 186 END AS moff
+           FROM j),
+         d AS (
+           SELECT *, -355668 + 365 * y2 + (y2 // 33) * 8 +
+             ((y2 % 33) + 3) // 4 + jd + moff AS days
+           FROM c)
+         SELECT o_orderkey,
+           printf('%04d/%02d/%02d', jy, jm, jd) AS shamsi,
+           strftime(DATE '1970-01-01' + CAST(days - 719528 AS INT),
+             '%Y/%m/%d') AS gregorian
+         FROM d""",
 
     "url_canonicalize" ->
       """SELECT o_orderkey,

@@ -113,6 +113,11 @@ object FrontierCrawl {
     // materialization (checkpoint/snapshot write) — the drained? test costs
     // no job after the first iteration
     var frontierRows = -1L
+    // latched false on the FIRST observation timeout: if this runtime never
+    // delivers observed metrics for the materializing action type, waiting
+    // 30s EVERY round would turn the documented one-time fallback into a
+    // permanent per-round stall — fall back to the isEmpty test for good
+    var observationSupported = true
     while (round < maxRounds &&
         (if (frontierRows >= 0L) frontierRows > 0L else !frontier.isEmpty)) {
       val out = FrontierRound.run(spark, pages, frontier, seen, round, robots,
@@ -194,11 +199,14 @@ object FrontierCrawl {
       // not reporting observed metrics for this action type) fall back to
       // the explicit isEmpty test: correct, just one extra small job.
       frontierRows =
-        try {
+        if (!observationSupported) -1L
+        else try {
           val row = Await.result(out.frontierObservation.future,
             Duration(30, java.util.concurrent.TimeUnit.SECONDS))
           row.getAs[Long]("rows")
-        } catch { case _: java.util.concurrent.TimeoutException => -1L }
+        } catch { case _: java.util.concurrent.TimeoutException =>
+          observationSupported = false; -1L
+        }
       // bloom merge must land before the caches feeding it are released
       // (the delta build reads the round's `scheduled` cache)
       seenBloom = Await.result(fBloom, Duration.Inf)

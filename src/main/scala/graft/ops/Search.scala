@@ -369,7 +369,7 @@ object Search {
       spark.read.parquet(s"$path/dlen")
         .groupBy("field").agg(sum(col("dl")).as("sum_dl"),
           count(lit(1)).as("cnt")),
-      docs.count(), termBuckets)
+      docs.count(), termBuckets, withText)
   }
 
   /** Meta = one row per field: (field, avgdl, sum_dl, cnt, n). The RUNNING
@@ -379,13 +379,16 @@ object Search {
     * local/HDFS) because append rewrites it in place.
     */
   private def writeMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, sums: DataFrame, nDocs: Long, termBuckets: Int): Unit = {
+      path: String, sums: DataFrame, nDocs: Long, termBuckets: Int,
+      withText: Boolean): Unit = {
     val tmp = s"$path/_tmp_meta"
     sums
       .withColumn("avgdl", col("sum_dl").cast("double") / col("cnt"))
       .withColumn("n", lit(nDocs))
       .withColumn("term_buckets", lit(termBuckets))
-      .select("field", "avgdl", "sum_dl", "cnt", "n", "term_buckets")
+      .withColumn("with_text", lit(withText))
+      .select("field", "avgdl", "sum_dl", "cnt", "n", "term_buckets",
+        "with_text")
       .write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -421,6 +424,7 @@ object Search {
     // only after the corruption was already on disk
     val oldMeta = spark.read.parquet(s"$path/meta")
     requireBuckets(oldMeta, termBuckets, "bm25IndexAppend")
+    requireWithText(oldMeta, withText, "bm25IndexAppend")
     val fieldsLong = fields.map { f =>
       newDocs.select(col(idCol).as("id"), lit(f.name).as("field"),
         canonText(col(f.name)).as("txt"))
@@ -451,7 +455,7 @@ object Search {
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as("cnt"))
     val nTotal = oldMeta.select(max(col("n"))).head().getLong(0) + newDocs.count()
-    writeMeta(spark, path, merged, nTotal, termBuckets)
+    writeMeta(spark, path, merged, nTotal, termBuckets, withText)
   }
 
   /** Maintenance compaction for an append-grown [[bm25Index]]: every
@@ -504,6 +508,22 @@ object Search {
       val stored = meta.select(max(col("term_buckets"))).head().getInt(0)
       require(stored == termBuckets,
         s"$caller: index was written with termBuckets=$stored, called with $termBuckets")
+    }
+
+  /** Like the bucket count, withText is PERSISTED (meta.with_text):
+    * appending withText=false rows into a withText=true index writes dlen
+    * files lacking the txt column — appended docs read back with null
+    * stored text and the indexed phrase gate silently never matches them
+    * (the same silently-missing-docs class the bucket guard exists for).
+    * Indexes written before the flag existed (no with_text column) are
+    * accepted as-is.
+    */
+  private def requireWithText(meta: DataFrame, withText: Boolean,
+      caller: String): Unit =
+    if (meta.columns.contains("with_text")) {
+      val stored = meta.select(max(col("with_text"))).head().getBoolean(0)
+      require(stored == withText,
+        s"$caller: index was written with withText=$stored, called with $withText")
     }
 
   /** Indexed probe: identical results to [[bm25TopK]] over the same docs /

@@ -928,6 +928,16 @@ class OpsSpec extends SparkTestBase {
     assert(asSet(Search.bm25TopKIndexed(spark, inc, queries, fields,
       termBuckets = 8, k = 5, minScore = 0.0)) == viaInc,
       "failed append must leave the index byte-identical")
+    // same class of corruption for a withText mismatch: appending
+    // withText=false into a withText=true index writes dlen rows without
+    // the txt column — those docs would silently never phrase-match
+    intercept[IllegalArgumentException] {
+      Search.bm25IndexAppend(mk(60L, 65L), fields, inc, termBuckets = 8,
+        withText = false)
+    }
+    assert(asSet(Search.bm25TopKIndexed(spark, inc, queries, fields,
+      termBuckets = 8, k = 5, minScore = 0.0)) == viaInc,
+      "failed with_text append must leave the index byte-identical")
 
     // indexed phrase probe: gate over candidates' stored text == the
     // direct corpus-scan gate, across the appended index
