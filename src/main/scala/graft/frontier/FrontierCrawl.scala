@@ -97,17 +97,20 @@ object FrontierCrawl {
     // running url_key count of `seen` (may overcount retries; used only to
     // size the bloom filter, where an upper bound is safe)
     var seenCount: Long = if (seen.isDefined) -1L else 0L
-    var scheduleAll: Option[DataFrame] = None
-    var extractedAll: Option[DataFrame] = None
-    var resultsAll: Option[DataFrame] = None
-    var metricsAll: Option[DataFrame] = None
-
-    def appendOpt(acc: Option[DataFrame], df: DataFrame): Option[DataFrame] =
-      Some(acc.map(_.union(df)).getOrElse(df))
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+
+    // per-round accumulator parts, as FUTURES: only the crawl RESULT reads
+    // these, so the round loop never blocks on their checkpoints — the
+    // awaits moved off the per-round critical chain to crawl end (where
+    // every job has long been submitted). Store-path parts are plain reads
+    // of committed tables, wrapped pre-completed.
+    var schedParts = Vector.empty[Future[DataFrame]]
+    var extractedParts = Vector.empty[Future[DataFrame]]
+    var resultParts = Vector.empty[Future[DataFrame]]
+    var metricParts = Vector.empty[Future[DataFrame]]
 
     // frontier row count observed off the PREVIOUS iteration's
     // materialization (checkpoint/snapshot write) — the drained? test costs
@@ -120,16 +123,25 @@ object FrontierCrawl {
     var observationSupported = true
     while (round < maxRounds &&
         (if (frontierRows >= 0L) frontierRows > 0L else !frontier.isEmpty)) {
+      // the previous round's observed frontier row count bounds this
+      // round's schedule (schedule ⊆ frontier), letting run() skip the
+      // eager per-round count job whenever the bound fits the
+      // broadcast-delta gate; -1 (round 0 / observation miss) keeps the
+      // measured-count path
       val out = FrontierRound.run(spark, pages, frontier, seen, round, robots,
-        cfg, seenCount, seenBloom)
-      if (seenCount >= 0L) seenCount += out.scheduledCount
+        cfg, seenCount, seenBloom, scheduledSizeBound = frontierRows)
       // next round's cumulative bloom: delta build + merge runs CONCURRENT
       // with this round's checkpoint/commit wave (see RoundOutput
-      // .seenBloomAfter for why the in-flight merge is probe-safe)
+      // .seenBloomAfter for why the in-flight merge is probe-safe; on the
+      // small-round path the thunk itself waits for the big job's
+      // observation before touching the schedule cache)
       val fBloom = Future(out.seenBloomAfter())
 
       val scheduledR = out.scheduled.withColumn("round", lit(round))
 
+      // the storeless branch's deferred accumulator checkpoints still read
+      // this round's caches — cache release must chain on them
+      var deferredThisRound: Seq[Future[DataFrame]] = Nil
       store match {
         case Some(st) =>
           // atomic multi-table snapshot; reading back truncates lineage.
@@ -166,33 +178,40 @@ object FrontierCrawl {
           seenParts = newParts
           frontier = st.read(snap, "frontier").as[FrontierEntry]
           seen = Some(spark.read.parquet(seenParts: _*))
-          scheduleAll = appendOpt(scheduleAll, st.read(snap, "scheduled"))
-          extractedAll = appendOpt(extractedAll, st.read(snap, "extracted"))
-          resultsAll = appendOpt(resultsAll, st.read(snap, "results"))
-          metricsAll = appendOpt(metricsAll, st.read(snap, "metrics"))
+          schedParts :+= Future.successful(st.read(snap, "scheduled"))
+          extractedParts :+= Future.successful(st.read(snap, "extracted"))
+          resultParts :+= Future.successful(st.read(snap, "results"))
+          metricParts :+= Future.successful(st.read(snap, "metrics"))
         case None =>
           // the frontier checkpoint is the round's big job: it populates
           // the fused pages-pass cache (classify+extract+outlinks). The
           // four accumulator checkpoints after it are independent CACHE
-          // READS — submitted as concurrent Spark jobs so the drain pays
-          // ~one small-job latency instead of four (per-round driver
-          // latency is the fixed cost that dominates small rounds)
+          // READS — submitted as concurrent Spark jobs, and only the seen
+          // delta (which the NEXT round's anti-join needs) is awaited here:
+          // the schedule/results/extracted/metrics checkpoints feed nothing
+          // until crawl end, so their awaits ride the accumulator futures
+          // instead of the round's critical chain
           frontier = out.newFrontier.localCheckpoint(true).as[FrontierEntry]
           val fSeen = Future(out.newSeenKeys.localCheckpoint(true))
-          val fSched = Future(scheduledR.localCheckpoint(true))
-          val fResults = Future(out.results.localCheckpoint(true))
           // extraction already ran inside the round's single fused pages
           // pass (FrontierRound `processed` cache) — checkpointing it here
           // is a cache read, not a new pages scan
+          val fSched = Future(scheduledR.localCheckpoint(true))
+          val fResults = Future(out.results.localCheckpoint(true))
           val fExtracted = Future(out.extracted.toDF().localCheckpoint(true))
           val fMetrics = Future(out.metrics.toDF().localCheckpoint(true))
+          schedParts :+= fSched
+          resultParts :+= fResults
+          extractedParts :+= fExtracted
+          metricParts :+= fMetrics
+          deferredThisRound = Seq(fSched, fResults, fExtracted, fMetrics)
           seenDeltas = seenDeltas :+ Await.result(fSeen, Duration.Inf)
           seen = Some(seenDeltas.reduce(_.union(_)))
-          scheduleAll = appendOpt(scheduleAll, Await.result(fSched, Duration.Inf))
-          resultsAll = appendOpt(resultsAll, Await.result(fResults, Duration.Inf))
-          extractedAll = appendOpt(extractedAll, Await.result(fExtracted, Duration.Inf))
-          metricsAll = appendOpt(metricsAll, Await.result(fMetrics, Duration.Inf))
       }
+      // running seen count (sizes next round's bloom): the schedule count
+      // is free here — the commit/checkpoint above materialized the round,
+      // so the observation-backed thunk returns without launching a job
+      if (seenCount >= 0L) seenCount += out.scheduledCount()
       // the next frontier was materialized above (localCheckpoint or
       // snapshot write); its observed row count arrives on the listener bus
       // momentarily. Bounded wait — on a miss (e.g. a future Spark version
@@ -208,19 +227,30 @@ object FrontierCrawl {
           observationSupported = false; -1L
         }
       // bloom merge must land before the caches feeding it are released
-      // (the delta build reads the round's `scheduled` cache)
+      // (the delta build reads the round's `scheduled` cache) — and so must
+      // the deferred accumulator checkpoints: release rides their
+      // completion instead of blocking the loop on it
       seenBloom = Await.result(fBloom, Duration.Inf)
-      out.caches.foreach(_.unpersist(false))
+      if (deferredThisRound.isEmpty) out.caches.foreach(_.unpersist(false))
+      else {
+        val caches = out.caches
+        Future.sequence(deferredThisRound)
+          .onComplete(_ => caches.foreach(_.unpersist(false)))
+      }
       round += 1
     }
+
+    def unionAll(parts: Vector[Future[DataFrame]]): Option[DataFrame] =
+      if (parts.isEmpty) None
+      else Some(parts.map(Await.result(_, Duration.Inf)).reduce(_.union(_)))
 
     val emptyKeys = spark.createDataset(Seq.empty[String]).toDF("url_key")
     CrawlResult(
       round - startRound,
       seen.getOrElse(emptyKeys),
-      scheduleAll.getOrElse(spark.emptyDataFrame),
-      extractedAll.getOrElse(spark.emptyDataFrame),
-      resultsAll.getOrElse(spark.emptyDataFrame),
-      metricsAll.getOrElse(spark.emptyDataFrame))
+      unionAll(schedParts).getOrElse(spark.emptyDataFrame),
+      unionAll(extractedParts).getOrElse(spark.emptyDataFrame),
+      unionAll(resultParts).getOrElse(spark.emptyDataFrame),
+      unionAll(metricParts).getOrElse(spark.emptyDataFrame))
   }
 }

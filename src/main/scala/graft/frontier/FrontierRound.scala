@@ -34,7 +34,15 @@ object FrontierRound {
       newFrontier: Dataset[FrontierEntry],
       newSeenKeys: DataFrame, // url_key of everything scheduled this round
       metrics: Dataset[RoundMetrics],
-      scheduledCount: Long,
+      // this round's schedule size. On the small-round path (caller passed
+      // a scheduledSizeBound within the broadcast gate) no eager count job
+      // runs: the thunk reads the free-rider `observation` ("scheduled"
+      // metric, one results row per scheduled row) and BLOCKS until an
+      // action materializes `results` — call it only once the round's
+      // commit/checkpoint wave is underway (30s timeout falls back to a
+      // cache-hot count job). On the eager path it returns the memoized
+      // count immediately.
+      scheduledCount: () => Long,
       // cumulative seen-set bloom AFTER this round (incrementally
       // maintained: prior bloom ∪ this round's delta); carry into the next
       // round's `seenBloom` so the filter is never rebuilt over the
@@ -216,7 +224,14 @@ object FrontierRound {
       // rounds (mutated here by merging this round's delta). When absent
       // but seenKeys is present, the prefilter falls back to a per-call
       // build (the legacy O(R²)-over-a-crawl path).
-      seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): RoundOutput = {
+      seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      // caller's upper bound on this round's schedule size (the schedule is
+      // a subset of the frontier, so the previous round's OBSERVED frontier
+      // row count is a valid bound). A known bound within the broadcast
+      // gate removes the eager per-round count job — the one removable job
+      // in the drain's per-round critical chain; -1 (unknown) keeps the
+      // prior eager-count behavior, which is correct at any size.
+      scheduledSizeBound: Long = -1L): RoundOutput = {
     import spark.implicits._
 
     val plan = schedule(spark, frontier, robots, cfg)
@@ -227,15 +242,25 @@ object FrontierRound {
     val willBuildBloom =
       cfg.useBloomPrefilter && cfg.cuckooSeenBuckets == 0 &&
         !(seenKeys.isDefined && seenBloom.isEmpty)
-    // forces the cache in one pass AT FULL PARALLELISM; also feeds the
-    // bloom-sizing hint and the caller's running seen count. Forced even
-    // when the count isn't tracked if a delta bloom will be built below:
-    // otherwise the bloom's coalesce(bloomBuildParallelism) would be the
-    // first action through the cache and the whole schedule pipeline
-    // (exchange read, sort, rank, cache write) would compute on
-    // `bloomBuildParallelism` tasks — a serial region that poisons scaling
-    val scheduledCount =
-      if (cfg.trackScheduledCount || willBuildBloom) scheduled.count() else -1L
+    // a caller-known bound inside the broadcast gate proves the round
+    // broadcast-delta-safe WITHOUT counting it — mis-bounding only ever
+    // routes a round to the (always-correct) large-round plan, never the
+    // reverse
+    val knownSmall = scheduledSizeBound >= 0L &&
+      scheduledSizeBound <= cfg.broadcastDeltaMaxKeys
+    // eager count (a per-round job): only when the bound is unknown/large.
+    // It forces the cache in one pass AT FULL PARALLELISM — required ahead
+    // of the EAGER bloom build below: otherwise the bloom's
+    // coalesce(bloomBuildParallelism) would be the first action through the
+    // cache and the whole schedule pipeline (exchange read, sort, rank,
+    // cache write) would compute on `bloomBuildParallelism` tasks — a
+    // serial region that poisons scaling. On the knownSmall path the bloom
+    // build is deferred behind the observation instead (buildBloomAfter),
+    // so the big job populates the cache first and no count job runs.
+    val eagerCount =
+      if (!knownSmall && (cfg.trackScheduledCount || willBuildBloom))
+        scheduled.count()
+      else -1L
 
     // "fetch" = equi-join with the pages table on url (SURVEY.md S2: the
     // Common-Crawl-style table lookup); left join so absent pages become
@@ -295,6 +320,26 @@ object FrontierRound {
         approx_count_distinct($"host").as("hosts_approx"),
         sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"))
 
+    // lazy schedule count — the small-round path's replacement for the
+    // eager count job: `results` has exactly one row per scheduled row, so
+    // the free-rider observation's "scheduled" metric IS the schedule
+    // count, delivered by the action that materializes results (part of
+    // the round's commit/checkpoint wave). Bounded wait with a cache-hot
+    // count() fallback (the frontierObservation timeout pattern) so a
+    // runtime that never reports observed metrics degrades to one small
+    // job instead of hanging.
+    lazy val lazyScheduledCount: Long =
+      try {
+        val row = scala.concurrent.Await.result(observation.future,
+          scala.concurrent.duration.Duration(30,
+            java.util.concurrent.TimeUnit.SECONDS))
+        row.getAs[Long]("scheduled")
+      } catch {
+        case _: java.util.concurrent.TimeoutException => scheduled.count()
+      }
+    val scheduledCountThunk: () => Long =
+      if (eagerCount >= 0L) () => eagerCount else () => lazyScheduledCount
+
     val extracted = processed.filter($"status" === "ok")
       .select($"extracted.*").as[Extracted]
 
@@ -318,7 +363,8 @@ object FrontierRound {
       case None => newSeenKeys
     }
     val seenAfterCount =
-      if (seenCountHint >= 0L) seenCountHint + scheduledCount else -1L
+      if (seenCountHint >= 0L && eagerCount >= 0L) seenCountHint + eagerCount
+      else -1L
 
     // incremental bloom maintenance: build a filter over THIS round's delta
     // only (O(scheduled) work) and OR it into the cumulative filter. The
@@ -329,6 +375,14 @@ object FrontierRound {
     def buildBloomAfter(): Option[org.apache.spark.util.sketch.BloomFilter] =
       if (!willBuildBloom) None
       else {
+        // no eager count ran (knownSmall path): block until the round's
+        // materialization wave has populated the schedule cache at full
+        // parallelism before the coalesced build reads it (see the
+        // eagerCount comment for the serial region this prevents). Callers
+        // invoke this thunk concurrently with that wave, so the wait costs
+        // nothing on the critical path; the timeout fallback's count() is
+        // itself a full-parallelism cache-forcing action.
+        if (eagerCount < 0L) scheduledCountThunk()
         val delta = newSeenKeys.coalesce(math.max(cfg.bloomBuildParallelism, 1))
           .stat.bloomFilter("url_key", math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
         Some(seenBloom match {
@@ -337,8 +391,9 @@ object FrontierRound {
         })
       }
 
-    // Fresh-link seen check, two regimes gated on the MEASURED schedule
-    // size (the maxBroadcastDeltaDocs pattern):
+    // Fresh-link seen check, two regimes gated on the schedule size — the
+    // caller's bound when known, the measured count otherwise (the
+    // maxBroadcastDeltaDocs pattern):
     //  - small/medium rounds (delta fits a broadcast): exact broadcast
     //    anti-join against this round's delta, then the cumulative check
     //    under the PRIOR bloom — which exactly covers the prior seen set,
@@ -348,8 +403,8 @@ object FrontierRound {
     //    untracked): the prior shape — eager delta build + merge, one
     //    bloom-prefiltered anti-join against seen ∪ delta — so candidates
     //    never take an extra corpus-shaped shuffle at scale.
-    val deltaBroadcastable =
-      scheduledCount >= 0L && scheduledCount <= cfg.broadcastDeltaMaxKeys
+    val deltaBroadcastable = knownSmall ||
+      (eagerCount >= 0L && eagerCount <= cfg.broadcastDeltaMaxKeys)
     val (fresh, seenBloomAfter) =
       if (deltaBroadcastable) {
         val afterDelta = freshCandidates
@@ -397,7 +452,7 @@ object FrontierRound {
       .as[RoundMetrics]
 
     RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
-      scheduledCount, seenBloomAfter, frontierObservation, observation,
+      scheduledCountThunk, seenBloomAfter, frontierObservation, observation,
       Seq(scheduled, processed.toDF(), freshCandidates.toDF(), plan.dedupedCache))
   }
 }
