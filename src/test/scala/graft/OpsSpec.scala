@@ -564,6 +564,103 @@ class OpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap == refS2)
   }
 
+  test("BPE batched selection: safety rules certify only recount-free prefixes") {
+    import graft.ops.Tokenize.selectMergeBatch
+    val syms = Set("a", "b", "c", "d", "e", "f", "x")
+    // (x,a) interacts with selected (a,b) (its right is a selected left:
+    // merging a·b consumes a's that x·a occurrences need) → walk stops
+    // there and the batch keeps only counts strictly above the stop count
+    assert(selectMergeBatch(Seq(("a", "b", 100L), ("c", "d", 90L),
+      ("x", "a", 80L), ("e", "f", 70L)), syms) ==
+      Seq(("a", "b", 100L), ("c", "d", 90L)))
+    // left-side interaction: (b,x) after (a,b) (selected right as left)
+    assert(selectMergeBatch(Seq(("a", "b", 100L), ("b", "x", 90L),
+      ("e", "f", 80L)), syms) == Seq(("a", "b", 100L)))
+    // aliasing: (c,d)'s output "cd" already a live symbol → stop at it
+    assert(selectMergeBatch(Seq(("a", "b", 100L), ("c", "d", 90L)),
+      syms + "cd") == Seq(("a", "b", 100L)))
+    // tie with the stop pair's count is trimmed too (a spawned pair could
+    // tie and win the lexicographic tiebreak) → empty, caller falls back
+    // to the single argmax
+    assert(selectMergeBatch(Seq(("a", "b", 90L), ("c", "d", 90L),
+      ("x", "a", 90L)), syms).isEmpty)
+    // ties among SAFE pairs batch fine when above the bound
+    assert(selectMergeBatch(Seq(("a", "b", 90L), ("c", "d", 90L),
+      ("x", "a", 10L)), syms) == Seq(("a", "b", 90L), ("c", "d", 90L)))
+    // non-exhaustive prefix with no violation: the last count still bounds
+    // unseen pairs → its tier is trimmed
+    assert(selectMergeBatch(Seq(("a", "b", 90L), ("c", "d", 80L)), syms) ==
+      Seq(("a", "b", 90L)))
+    // exhaustive (whole live table seen, no violation): nothing to bound
+    assert(selectMergeBatch(Seq(("a", "b", 90L), ("c", "d", 80L)), syms,
+      exhaustive = true) == Seq(("a", "b", 90L), ("c", "d", 80L)))
+  }
+
+  test("BPE batched trainer == sequential == classic, with a real batch factor") {
+    import graft.ops.Tokenize
+    // single-node classic loop (same as the parity test above)
+    def refBpe(corpus: Seq[String], numMerges: Int, minPair: Long)
+        : Vector[(String, String, Long)] = {
+      val wc = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      var segs: Map[String, Vector[String]] = wc.keys
+        .map(w => w -> (w.split("").filter(_.nonEmpty).toVector :+ "</w>")).toMap
+      var merges = Vector.empty[(String, String, Long)]
+      var done = false
+      while (merges.size < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, s) <- segs; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + wc(w)
+        val live = counts.filter(_._2 >= minPair)
+        if (live.isEmpty) done = true
+        else {
+          val ((l, r), c) = live.minBy { case ((a, b), n) => (-n, a, b) }
+          merges :+= ((l, r, c))
+          segs = segs.map { case (w, s) => w -> Tokenize.foldMergeLocal(s, l, r) }
+        }
+      }
+      merges
+    }
+    // larger alphabet + skewed word frequencies: the regime where the top
+    // of the pair table is dominated by non-interacting pairs and batching
+    // actually engages (the 3-letter corpus above is the adversarial case
+    // where batches stay near 1)
+    val letters = "abcdefghijklmnopqrst"
+    val words = (0 until 240).map { i =>
+      val len = 2 + (Sketches.mix(i * 31L) >>> 20).toInt.abs % 8
+      (0 until len).map(p =>
+        letters((Sketches.mix(i * 17L + p * 7L) >>> 18).toInt.abs % letters.length))
+        .mkString
+    }
+    val corpus = (0 until 1200).map { i =>
+      val n = 3 + (Sketches.mix(i * 11L) >>> 24).toInt.abs % 10
+      (0 until n).map { j =>
+        // Zipf-ish: low word indices repeat often
+        val r = (Sketches.mix(i * 131L + j * 29L) >>> 16).toInt.abs
+        words(r % (1 + r % words.length))
+      }.mkString(" ")
+    }
+    val refM = refBpe(corpus, numMerges = 80, minPair = 2L)
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(7)
+    val batched = Tokenize.bpeTrain(docs, "text", numMerges = 80,
+      minPairCount = 2L, checkpointEvery = 4, maxBatch = 64)
+    val sequential = Tokenize.bpeTrain(docs, "text", numMerges = 80,
+      minPairCount = 2L, checkpointEvery = 16, maxBatch = 1)
+    assert(batched.merges == refM, "batched must equal the classic sequence")
+    assert(sequential.merges == refM)
+    def segsOf(m: Tokenize.BpeModel) = m.segments.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(segsOf(batched) == segsOf(sequential))
+    // the scale evidence: the batched trainer must need MATERIALLY fewer
+    // Spark iterations than merges (this corpus yields a >2x factor), and
+    // the sequential trainer is one per merge
+    assert(batched.merges.size == 80, s"got ${batched.merges.size} merges")
+    assert(batched.trainIterations * 2 <= batched.merges.size,
+      s"batch factor < 2: ${batched.trainIterations} iterations for ${batched.merges.size} merges")
+    assert(sequential.trainIterations >= sequential.merges.size)
+  }
+
   test("embedding near-dup: planted identical vectors are exactly recovered") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => ((Sketches.mix(i * 977L + d) >>> 16) % 1000L) / 500.0f - 1.0f))
