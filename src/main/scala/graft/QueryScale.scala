@@ -128,12 +128,35 @@ object QueryScale {
         // over the documents table — the scale row for the one operator
         // whose r4 design didn't survive its production parameter
         if (isoOn("bpe_train_op")) {
-          val docsB = t("documents").select(col("doc_id"), col("text"))
+          // the sf tables' documents text has only ~31 distinct words — a
+          // degenerate BPE input (pair table tiny, tie/interaction-dense).
+          // Construct a Zipfian corpus with a production-SHAPED word
+          // distribution instead (tens of thousands of distinct hex-charset
+          // words), built + checkpointed OUTSIDE the gate like
+          // curate_delta_op's forest corpus.
+          val distinctWords = 30000L
+          val docsB = spark.range(0L, 100000L, 1L, cores)
+            .toDF("doc_id")
+            .select(col("doc_id"), array_join(
+              transform(sequence(lit(0), lit(11)), j => {
+                val r = abs(xxhash64(col("doc_id"), j))
+                val idx = pmod(r, lit(1L) + pmod(r, lit(distinctWords)))
+                md5(idx.cast("string"))
+                  .substr(lit(1), (lit(3) + pmod(idx, lit(6L))).cast("int"))
+              }), " ").as("text"))
             .localCheckpoint(true)
-          def runTrain(): Int = graft.ops.Tokenize.bpeTrain(docsB, "text",
-            numMerges = 256, minPairCount = 2L).merges.size
-          val warmMerges = runTrain()
-          Console.err.println(s"[qscale] bpe_train_op merges=$warmMerges")
+          // SPARK_GRAFT_BPE_SEQ=1 times the classic one-merge-per-job loop
+          // instead (maxBatch=1) — the A/B that evidences the batching win
+          val mb = if (sys.env.contains("SPARK_GRAFT_BPE_SEQ")) 1 else 64
+          val nm = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "512").toInt
+          def runTrain(): Int = {
+            val m = graft.ops.Tokenize.bpeTrain(docsB, "text",
+              numMerges = nm, minPairCount = 2L, maxBatch = mb)
+            Console.err.println(s"[qscale] bpe_train_op merges=${m.merges.size} " +
+              s"iterations=${m.trainIterations} maxBatch=$mb")
+            m.merges.size
+          }
+          runTrain() // warm
           out += "bpe_train_op" -> BenchGate.gated(s"op:bpe_train@$cores",
             cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
             val t0 = System.nanoTime(); runTrain()

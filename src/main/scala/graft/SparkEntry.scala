@@ -756,6 +756,51 @@ object SparkEntry {
           col("audio_sample_rate"), col("audio_bits"), col("audio_duration_ms"))
     }),
 
+    "multimodal_video_meta" -> ((s, dir) => {
+      // REAL ISO-BMFF box walk under oracle: structurally-valid MP4 streams
+      // CONSTRUCTED in SQL from doc_id arithmetic — ftyp, then an mdat
+      // BEFORE moov (the non-faststart layout, exercising the skip), every
+      // 5th row with an extended (64-bit) mdat size, moov carrying
+      // mvhd (v0/v1 alternating by parity) + an AUDIO trak (tkhd width 0,
+      // which the walk must pass over) + the video trak. Every 7th row is
+      // junk → unknown. The oracle computes all fields analytically from
+      // the same arithmetic and never touches bytes.
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val w = (pmod(col("doc_id"), lit(300)) + lit(16)).cast("int")
+      val h = (pmod(col("doc_id"), lit(200)) + lit(16)).cast("int")
+      val v1 = pmod(col("doc_id"), lit(2)) === 1
+      val ts = when(v1, lit(600)).otherwise(lit(1000))
+      val dur = ((pmod(col("doc_id"), lit(50)) + 1) * lit(500)).cast("int")
+      def be(v: Column, bytes: Int): Column = lpad(hex(v), bytes * 2, "0")
+      val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000200")
+      val mdat = when(pmod(col("doc_id"), lit(5)) === 0,
+        // extended size: size32=1, 64-bit largesize=24, 8 junk bytes
+        lit("00000001" + "6D646174" + "0000000000000018" + "DEADBEEFDEADBEEF"))
+        .otherwise(lit("00000010" + "6D646174" + "DEADBEEFDEADBEEF"))
+      val pad80 = "0" * 160 // rate/volume/matrix/predefined tail, zeroed
+      val mvhd = when(v1,
+        concat(lit("00000078" + "6D766864" + "01000000" + ("0" * 32)),
+          be(ts, 4), be(dur, 8), lit(pad80)))
+        .otherwise(
+          concat(lit("0000006C" + "6D766864" + "00000000" + ("0" * 16)),
+            be(ts, 4), be(dur, 4), lit(pad80)))
+      val matrix = "00010000" + ("0" * 24) + "00010000" + ("0" * 24) + "40000000"
+      def tkhd(wc: Column, hc: Column) = concat(
+        lit("0000005C" + "746B6864" + "00000007" + ("0" * 40) +
+          ("0" * 16) + ("0" * 16) + matrix),
+        be(wc, 2), lit("0000"), be(hc, 2), lit("0000"))
+      val trakA = concat(lit("00000064" + "7472616B"), tkhd(lit(0), lit(0)))
+      val trakV = concat(lit("00000064" + "7472616B"), tkhd(w, h))
+      val moovSize = when(v1, lit("00000148")).otherwise(lit("0000013C"))
+      val moov = concat(moovSize, lit("6D6F6F76"), mvhd, trakA, trakV)
+      val mp4 = concat(ftyp, mdat, moov)
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("0102030405060708090A0B0C0D0E0F10")).otherwise(mp4)
+      Multimodal.videoMeta(d.select(col("doc_id"), unhex(payload).as("payload")))
+        .select(col("doc_id"), col("video_format"), col("video_width"),
+          col("video_height"), col("video_duration_ms"))
+    }),
+
     "warc_parse" -> ((s, dir) => {
       // the WARC framing parser under oracle: blobs are framed IN SQL from
       // documents rows (10 records per blob, doc_id order within the blob;
@@ -1635,6 +1680,19 @@ object SparkEntry {
            CASE WHEN doc_id % 7 = 0 THEN NULL
              ELSE CAST(floor((doc_id % 3000 + 1) * 10 * 1000.0 /
                ((doc_id % 4 + 1) * 8000)) AS BIGINT) END AS audio_duration_ms
+         FROM documents""",
+
+    "multimodal_video_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'mp4' END AS video_format,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             ELSE CAST(doc_id % 300 + 16 AS INT) END AS video_width,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             ELSE CAST(doc_id % 200 + 16 AS INT) END AS video_height,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             ELSE CAST(((doc_id % 50 + 1) * 500 * 1000) //
+               (CASE WHEN doc_id % 2 = 1 THEN 600 ELSE 1000 END) AS BIGINT)
+             END AS video_duration_ms
          FROM documents""",
 
     "warc_parse" ->

@@ -312,6 +312,108 @@ object Multimodal {
       })
   }
 
+  /** REAL byte-level video-container metadata — the MP4/ISO-BMFF sibling
+    * of [[imageMeta]]/[[audioMeta]], replacing the video half of the stub
+    * surface. One bounded `aggregate` fold walks the box tree: every box
+    * is [u32 BE size][4-byte type] (size 1 → a u64 "largesize" follows;
+    * size 0 → box runs to EOF), container boxes' children start right
+    * after the header, and siblings are contiguous — so the walk ENTERS
+    * the two containers on the metadata path (`moov`, `trak`) and SKIPS
+    * every other box by its declared size (`mdat` before `moov`, the
+    * common non-faststart layout, costs one step). Captured:
+    *  - `mvhd` (moov child): movie timescale + duration (version 0/1
+    *    layouts), → video_duration_ms = duration·1000/timescale;
+    *  - the first `tkhd` whose 16.16-fixed width is nonzero (audio traks
+    *    carry 0×0) → video_width/height.
+    * Pixel/sample data is never touched — the fold reads a few dozen
+    * header bytes no matter the payload size, the same "metadata without
+    * decoding" scale shape as the image/audio passes. Non-MP4, corrupt,
+    * or truncated payloads yield video_format="unknown"/null fields.
+    * Output: input columns + video_format, video_width, video_height,
+    * video_duration_ms. Validated in OpsSpec against hand-muxed
+    * structurally-valid boxes (both mvhd/tkhd versions, extended sizes,
+    * audio-before-video trak order, truncation).
+    */
+  def videoMeta(df: DataFrame, payloadCol: String = "payload",
+      maxBoxes: Int = 64): DataFrame = {
+    val p = col(payloadCol)
+    val isMp4 = length(p) >= 16 && hex(substring(p, 5, 4)) === "66747970" // "ftyp"
+    val st = col("__vd")
+    val tsFound = st.getField("ts") > 0
+    val dimFound = st.getField("w") > 0
+    df.withColumn("video_format", when(isMp4, "mp4").otherwise("unknown"))
+      .withColumn("__vd", when(isMp4, mp4Boxes(p, maxBoxes)))
+      .withColumn("video_width",
+        when(col("video_format") === "mp4" && dimFound,
+          st.getField("w").cast("int")))
+      .withColumn("video_height",
+        when(col("video_format") === "mp4" && dimFound,
+          st.getField("h").cast("int")))
+      .withColumn("video_duration_ms",
+        when(col("video_format") === "mp4" && tsFound &&
+          st.getField("dur") >= 0,
+          // Column./ is double division; floor restores integral ms
+          floor(st.getField("dur") * 1000L / st.getField("ts")).cast("long")))
+      .drop("__vd")
+  }
+
+  /** The bounded ISO-BMFF box walk: state (off, ts, dur, w, h); ts/w = -1
+    * until mvhd / a video tkhd is seen, null off = walk ended (EOF,
+    * truncation, or an undersized box — found fields survive). `p` MUST be
+    * an attribute (HOF lambda capture rule, see [[jpegSof]]).
+    */
+  private def mp4Boxes(p: Column, maxBoxes: Int): Column = {
+    def beU(pos: Column, n: Int): Column =
+      conv(hex(p.substr(pos, lit(n))), 16, 10).cast("long")
+    def state(off: Column, ts: Column, dur: Column, w: Column,
+        h: Column): Column =
+      struct(off.cast("long").as("off"), ts.cast("long").as("ts"),
+        dur.cast("long").as("dur"), w.cast("long").as("w"),
+        h.cast("long").as("h"))
+    aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      state(lit(1L), lit(-1L), lit(-1L), lit(-1L), lit(-1L)),
+      (st, _) => {
+        val off = st.getField("off")
+        val iOff = off.cast("int")
+        val eof = length(p).cast("long") + 1L // 1-based one-past-end
+        val size32 = beU(iOff, 4)
+        val typ = hex(p.substr(iOff + 4, lit(4)))
+        val hdr = when(size32 === 1L, 16L).otherwise(lit(8L))
+        val size = when(size32 === 1L, beU(iOff + 8, 8))
+          .when(size32 === 0L, eof - off)
+          .otherwise(size32)
+        val next = off + size
+        val pay = iOff + hdr.cast("int") // 1-based payload (version byte) pos
+        val v1 = beU(pay, 1) === 1L
+        val ended = state(lit(null), st.getField("ts"), st.getField("dur"),
+          st.getField("w"), st.getField("h"))
+        val done = st.getField("ts") > 0L && st.getField("w") > 0L
+        val tkhdW = when(v1, beU(pay + 88, 2)).otherwise(beU(pay + 76, 2))
+        val tkhdH = when(v1, beU(pay + 92, 2)).otherwise(beU(pay + 80, 2))
+        when(done || off.isNull, st)
+          .when(off + 8L > eof || size < hdr, ended)
+          // containers are ENTERED with only their header present — a
+          // truncated payload still yields every field read before the cut
+          .when(typ.isin("6D6F6F76", "7472616B"), // moov, trak: enter
+            state(off + hdr, st.getField("ts"), st.getField("dur"),
+              st.getField("w"), st.getField("h")))
+          .when(next > eof, ended) // leaf/capture box extends past the cut
+          .when(typ === "6D766864" && // mvhd: timescale + duration, v0/v1
+            size >= hdr + when(v1, 32L).otherwise(lit(20L)), // undersized → skip
+            state(next,
+              when(v1, beU(pay + 20, 4)).otherwise(beU(pay + 12, 4)),
+              when(v1, beU(pay + 24, 8)).otherwise(beU(pay + 16, 4)),
+              st.getField("w"), st.getField("h")))
+          .when(typ === "746B6864" && st.getField("w") <= 0L &&
+            size >= hdr + when(v1, 96L).otherwise(lit(84L)) && tkhdW > 0L,
+            // tkhd with nonzero 16.16 width = the first video trak
+            state(next, st.getField("ts"), st.getField("dur"), tkhdW, tkhdH))
+          .otherwise(state(next, st.getField("ts"), st.getField("dur"),
+            st.getField("w"), st.getField("h")))
+      })
+  }
+
   /** Deterministic stand-in for pixel/waveform feature extraction. */
   private def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

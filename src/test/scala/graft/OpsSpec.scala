@@ -1216,6 +1216,94 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("multimodal videoMeta: ISO-BMFF box walk over genuinely muxed MP4 structures") {
+    import graft.ops.Multimodal
+    import java.io.ByteArrayOutputStream
+    // hand muxer: real box layout (BE sizes, container nesting, full-size
+    // mvhd/tkhd with matrix/reserved tails), both header versions,
+    // extended (64-bit) sizes, and a size-0 run-to-EOF trailer
+    def be(v: Long, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    def box(typ: String, payload: Array[Byte], extended: Boolean = false): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      if (extended) {
+        out.write(be(1L, 4)); out.write(typ.getBytes("US-ASCII"))
+        out.write(be(16L + payload.length, 8))
+      } else {
+        out.write(be(8L + payload.length, 4)); out.write(typ.getBytes("US-ASCII"))
+      }
+      out.write(payload); out.toByteArray
+    }
+    def mvhd(v: Int, ts: Long, dur: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(v); out.write(new Array[Byte](3)) // version + flags
+      out.write(new Array[Byte](if (v == 1) 16 else 8)) // ctime/mtime
+      out.write(be(ts, 4)); out.write(be(dur, if (v == 1) 8 else 4))
+      out.write(new Array[Byte](80)) // rate/volume/matrix/predefined tail
+      box("mvhd", out.toByteArray)
+    }
+    def tkhd(v: Int, w: Int, h: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(v); out.write(new Array[Byte](3))
+      out.write(new Array[Byte](if (v == 1) 32 else 20)) // times/id/res/dur
+      out.write(new Array[Byte](16)) // reserved + layer/alt/volume/res
+      out.write(new Array[Byte](36)) // matrix
+      out.write(be(w.toLong << 16, 4)); out.write(be(h.toLong << 16, 4))
+      box("tkhd", out.toByteArray)
+    }
+    def mp4(v: Int, ts: Long, dur: Long, w: Int, h: Int,
+        extMdat: Boolean = false, trailer0: Boolean = false): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(box("ftyp", "isom".getBytes("US-ASCII") ++ be(0x200L, 4)))
+      out.write(box("mdat", Array.fill[Byte](12)(0x5a), extended = extMdat))
+      val moov = new ByteArrayOutputStream()
+      moov.write(mvhd(v, ts, dur))
+      moov.write(box("trak", tkhd(v, 0, 0))) // audio trak first: 0x0 dims
+      moov.write(box("trak", tkhd(v, w, h)))
+      out.write(box("moov", moov.toByteArray))
+      if (trailer0) { // size-0 box: runs to EOF
+        out.write(be(0L, 4)); out.write("free".getBytes("US-ASCII"))
+        out.write(Array.fill[Byte](5)(9))
+      }
+      out.toByteArray
+    }
+    val full = mp4(0, 1000L, 7321L, 640, 360)
+    val cases = Seq(
+      (1L, full, ("mp4", 640, 360, 7321L)),
+      (2L, mp4(1, 600L, 900L, 1920, 1080), ("mp4", 1920, 1080, 1500L)),
+      (3L, mp4(0, 90000L, 123456L, 320, 240, extMdat = true),
+        ("mp4", 320, 240, 1371L)), // floor(123456*1000/90000)
+      (4L, mp4(1, 1000L, 250L, 12, 34, trailer0 = true), ("mp4", 12, 34, 250L)))
+    val df = cases.map { case (id, bytes, _) => (id, bytes) }.toDF("doc_id", "payload")
+    val got = Multimodal.videoMeta(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    cases.foreach { case (id, _, (fmt, w, h, ms)) =>
+      val r = got(id)
+      assert(r.getAs[String]("video_format") == fmt, s"doc $id: $r")
+      assert(r.getAs[Int]("video_width") == w, s"doc $id w: $r")
+      assert(r.getAs[Int]("video_height") == h, s"doc $id h: $r")
+      assert(r.getAs[Long]("video_duration_ms") == ms, s"doc $id ms: $r")
+    }
+    // truncation mid-moov: mvhd was seen, the video tkhd was not — the
+    // found duration survives, dims stay null, no error
+    val cut = full.take(full.length - 60)
+    val tr = Multimodal.videoMeta(Seq((9L, cut)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(tr.getAs[String]("video_format") == "mp4")
+    assert(tr.isNullAt(tr.fieldIndex("video_width")), tr.toString)
+    assert(tr.getAs[Long]("video_duration_ms") == 7321L, tr.toString)
+    // junk and empty payloads degrade to unknown, never error
+    val junk = Seq((10L, Array.fill[Byte](40)(0x42)), (11L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    Multimodal.videoMeta(junk).collect().foreach { r =>
+      assert(r.getAs[String]("video_format") == "unknown" &&
+        r.isNullAt(r.fieldIndex("video_width")), r.toString)
+    }
+    // scale shape: the whole decode rides the scan projection, no Exchange
+    val plan = Multimodal.videoMeta(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tokenize chunking: stride windows with overlap, tail policy, shuffle-free plan") {
     import graft.ops.Tokenize
     val enc = Seq(
