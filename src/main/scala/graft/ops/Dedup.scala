@@ -341,9 +341,13 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // NOT checkpointed: the init label set is consumed exactly once (the
+    // first iteration's join computes the distinct as part of that job) —
+    // a barrier here was one more sequential job in a loop whose cost IS
+    // job latency; from iteration 1 on, `labels` is the checkpointed
+    // `updated` frame
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_rep", col("id"))
-      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -352,17 +356,31 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster_rep")).as("neighbor_min"))
-      // checkpoint the joined frame ONCE and derive both the next labels
-      // and the convergence count from it — checkpointing `next` and then
-      // recounting `updated` would run the join twice per iteration (2x
-      // the barriers in an already fixed-cost-bound loop)
+      // checkpoint the joined frame ONCE, and ride the convergence count
+      // on an Observation DELIVERED BY that checkpoint — recounting the
+      // checkpointed frame was one extra job per iteration, and
+      // re-deriving the join two (2-3x the barriers in a loop that is
+      // pure fixed cost); 30s-timeout fallback to the explicit count if
+      // a runtime ever stops reporting observed metrics
+      val obs = new org.apache.spark.sql.Observation()
       val updated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_rep"), coalesce(col("neighbor_min"), col("cluster_rep")))
             .as("new_rep"),
           col("cluster_rep"))
+        .observe(obs, sum(when(col("new_rep") =!= col("cluster_rep"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      changed = updated.filter(col("new_rep") =!= col("cluster_rep")).count()
+      changed =
+        try {
+          val row = scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(30,
+              java.util.concurrent.TimeUnit.SECONDS))
+          Option(row.getAs[Long]("changed")).getOrElse(0L) // sum over 0 rows is null
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            updated.filter(col("new_rep") =!= col("cluster_rep")).count()
+        }
       labels = updated.select(col("id"), col("new_rep").as("cluster_rep"))
       iter += 1
     }
@@ -378,9 +396,18 @@ object Dedup {
   /** Keep one representative row per near-dup cluster: docs named in
     * `pairs` survive only if they are their cluster's smallest id; docs in
     * no pair survive unchanged.
+    *
+    * Near-dup-FREE inputs are the common case on clean data (a fresh
+    * unique micro-batch folds in with zero candidate pairs), and the label
+    * propagation + anti-join machinery still costs ~6 job launches over 0
+    * pairs — so the empty pair set short-circuits to `df` unchanged. Both
+    * curation callers pass an eagerly materialized pair frame
+    * (minhashLshPairs is eager), making the isEmpty probe a limit-1 read
+    * of a checkpoint, not a recompute.
     */
   def keepClusterRepresentatives(df: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
+    if (pairs.isEmpty) return df
     val losers = clusterAssign(pairs)
       .filter(col("id") =!= col("cluster_rep"))
       .select(col("id").as(idCol))
