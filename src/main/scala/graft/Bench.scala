@@ -176,7 +176,9 @@ object Bench {
       .mkString("{", ",", "}")
     val qCert = results.map { case (k, (_, c)) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val queryTotal = results.map(_._2._1).sum
+    // -1.0 failure sentinels must not SUBTRACT from the suite total (a
+    // crashed query would otherwise read as an "improvement")
+    val queryTotal = results.map(_._2._1).filter(_ >= 0).sum
     val uncertified = results.collect { case (k, (_, false)) => k }
 
     if (queryFilter.isDefined) {

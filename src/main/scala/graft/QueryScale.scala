@@ -123,6 +123,33 @@ object QueryScale {
         }
         }
 
+        // para_dedup_op: corpus-wide paragraph dedup at a configurable
+        // corpus size (SPARK_GRAFT_PARA_DOCS, default 200k docs of 12
+        // lines: ~30% hot boilerplate drawn from a 50-line pool — the
+        // WindowGroupLimit pushdown's target shape — and the rest unique).
+        // The D4 gate row was fixture-sized; this is the corpus-sized
+        // certification of the W-dominated regime.
+        if (isoOn("para_dedup_op")) {
+          val paraDocs = sys.env.getOrElse("SPARK_GRAFT_PARA_DOCS", "200000").toLong
+          val docsP = spark.range(0L, paraDocs, 1L, cores).toDF("doc_id")
+            .select(col("doc_id"), array_join(
+              transform(sequence(lit(0), lit(11)), j => {
+                val r = abs(xxhash64(col("doc_id"), j))
+                when(pmod(r, lit(10L)) < 3L,
+                  concat(lit("boilerplate line "), pmod(r, lit(50L))))
+                  .otherwise(md5(concat(col("doc_id"), lit("-"), j)))
+              }), "\n").as("text"))
+            .localCheckpoint(true)
+          def runPara(): Long =
+            graft.ops.Dedup.paragraphDedup(docsP, "text", "doc_id").count()
+          runPara() // warm
+          out += "para_dedup_op" -> BenchGate.gated(s"op:para_dedup@$cores",
+            cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+            val t0 = System.nanoTime(); runPara()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+
         // bpe_train_op: the batched-exact BPE trainer end-to-end (one
         // corpus word-frequency pass + O(merges/batch) merge iterations)
         // over the documents table — the scale row for the one operator

@@ -1,5 +1,6 @@
 package graft.frontier
 
+import graft.ObservedMetrics
 import graft.model.FrontierEntry
 import graft.store.FrontierStore
 import graft.url.Urls
@@ -111,16 +112,19 @@ object FrontierCrawl {
     var extractedParts = Vector.empty[Future[DataFrame]]
     var resultParts = Vector.empty[Future[DataFrame]]
     var metricParts = Vector.empty[Future[DataFrame]]
+    // a deferred checkpoint that FAILS must not sit latent until crawl end
+    // (a round-3 executor loss would otherwise surface only after every
+    // remaining round's full fetch/extract work) — record the first
+    // failure and rethrow at the next loop boundary
+    @volatile var deferredFailure: Option[Throwable] = None
 
     // frontier row count observed off the PREVIOUS iteration's
     // materialization (checkpoint/snapshot write) — the drained? test costs
-    // no job after the first iteration
+    // no job after the first iteration. A -1 (observation timeout — the
+    // shared ObservedMetrics latch makes that a one-time stall, not
+    // per-round) falls back to the explicit isEmpty test: correct, just
+    // one extra small job.
     var frontierRows = -1L
-    // latched false on the FIRST observation timeout: if this runtime never
-    // delivers observed metrics for the materializing action type, waiting
-    // 30s EVERY round would turn the documented one-time fallback into a
-    // permanent per-round stall — fall back to the isEmpty test for good
-    var observationSupported = true
     while (round < maxRounds &&
         (if (frontierRows >= 0L) frontierRows > 0L else !frontier.isEmpty)) {
       // the previous round's observed frontier row count bounds this
@@ -214,18 +218,9 @@ object FrontierCrawl {
       if (seenCount >= 0L) seenCount += out.scheduledCount()
       // the next frontier was materialized above (localCheckpoint or
       // snapshot write); its observed row count arrives on the listener bus
-      // momentarily. Bounded wait — on a miss (e.g. a future Spark version
-      // not reporting observed metrics for this action type) fall back to
-      // the explicit isEmpty test: correct, just one extra small job.
+      // momentarily (latching bounded wait via the shared helper)
       frontierRows =
-        if (!observationSupported) -1L
-        else try {
-          val row = Await.result(out.frontierObservation.future,
-            Duration(30, java.util.concurrent.TimeUnit.SECONDS))
-          row.getAs[Long]("rows")
-        } catch { case _: java.util.concurrent.TimeoutException =>
-          observationSupported = false; -1L
-        }
+        ObservedMetrics.longField(out.frontierObservation, "rows") { -1L }
       // bloom merge must land before the caches feeding it are released
       // (the delta build reads the round's `scheduled` cache) — and so must
       // the deferred accumulator checkpoints: release rides their
@@ -234,9 +229,15 @@ object FrontierCrawl {
       if (deferredThisRound.isEmpty) out.caches.foreach(_.unpersist(false))
       else {
         val caches = out.caches
-        Future.sequence(deferredThisRound)
-          .onComplete(_ => caches.foreach(_.unpersist(false)))
+        Future.sequence(deferredThisRound).onComplete { r =>
+          r.failed.foreach { e =>
+            Console.err.println(s"[crawl] deferred checkpoint FAILED: $e")
+            if (deferredFailure.isEmpty) deferredFailure = Some(e)
+          }
+          caches.foreach(_.unpersist(false))
+        }
       }
+      deferredFailure.foreach(e => throw e)
       round += 1
     }
 

@@ -328,15 +328,13 @@ object FrontierRound {
     // count() fallback (the frontierObservation timeout pattern) so a
     // runtime that never reports observed metrics degrades to one small
     // job instead of hanging.
+    // latchOnTimeout = false: the bloom-guard caller awaits this WHILE the
+    // round's big job may still be running — a timeout there means "slow
+    // job", not "unsupported runtime", and the fallback count is itself
+    // the correct full-parallelism cache-forcing action
     lazy val lazyScheduledCount: Long =
-      try {
-        val row = scala.concurrent.Await.result(observation.future,
-          scala.concurrent.duration.Duration(30,
-            java.util.concurrent.TimeUnit.SECONDS))
-        row.getAs[Long]("scheduled")
-      } catch {
-        case _: java.util.concurrent.TimeoutException => scheduled.count()
-      }
+      graft.ObservedMetrics.longField(observation, "scheduled",
+        latchOnTimeout = false) { scheduled.count() }
     val scheduledCountThunk: () => Long =
       if (eagerCount >= 0L) () => eagerCount else () => lazyScheduledCount
 

@@ -371,16 +371,13 @@ object Dedup {
         .observe(obs, sum(when(col("new_rep") =!= col("cluster_rep"), 1L)
           .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      changed =
-        try {
-          val row = scala.concurrent.Await.result(obs.future,
-            scala.concurrent.duration.Duration(30,
-              java.util.concurrent.TimeUnit.SECONDS))
-          Option(row.getAs[Long]("changed")).getOrElse(0L) // sum over 0 rows is null
-        } catch {
-          case _: java.util.concurrent.TimeoutException =>
-            updated.filter(col("new_rep") =!= col("cluster_rep")).count()
-        }
+      // the checkpoint above has COMPLETED, so a timeout here means the
+      // runtime doesn't report observed metrics at all — latch (via the
+      // shared helper) so an N-iteration propagation stalls once, not N
+      // times
+      changed = graft.ObservedMetrics.longField(obs, "changed") {
+        updated.filter(col("new_rep") =!= col("cluster_rep")).count()
+      }
       labels = updated.select(col("id"), col("new_rep").as("cluster_rep"))
       iter += 1
     }

@@ -159,6 +159,8 @@ object Multimodal {
     */
   def imageMeta(df: DataFrame, payloadCol: String = "payload",
       maxJpegSegments: Int = 32): DataFrame = {
+    require(!df.columns.contains("__jd"),
+      "imageMeta uses __jd as a scratch column; rename the input's __jd")
     val p = col(payloadCol)
     val fmt =
       when(hex(substring(p, 1, 8)) === "89504E470D0A1A0A", "png")
@@ -242,6 +244,8 @@ object Multimodal {
     */
   def audioMeta(df: DataFrame, payloadCol: String = "payload",
       maxChunks: Int = 16): DataFrame = {
+    require(!df.columns.contains("__wd"),
+      "audioMeta uses __wd as a scratch column; rename the input's __wd")
     val p = col(payloadCol)
     val isWav = length(p) >= 44 &&
       hex(substring(p, 1, 4)) === "52494646" && // "RIFF"
@@ -336,6 +340,8 @@ object Multimodal {
     */
   def videoMeta(df: DataFrame, payloadCol: String = "payload",
       maxBoxes: Int = 64): DataFrame = {
+    require(!df.columns.contains("__vd"),
+      "videoMeta uses __vd as a scratch column; rename the input's __vd")
     val p = col(payloadCol)
     val isMp4 = length(p) >= 16 && hex(substring(p, 5, 4)) === "66747970" // "ftyp"
     val st = col("__vd")
