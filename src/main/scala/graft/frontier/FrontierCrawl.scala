@@ -103,20 +103,15 @@ object FrontierCrawl {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
 
-    // per-round accumulator parts, as FUTURES: only the crawl RESULT reads
-    // these, so the round loop never blocks on their checkpoints — the
-    // awaits moved off the per-round critical chain to crawl end (where
-    // every job has long been submitted). Store-path parts are plain reads
-    // of committed tables, wrapped pre-completed.
-    var schedParts = Vector.empty[Future[DataFrame]]
-    var extractedParts = Vector.empty[Future[DataFrame]]
-    var resultParts = Vector.empty[Future[DataFrame]]
-    var metricParts = Vector.empty[Future[DataFrame]]
-    // a deferred checkpoint that FAILS must not sit latent until crawl end
-    // (a round-3 executor loss would otherwise surface only after every
-    // remaining round's full fetch/extract work) — record the first
-    // failure and rethrow at the next loop boundary
-    @volatile var deferredFailure: Option[Throwable] = None
+    // per-round accumulator parts: only the crawl RESULT reads these.
+    // Store-path parts are plain reads of committed tables; storeless
+    // parts are LAZY projections over each round's superset checkpoint
+    // (FrontierRound.checkpointRound) — nothing per-round is awaited for
+    // them beyond the one checkpoint job itself.
+    var schedParts = Vector.empty[DataFrame]
+    var extractedParts = Vector.empty[DataFrame]
+    var resultParts = Vector.empty[DataFrame]
+    var metricParts = Vector.empty[DataFrame]
 
     // frontier row count observed off the PREVIOUS iteration's
     // materialization (checkpoint/snapshot write) — the drained? test costs
@@ -141,11 +136,6 @@ object FrontierCrawl {
       // observation before touching the schedule cache)
       val fBloom = Future(out.seenBloomAfter())
 
-      val scheduledR = out.scheduled.withColumn("round", lit(round))
-
-      // the storeless branch's deferred accumulator checkpoints still read
-      // this round's caches — cache release must chain on them
-      var deferredThisRound: Seq[Future[DataFrame]] = Nil
       store match {
         case Some(st) =>
           // atomic multi-table snapshot; reading back truncates lineage.
@@ -165,7 +155,7 @@ object FrontierCrawl {
             "seen_delta" -> out.newSeenKeys,
             "extracted" -> out.extracted.toDF(),
             "results" -> out.results,
-            "scheduled" -> scheduledR,
+            "scheduled" -> out.scheduled.withColumn("round", lit(round)),
             "metrics" -> out.metrics.toDF())
           val tables =
             if (compactNow)
@@ -182,35 +172,27 @@ object FrontierCrawl {
           seenParts = newParts
           frontier = st.read(snap, "frontier").as[FrontierEntry]
           seen = Some(spark.read.parquet(seenParts: _*))
-          schedParts :+= Future.successful(st.read(snap, "scheduled"))
-          extractedParts :+= Future.successful(st.read(snap, "extracted"))
-          resultParts :+= Future.successful(st.read(snap, "results"))
-          metricParts :+= Future.successful(st.read(snap, "metrics"))
+          schedParts :+= st.read(snap, "scheduled")
+          extractedParts :+= st.read(snap, "extracted")
+          resultParts :+= st.read(snap, "results")
+          metricParts :+= st.read(snap, "metrics")
         case None =>
           // the frontier checkpoint is the round's big job: it populates
           // the fused pages-pass cache (classify+extract+outlinks). The
-          // four accumulator checkpoints after it are independent CACHE
-          // READS — submitted as concurrent Spark jobs, and only the seen
-          // delta (which the NEXT round's anti-join needs) is awaited here:
-          // the schedule/results/extracted/metrics checkpoints feed nothing
-          // until crawl end, so their awaits ride the accumulator futures
-          // instead of the round's critical chain
+          // ONLY other materialization the round pays is the superset
+          // checkpoint — ONE cache read from which the seen delta,
+          // schedule, results, extracted, and metrics all derive as lazy
+          // projections (they read checkpoint blocks, so they survive the
+          // cache release below). Extraction itself already ran inside the
+          // round's single fused pages pass.
           frontier = out.newFrontier.localCheckpoint(true).as[FrontierEntry]
-          val fSeen = Future(out.newSeenKeys.localCheckpoint(true))
-          // extraction already ran inside the round's single fused pages
-          // pass (FrontierRound `processed` cache) — checkpointing it here
-          // is a cache read, not a new pages scan
-          val fSched = Future(scheduledR.localCheckpoint(true))
-          val fResults = Future(out.results.localCheckpoint(true))
-          val fExtracted = Future(out.extracted.toDF().localCheckpoint(true))
-          val fMetrics = Future(out.metrics.toDF().localCheckpoint(true))
-          schedParts :+= fSched
-          resultParts :+= fResults
-          extractedParts :+= fExtracted
-          metricParts :+= fMetrics
-          deferredThisRound = Seq(fSched, fResults, fExtracted, fMetrics)
-          seenDeltas = seenDeltas :+ Await.result(fSeen, Duration.Inf)
+          val ck = out.checkpointRound()
+          seenDeltas = seenDeltas :+ ck.seenDelta
           seen = Some(seenDeltas.reduce(_.union(_)))
+          schedParts :+= ck.scheduled.withColumn("round", lit(round))
+          resultParts :+= ck.results
+          extractedParts :+= ck.extracted
+          metricParts :+= ck.metrics
       }
       // running seen count (sizes next round's bloom): the schedule count
       // is free here — the commit/checkpoint above materialized the round,
@@ -222,28 +204,14 @@ object FrontierCrawl {
       frontierRows =
         ObservedMetrics.longField(out.frontierObservation, "rows") { -1L }
       // bloom merge must land before the caches feeding it are released
-      // (the delta build reads the round's `scheduled` cache) — and so must
-      // the deferred accumulator checkpoints: release rides their
-      // completion instead of blocking the loop on it
+      // (the delta build reads the round's `scheduled` cache)
       seenBloom = Await.result(fBloom, Duration.Inf)
-      if (deferredThisRound.isEmpty) out.caches.foreach(_.unpersist(false))
-      else {
-        val caches = out.caches
-        Future.sequence(deferredThisRound).onComplete { r =>
-          r.failed.foreach { e =>
-            Console.err.println(s"[crawl] deferred checkpoint FAILED: $e")
-            if (deferredFailure.isEmpty) deferredFailure = Some(e)
-          }
-          caches.foreach(_.unpersist(false))
-        }
-      }
-      deferredFailure.foreach(e => throw e)
+      out.caches.foreach(_.unpersist(false))
       round += 1
     }
 
-    def unionAll(parts: Vector[Future[DataFrame]]): Option[DataFrame] =
-      if (parts.isEmpty) None
-      else Some(parts.map(Await.result(_, Duration.Inf)).reduce(_.union(_)))
+    def unionAll(parts: Vector[DataFrame]): Option[DataFrame] =
+      if (parts.isEmpty) None else Some(parts.reduce(_.union(_)))
 
     val emptyKeys = spark.createDataset(Seq.empty[String]).toDF("url_key")
     CrawlResult(

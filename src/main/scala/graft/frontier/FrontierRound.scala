@@ -27,6 +27,19 @@ object FrontierRound {
       deferred: Dataset[FrontierEntry], // over-budget rows, carried forward
       dedupedCache: DataFrame) // cached intermediate; unpersisted by caller
 
+  /** Every per-round table as a LAZY projection over one checkpointed
+    * superset frame — what [[RoundOutput.checkpointRound]] returns. The
+    * frames survive the round's cache release (they read the checkpoint's
+    * blocks), so the storeless crawl loop pays ONE checkpoint job per
+    * round instead of five.
+    */
+  final case class CheckpointedRound(
+      seenDelta: DataFrame, // url_key of everything scheduled this round
+      scheduled: DataFrame, // schedule cols incl. slot + delay (no round col)
+      results: DataFrame,
+      extracted: DataFrame,
+      metrics: DataFrame)
+
   final case class RoundOutput(
       scheduled: DataFrame,
       results: DataFrame, // FetchResult-shaped
@@ -64,6 +77,11 @@ object FrontierRound {
       // free-rider metrics over `results` (scheduled, hosts_approx,
       // fetched_ok) — readable after the first action that materializes it
       observation: org.apache.spark.sql.Observation,
+      // the storeless fast path: checkpoints the round's html-free
+      // superset ONCE (a cache read — invoke only after the big job has
+      // populated the caches) and returns every per-round table as a lazy
+      // projection over it; also delivers the lazy schedule count
+      checkpointRound: () => CheckpointedRound,
       // intermediate cached frames; callers unpersist after materializing
       caches: Seq[DataFrame])
 
@@ -284,17 +302,19 @@ object FrontierRound {
     // min-priority dedup in the next round's schedule().
     val processed = fetched
       .select($"url_key", $"url", $"host", $"priority", $"attempt",
-        $"discovered_round", $"html")
-      .as[(String, String, String, Double, Int, Int, Array[Byte])]
+        $"discovered_round", $"slot", $"scheduled_delay_ms", $"html")
+      .as[(String, String, String, Double, Int, Int, Int, Long, Array[Byte])]
       .mapPartitions { it =>
         val localLinks = new java.util.HashSet[Long](1 << 16)
-        it.map { case (key, u, host, prio, att, dr, html) =>
+        it.map { case (key, u, host, prio, att, dr, slot, delay, html) =>
           if (html == null)
-            ProcessedPage(key, u, host, prio, att, dr, "missing", None, Nil)
+            ProcessedPage(key, u, host, prio, att, dr, slot, delay,
+              "missing", None, Nil)
           else {
             val body = new String(html, StandardCharsets.UTF_8)
             if (body.contains(Extractor.ErrorSentinel))
-              ProcessedPage(key, u, host, prio, att, dr, "error_page", None, Nil)
+              ProcessedPage(key, u, host, prio, att, dr, slot, delay,
+                "error_page", None, Nil)
             else {
               val fileId = Urls.ideaId(u).getOrElse(Urls.sha256Hex(u))
               val ex = Extractor.extract(u, fileId, body)
@@ -302,44 +322,96 @@ object FrontierRound {
                 case (link, lp) if localLinks.add(CuckooFilter.hash64(s"$link#$lp")) =>
                   OutLink(link, lp)
               }
-              ProcessedPage(key, u, host, prio, att, dr, "ok", Some(ex), links)
+              ProcessedPage(key, u, host, prio, att, dr, slot, delay,
+                "ok", Some(ex), links)
             }
           }
         }
       }
       .cache()
 
+    // the round SUPERSET: everything every per-round table needs, links
+    // reduced to their count (outlinks never outlive the round — fresh
+    // candidates are derived from the cache below — so checkpointing them
+    // would copy dead bytes). Each table is ONE projection of this frame,
+    // over the cache here and over the checkpointRound frame in the
+    // storeless fast path.
+    val superset = processed
+      .select($"url_key", $"url", $"host", $"priority", $"attempt",
+        $"discovered_round", $"slot", $"scheduled_delay_ms", $"status",
+        $"extracted", size($"links").as("n_links"))
+    def resultsOf(p: DataFrame): DataFrame =
+      p.select($"url_key", $"url", $"host", $"attempt",
+        lit(round).as("round"), $"status")
+    def extractedOf(p: DataFrame): Dataset[Extracted] =
+      p.filter($"status" === "ok").select($"extracted.*").as[Extracted]
+    def scheduleOf(p: DataFrame): DataFrame =
+      p.select($"url_key", $"url", $"host", $"priority", $"attempt",
+        $"discovered_round", $"slot", $"scheduled_delay_ms")
+    def metricsOf(p: DataFrame): Dataset[RoundMetrics] = p
+      .withColumn("partition_id", spark_partition_id())
+      .groupBy($"partition_id")
+      .agg(
+        count(lit(1)).as("scheduled"),
+        sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"),
+        sum(when($"status" === "error_page", 1L).otherwise(0L)).as("error_pages"),
+        sum(when($"status" === "missing", 1L).otherwise(0L)).as("missing"),
+        sum($"n_links").cast("long").as("outlinks"))
+      .select(lit(round).as("round"), $"partition_id", $"scheduled",
+        $"fetched_ok", $"error_pages", $"missing",
+        $"fetched_ok".as("extracted"), $"outlinks")
+      .as[RoundMetrics]
+
     // free-rider metrics (A4/A2 surfaces): ride the first action that
     // materializes `results` — no extra scan; host cardinality is the
     // approx sketch (exact distinct would shuffle)
     val observation = new org.apache.spark.sql.Observation()
-    val results = processed
-      .select($"url_key", $"url", $"host", $"attempt", lit(round).as("round"), $"status")
+    val results = resultsOf(superset)
       .observe(observation,
         count(lit(1)).as("scheduled"),
         approx_count_distinct($"host").as("hosts_approx"),
         sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"))
 
+    // the superset checkpoint's count observation is created ONLY when the
+    // checkpoint path actually runs (observe() registers a session
+    // listener that unregisters on materialization — plan-only callers of
+    // run() would leak one per call otherwise, the Plans.scala lesson);
+    // the lazy count below races its promise against the results
+    // observation and takes whichever fires first
+    val ckCountPromise =
+      scala.concurrent.Promise[org.apache.spark.sql.Row]()
+    lazy val checkpointedRound: CheckpointedRound = {
+      val ckObs = new org.apache.spark.sql.Observation()
+      val ck = superset
+        .observe(ckObs, count(lit(1)).as("scheduled"))
+        .localCheckpoint(true)
+      ckCountPromise.completeWith(ckObs.future)
+      CheckpointedRound(ck.select($"url_key"), scheduleOf(ck),
+        resultsOf(ck), extractedOf(ck).toDF(), metricsOf(ck).toDF())
+    }
+    val checkpointRound: () => CheckpointedRound = () => checkpointedRound
+
     // lazy schedule count — the small-round path's replacement for the
-    // eager count job: `results` has exactly one row per scheduled row, so
-    // the free-rider observation's "scheduled" metric IS the schedule
-    // count, delivered by the action that materializes results (part of
-    // the round's commit/checkpoint wave). Bounded wait with a cache-hot
-    // count() fallback (the frontierObservation timeout pattern) so a
-    // runtime that never reports observed metrics degrades to one small
-    // job instead of hanging.
+    // eager count job: the superset has exactly one row per scheduled row,
+    // so the "scheduled" metric of EITHER observation (results
+    // materialization in the store path, the superset checkpoint in the
+    // storeless fast path) IS the schedule count. Bounded wait with a
+    // cache-hot count() fallback so a runtime that never reports observed
+    // metrics degrades to one small job instead of hanging.
     // latchOnTimeout = false: the bloom-guard caller awaits this WHILE the
     // round's big job may still be running — a timeout there means "slow
     // job", not "unsupported runtime", and the fallback count is itself
     // the correct full-parallelism cache-forcing action
     lazy val lazyScheduledCount: Long =
-      graft.ObservedMetrics.longField(observation, "scheduled",
-        latchOnTimeout = false) { scheduled.count() }
+      graft.ObservedMetrics.longFieldOf(
+        scala.concurrent.Future.firstCompletedOf(
+          Seq(observation.future, ckCountPromise.future))(
+          scala.concurrent.ExecutionContext.parasitic),
+        "scheduled", latchOnTimeout = false) { scheduled.count() }
     val scheduledCountThunk: () => Long =
       if (eagerCount >= 0L) () => eagerCount else () => lazyScheduledCount
 
-    val extracted = processed.filter($"status" === "ok")
-      .select($"extracted.*").as[Extracted]
+    val extracted = extractedOf(superset)
 
     val rawLinks = processed
       .select(explode($"links").as("l"))
@@ -436,21 +508,11 @@ object FrontierRound {
     val newFrontier = fresh.union(retries).union(plan.deferred)
       .observe(frontierObservation, count(lit(1)).as("rows"))
 
-    val metrics = processed
-      .withColumn("partition_id", spark_partition_id())
-      .groupBy($"partition_id")
-      .agg(
-        count(lit(1)).as("scheduled"),
-        sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"),
-        sum(when($"status" === "error_page", 1L).otherwise(0L)).as("error_pages"),
-        sum(when($"status" === "missing", 1L).otherwise(0L)).as("missing"),
-        sum(size($"links")).cast("long").as("outlinks"))
-      .select(lit(round).as("round"), $"partition_id", $"scheduled", $"fetched_ok",
-        $"error_pages", $"missing", $"fetched_ok".as("extracted"), $"outlinks")
-      .as[RoundMetrics]
+    val metrics = metricsOf(superset)
 
     RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
       scheduledCountThunk, seenBloomAfter, frontierObservation, observation,
+      checkpointRound,
       Seq(scheduled, processed.toDF(), freshCandidates.toDF(), plan.dedupedCache))
   }
 }

@@ -99,6 +99,12 @@ final case class ProcessedPage(
     priority: Double,
     attempt: Int,
     discovered_round: Int,
+    // slot/delay carried through from the schedule so EVERY per-round
+    // table (incl. the schedule itself) derives from the one processed
+    // frame — the storeless crawl loop checkpoints that superset once
+    // instead of five accumulator frames (FrontierRound.checkpointRound)
+    slot: Int,
+    scheduled_delay_ms: Long,
     status: String, // "ok" | "error_page" | "missing"
     extracted: Option[Extracted], // defined iff status == "ok"
     links: Seq[OutLink]) // locally deduped (url, priority) outlinks
