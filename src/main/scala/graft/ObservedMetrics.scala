@@ -28,20 +28,10 @@ object ObservedMetrics {
 
   def longField(obs: Observation, field: String, timeoutSecs: Int = 30,
       latchOnTimeout: Boolean = true)(fallback: => Long): Long =
-    longFieldOf(obs.future, field, timeoutSecs, latchOnTimeout)(fallback)
-
-  /** Same read over a raw row future — for sites racing SEVERAL
-    * observations where whichever fires first carries the value (e.g. the
-    * round's schedule count arrives from the results materialization OR
-    * the superset checkpoint, depending on the caller's path).
-    */
-  def longFieldOf(fut: scala.concurrent.Future[org.apache.spark.sql.Row],
-      field: String, timeoutSecs: Int = 30,
-      latchOnTimeout: Boolean = true)(fallback: => Long): Long =
     if (!supported) fallback
     else
       try {
-        val row = scala.concurrent.Await.result(fut,
+        val row = scala.concurrent.Await.result(obs.future,
           scala.concurrent.duration.Duration(timeoutSecs,
             java.util.concurrent.TimeUnit.SECONDS))
         val v = row.get(row.fieldIndex(field))

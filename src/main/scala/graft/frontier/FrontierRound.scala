@@ -362,40 +362,50 @@ object FrontierRound {
         $"fetched_ok".as("extracted"), $"outlinks")
       .as[RoundMetrics]
 
-    // free-rider metrics (A4/A2 surfaces): ride the first action that
-    // materializes `results` — no extra scan; host cardinality is the
-    // approx sketch (exact distinct would shuffle)
+    // free-rider metrics (A4/A2 surfaces), attached to the SUPERSET so
+    // every derived materialization delivers them — the store path's
+    // results/extracted/metrics table writes, the storeless wide
+    // checkpoint below, or a bare extracted.count() (Bench.singleRound).
+    // One attach point means no round can leak the observation's session
+    // listener by materializing a sibling frame instead of `results` (the
+    // Plans.scala lesson). With a pages table carrying DUPLICATE urls the
+    // fetch join multiplies superset rows, so "scheduled" here can
+    // overcount the schedule — every consumer is overcount-safe (bloom
+    // sizing wants an upper bound; the broadcast gate uses the caller's
+    // bound, not this).
     val observation = new org.apache.spark.sql.Observation()
-    val results = resultsOf(superset)
-      .observe(observation,
-        count(lit(1)).as("scheduled"),
-        approx_count_distinct($"host").as("hosts_approx"),
-        sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"))
+    val obsSuperset = superset.observe(observation,
+      count(lit(1)).as("scheduled"),
+      approx_count_distinct($"host").as("hosts_approx"),
+      sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"))
+    val results = resultsOf(obsSuperset)
 
-    // the superset checkpoint's count observation is created ONLY when the
-    // checkpoint path actually runs (observe() registers a session
-    // listener that unregisters on materialization — plan-only callers of
-    // run() would leak one per call otherwise, the Plans.scala lesson);
-    // the lazy count below races its promise against the results
-    // observation and takes whichever fires first
-    val ckCountPromise =
-      scala.concurrent.Promise[org.apache.spark.sql.Row]()
     lazy val checkpointedRound: CheckpointedRound = {
-      val ckObs = new org.apache.spark.sql.Observation()
-      val ck = superset
-        .observe(ckObs, count(lit(1)).as("scheduled"))
-        .localCheckpoint(true)
-      ckCountPromise.completeWith(ckObs.future)
-      CheckpointedRound(ck.select($"url_key"), scheduleOf(ck),
+      // two CONCURRENT cache-read checkpoints (one wave):
+      //  - narrow = the pre-join schedule frame — exactly one row per
+      //    scheduled url even when the pages table carries duplicate urls
+      //    (the fetch join multiplies superset rows, and the accumulated
+      //    schedule must match the store path's committed pre-join table),
+      //    and the frame later rounds' SEEN scans iterate stays ~8 small
+      //    columns instead of the full extracted payload;
+      //  - wide = the superset, for results/extracted/metrics (which have
+      //    always been post-join frames). Its materialization also fires
+      //    the free-rider observation.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fNarrow = Future(scheduled.localCheckpoint(true))
+      val ck = obsSuperset.localCheckpoint(true)
+      val narrow = Await.result(fNarrow, Duration.Inf)
+      CheckpointedRound(narrow.select($"url_key"), narrow,
         resultsOf(ck), extractedOf(ck).toDF(), metricsOf(ck).toDF())
     }
     val checkpointRound: () => CheckpointedRound = () => checkpointedRound
 
     // lazy schedule count — the small-round path's replacement for the
-    // eager count job: the superset has exactly one row per scheduled row,
-    // so the "scheduled" metric of EITHER observation (results
-    // materialization in the store path, the superset checkpoint in the
-    // storeless fast path) IS the schedule count. Bounded wait with a
+    // eager count job: the superset observation's "scheduled" metric,
+    // delivered by whichever action first materializes a superset-derived
+    // frame (commit wave or the wide checkpoint). Bounded wait with a
     // cache-hot count() fallback so a runtime that never reports observed
     // metrics degrades to one small job instead of hanging.
     // latchOnTimeout = false: the bloom-guard caller awaits this WHILE the
@@ -403,15 +413,12 @@ object FrontierRound {
     // job", not "unsupported runtime", and the fallback count is itself
     // the correct full-parallelism cache-forcing action
     lazy val lazyScheduledCount: Long =
-      graft.ObservedMetrics.longFieldOf(
-        scala.concurrent.Future.firstCompletedOf(
-          Seq(observation.future, ckCountPromise.future))(
-          scala.concurrent.ExecutionContext.parasitic),
-        "scheduled", latchOnTimeout = false) { scheduled.count() }
+      graft.ObservedMetrics.longField(observation, "scheduled",
+        latchOnTimeout = false) { scheduled.count() }
     val scheduledCountThunk: () => Long =
       if (eagerCount >= 0L) () => eagerCount else () => lazyScheduledCount
 
-    val extracted = extractedOf(superset)
+    val extracted = extractedOf(obsSuperset)
 
     val rawLinks = processed
       .select(explode($"links").as("l"))
@@ -508,7 +515,7 @@ object FrontierRound {
     val newFrontier = fresh.union(retries).union(plan.deferred)
       .observe(frontierObservation, count(lit(1)).as("rows"))
 
-    val metrics = metricsOf(superset)
+    val metrics = metricsOf(obsSuperset)
 
     RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
       scheduledCountThunk, seenBloomAfter, frontierObservation, observation,
