@@ -191,6 +191,39 @@ object QueryScale {
           }
         }
 
+        // bpe_train_local_op: the driver-local trainer on the SAME corpus
+        // — numMerges-independent Spark job count (one word-table pass +
+        // collect, then driver CPU). The at-32k-merges scale exhibit: time
+        // this at SPARK_GRAFT_BPE_MERGES=4096+ against bpe_train_op.
+        if (isoOn("bpe_train_local_op")) {
+          val distinctWords = 30000L
+          val docsB = spark.range(0L, 100000L, 1L, cores)
+            .toDF("doc_id")
+            .select(col("doc_id"), array_join(
+              transform(sequence(lit(0), lit(11)), j => {
+                val r = abs(xxhash64(col("doc_id"), j))
+                val idx = pmod(r, lit(1L) + pmod(r, lit(distinctWords)))
+                md5(idx.cast("string"))
+                  .substr(lit(1), (lit(3) + pmod(idx, lit(6L))).cast("int"))
+              }), " ").as("text"))
+            .localCheckpoint(true)
+          val nm = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "512").toInt
+          def runLocal(): Int = {
+            val m = graft.ops.Tokenize.bpeTrainLocal(docsB, "text",
+              numMerges = nm, minPairCount = 2L)
+            val segRows = m.segments.count() // materialize the model
+            Console.err.println(s"[qscale] bpe_train_local_op merges=${m.merges.size} " +
+              s"segments=$segRows")
+            m.merges.size
+          }
+          runLocal() // warm
+          out += "bpe_train_local_op" -> BenchGate.gated(s"op:bpe_train_local@$cores",
+            cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+            val t0 = System.nanoTime(); runLocal()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+
         if (isoOn("bm25_probe_op")) {
         // bm25_probe_op: index prebuilt on disk; timed region = the probe
         val toks = split(col("text"), " ")
@@ -218,22 +251,34 @@ object QueryScale {
         out.toMap
       } finally spark.stop()
     }
-    val iso4 = isolatedOps(4)
-    val iso16 = isolatedOps(16)
+    // SPARK_GRAFT_QSCALE_CORES narrows the measured core counts (e.g.
+    // "16" for a wall-clock-only exhibit of a train too long to run at 4
+    // cores); the N-vs-4N row needs both, so eff/F-W are emitted only
+    // when both ran
+    val coreSet = sys.env.get("SPARK_GRAFT_QSCALE_CORES")
+      .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Set(4, 16))
+    val iso4 = if (coreSet(4)) isolatedOps(4) else Map.empty[String, (Double, Boolean)]
+    val iso16 = if (coreSet(16)) isolatedOps(16) else Map.empty[String, (Double, Boolean)]
 
     def row(q: String, m4: Map[String, Option[(Double, Boolean)]],
         m16: Map[String, Option[(Double, Boolean)]]): String =
-      (m4(q), m16(q)) match {
+      (m4.getOrElse(q, None), m16.getOrElse(q, None)) match {
         case (Some((t4, c4)), Some((t16, c16))) =>
           val w = 16.0 * (t4 - t16) / 3.0
           val f = t4 - w / 4.0
           val eff = t4 / (4.0 * t16)
           s"""{"query":"$q","t_n":$t4,"t_4n":$t16,"eff":$eff,"fixed_s":$f,"work_core_s":$w,"certified_n":$c4,"certified_4n":$c16}"""
+        // single-core-set run (SPARK_GRAFT_QSCALE_CORES): a wall-clock-only
+        // exhibit — no eff/F-W, explicitly uncertifiable as scaling
+        case (Some((t4, c4)), None) if m16.isEmpty =>
+          s"""{"query":"$q","t_n":$t4,"certified_n":$c4,"wall_only":true}"""
+        case (None, Some((t16, c16))) if m4.isEmpty =>
+          s"""{"query":"$q","t_4n":$t16,"certified_4n":$c16,"wall_only":true}"""
         case _ =>
           s"""{"query":"$q","failed":true}"""
       }
     val rows = queries.map(row(_, at4, at16)) ++
-      iso4.keys.toSeq.sorted.map(row(_,
+      (iso4.keySet ++ iso16.keySet).toSeq.sorted.map(row(_,
         iso4.map { case (k, v) => k -> Option(v) },
         iso16.map { case (k, v) => k -> Option(v) }))
     println(s"""{"metric":"query_scaling","sf":"$sfDir","rows":${rows.mkString("[", ",", "]")}}""")

@@ -594,6 +594,18 @@ class OpsSpec extends SparkTestBase {
     // exhaustive (whole live table seen, no violation): nothing to bound
     assert(selectMergeBatch(Seq(("a", "b", 90L), ("c", "d", 80L)), syms,
       exhaustive = true) == Seq(("a", "b", 90L), ("c", "d", 80L)))
+
+    // windowLimited flag (drives the trainer's adaptive fetch window):
+    // true ONLY when the walk consumed the whole non-exhaustive prefix
+    // without a violation — a wider window could have proven more
+    import graft.ops.Tokenize.selectMergeBatchEx
+    assert(selectMergeBatchEx(Seq(("a", "b", 90L), ("c", "d", 80L)), syms,
+      exhaustive = false)._2, "unviolated non-exhaustive walk is window-limited")
+    assert(!selectMergeBatchEx(Seq(("a", "b", 90L), ("c", "d", 80L)), syms,
+      exhaustive = true)._2, "exhaustive walk is never window-limited")
+    assert(!selectMergeBatchEx(Seq(("a", "b", 100L), ("b", "x", 90L),
+      ("e", "f", 80L)), syms, exhaustive = false)._2,
+      "violation stop is corpus-structural, not window-limited")
   }
 
   test("BPE batched trainer == sequential == classic, with a real batch factor") {
@@ -659,6 +671,67 @@ class OpsSpec extends SparkTestBase {
     assert(batched.trainIterations * 2 <= batched.merges.size,
       s"batch factor < 2: ${batched.trainIterations} iterations for ${batched.merges.size} merges")
     assert(sequential.trainIterations >= sequential.merges.size)
+
+    // adaptive fetch window, violation-bound corpus: this 20-letter corpus
+    // stops walks on interactions early, so growth must NOT engage into
+    // waste — parity holds and iterations never get worse than fixed
+    val fixed8 = Tokenize.bpeTrain(docs, "text", numMerges = 80,
+      minPairCount = 2L, checkpointEvery = 4, maxBatch = 8, maxBatchCap = 8)
+    val adaptive8 = Tokenize.bpeTrain(docs, "text", numMerges = 80,
+      minPairCount = 2L, checkpointEvery = 4, maxBatch = 8, maxBatchCap = 64)
+    assert(fixed8.merges == refM)
+    assert(adaptive8.merges == refM,
+      "adaptive window must not change the merge sequence")
+    assert(adaptive8.trainIterations <= fixed8.trainIterations,
+      s"adaptive ${adaptive8.trainIterations} > fixed ${fixed8.trainIterations}")
+
+    // adaptive fetch window, window-bound corpus: single-char words over a
+    // large alphabet make every live pair (c_i, </w>) — pairwise
+    // non-interacting with all-distinct counts — so walks consume ANY
+    // window unviolated and the fetch size is the only batch limit (the
+    // regime large natural corpora reach after a few hundred merges).
+    // Adaptation must widen the window and cut iterations materially,
+    // with the merge sequence still byte-equal to the classic loop's.
+    val wideChars = (0 until 300).map(i => (0x100 + i).toChar.toString)
+    val wideTokens = wideChars.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(2 + (wideChars.size - i))(c) }
+    val wideCorpus = wideTokens.zipWithIndex
+      .groupBy { case (_, k) => Sketches.mix(k.toLong * 53L) % 97 }
+      .values.map(_.map(_._1).mkString(" ")).toSeq.sorted
+    val wideRef = refBpe(wideCorpus, numMerges = 200, minPair = 2L)
+    assert(wideRef.size == 200)
+    val wideDocs = wideCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(7)
+    val wideFixed = Tokenize.bpeTrain(wideDocs, "text", numMerges = 200,
+      minPairCount = 2L, checkpointEvery = 6, maxBatch = 8, maxBatchCap = 8)
+    val wideAdaptive = Tokenize.bpeTrain(wideDocs, "text", numMerges = 200,
+      minPairCount = 2L, checkpointEvery = 6, maxBatch = 8, maxBatchCap = 256)
+    assert(wideFixed.merges == wideRef)
+    assert(wideAdaptive.merges == wideRef,
+      "adaptive window must not change the merge sequence (wide corpus)")
+    assert(wideAdaptive.trainIterations * 2 <= wideFixed.trainIterations,
+      s"window growth didn't engage: adaptive ${wideAdaptive.trainIterations}" +
+        s" vs fixed ${wideFixed.trainIterations}")
+
+    // driver-local trainer (the production-vocab scale path): byte-equal
+    // merges, segments, and vocab on both corpus shapes, in a FIXED number
+    // of Spark jobs regardless of numMerges
+    val local = Tokenize.bpeTrainLocal(docs, "text", numMerges = 80,
+      minPairCount = 2L)
+    assert(local.merges == refM, "local trainer must equal the classic sequence")
+    assert(segsOf(local) == segsOf(batched))
+    def vocabOf(m: Tokenize.BpeModel) = m.vocab.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(vocabOf(local) == vocabOf(batched))
+    val localWide = Tokenize.bpeTrainLocal(wideDocs, "text", numMerges = 200,
+      minPairCount = 2L)
+    assert(localWide.merges == wideRef)
+    // maxWords guards the driver heap: overflow must fail loudly (the
+    // caller then falls back to the distributed bpeTrain)
+    val e = intercept[IllegalArgumentException] {
+      Tokenize.bpeTrainLocal(docs, "text", numMerges = 5, maxWords = 3L)
+    }
+    assert(e.getMessage.contains("maxWords"))
   }
 
   test("embedding near-dup: planted identical vectors are exactly recovered") {
