@@ -128,16 +128,19 @@ object FrontierCrawl {
       // broadcast-delta gate; -1 (round 0 / observation miss) keeps the
       // measured-count path
       val out = FrontierRound.run(spark, pages, frontier, seen, round, robots,
-        cfg, seenCount, seenBloom, scheduledSizeBound = frontierRows)
-      // next round's cumulative bloom: delta build + merge runs CONCURRENT
-      // with this round's checkpoint/commit wave (see RoundOutput
-      // .seenBloomAfter for why the in-flight merge is probe-safe; on the
-      // small-round path the thunk itself waits for the big job's
-      // observation before touching the schedule cache)
-      val fBloom = Future(out.seenBloomAfter())
+        cfg, seenCount, seenBloom, scheduledSizeBound = frontierRows,
+        bloomRidesCheckpoint = store.isEmpty)
+      // next round's cumulative bloom. Store path: delta build + merge runs
+      // CONCURRENT with the commit wave (see RoundOutput.seenBloomAfter for
+      // why the in-flight merge is probe-safe; the thunk waits for the big
+      // job's observation before touching the schedule cache). Storeless
+      // path: assigned AFTER checkpointRound() below — the delta then reads
+      // the checkpoint-riding accumulator, no build job at all.
+      var fBloom: Future[Option[org.apache.spark.util.sketch.BloomFilter]] = null
 
       store match {
         case Some(st) =>
+          fBloom = Future(out.seenBloomAfter())
           // atomic multi-table snapshot; reading back truncates lineage.
           // seen is committed as this round's DELTA; the manifest carries
           // the full part list (no distinct/rewrite of the cumulative set —
@@ -187,6 +190,10 @@ object FrontierCrawl {
           // round's single fused pages pass.
           frontier = out.newFrontier.localCheckpoint(true).as[FrontierEntry]
           val ck = out.checkpointRound()
+          // AFTER the checkpoint: the delta bloom now reads the narrow
+          // checkpoint's accumulator (when the partitions×bytes gate let it
+          // ride) — merge cost only, the per-round build job is gone
+          fBloom = Future(out.seenBloomAfter())
           seenDeltas = seenDeltas :+ ck.seenDelta
           seen = Some(seenDeltas.reduce(_.union(_)))
           schedParts :+= ck.scheduled.withColumn("round", lit(round))

@@ -249,7 +249,14 @@ object FrontierRound {
       // gate removes the eager per-round count job — the one removable job
       // in the drain's per-round critical chain; -1 (unknown) keeps the
       // prior eager-count behavior, which is correct at any size.
-      scheduledSizeBound: Long = -1L): RoundOutput = {
+      scheduledSizeBound: Long = -1L,
+      // storeless-caller declaration: this round's checkpointRound() WILL
+      // run, so the delta bloom may ride the narrow checkpoint as an
+      // accumulator (no separate build job; see buildBloomAfter). The
+      // caller must then call checkpointRound() BEFORE seenBloomAfter()
+      // — a violated ordering only degrades to the legacy build, never to
+      // a wrong filter (the accumulator is published post-materialization).
+      bloomRidesCheckpoint: Boolean = false): RoundOutput = {
     import spark.implicits._
 
     val plan = schedule(spark, frontier, robots, cfg)
@@ -380,6 +387,11 @@ object FrontierRound {
       sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"))
     val results = resultsOf(obsSuperset)
 
+    // delta-bloom accumulator, published ONLY after the narrow checkpoint
+    // materialized with it attached (so a concurrent buildBloomAfter can
+    // never read a partially-filled filter — it sees None and takes the
+    // always-correct legacy build instead)
+    @volatile var ckBloomAcc: Option[graft.seen.BloomAccumulator] = None
     lazy val checkpointedRound: CheckpointedRound = {
       // two CONCURRENT cache-read checkpoints (one wave):
       //  - narrow = the pre-join schedule frame — exactly one row per
@@ -394,9 +406,31 @@ object FrontierRound {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val fNarrow = Future(scheduled.localCheckpoint(true))
+      // the narrow checkpoint reads every scheduled row once — when the
+      // round wants a delta bloom, build it HERE as an accumulator side
+      // channel (idempotent bit-sets, see BloomAccumulator) instead of a
+      // separate coalesced job, gated on partitions × filterBytes
+      val acc =
+        if (bloomRidesCheckpoint && willBuildBloom &&
+            cfg.bloomAccumulatorMaxBytes > 0L) {
+          val a = new graft.seen.BloomAccumulator(
+            math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
+          val parts = scheduled.rdd.getNumPartitions
+          if (parts.toLong * a.byteSize <= cfg.bloomAccumulatorMaxBytes) {
+            spark.sparkContext.register(a, s"seen_delta_bloom_r$round")
+            Some(a)
+          } else None
+        } else None
+      val narrowSrc = acc match {
+        case Some(a) =>
+          val addKey = udf { k: String => a.add(k); true }.asNondeterministic()
+          scheduled.filter(addKey($"url_key"))
+        case None => scheduled
+      }
+      val fNarrow = Future(narrowSrc.localCheckpoint(true))
       val ck = obsSuperset.localCheckpoint(true)
       val narrow = Await.result(fNarrow, Duration.Inf)
+      ckBloomAcc = acc
       CheckpointedRound(narrow.select($"url_key"), narrow,
         resultsOf(ck), extractedOf(ck).toDF(), metricsOf(ck).toDF())
     }
@@ -452,16 +486,23 @@ object FrontierRound {
     def buildBloomAfter(): Option[org.apache.spark.util.sketch.BloomFilter] =
       if (!willBuildBloom) None
       else {
-        // no eager count ran (knownSmall path): block until the round's
-        // materialization wave has populated the schedule cache at full
-        // parallelism before the coalesced build reads it (see the
-        // eagerCount comment for the serial region this prevents). Callers
-        // invoke this thunk concurrently with that wave, so the wait costs
-        // nothing on the critical path; the timeout fallback's count() is
-        // itself a full-parallelism cache-forcing action.
-        if (eagerCount < 0L) scheduledCountThunk()
-        val delta = newSeenKeys.coalesce(math.max(cfg.bloomBuildParallelism, 1))
-          .stat.bloomFilter("url_key", math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
+        val delta = ckBloomAcc match {
+          // the narrow checkpoint already folded every scheduled url_key
+          // into the accumulator (published post-materialization) — the
+          // delta is FREE, no build job
+          case Some(a) => a.value
+          case None =>
+            // no eager count ran (knownSmall path): block until the round's
+            // materialization wave has populated the schedule cache at full
+            // parallelism before the coalesced build reads it (see the
+            // eagerCount comment for the serial region this prevents). Callers
+            // invoke this thunk concurrently with that wave, so the wait costs
+            // nothing on the critical path; the timeout fallback's count() is
+            // itself a full-parallelism cache-forcing action.
+            if (eagerCount < 0L) scheduledCountThunk()
+            newSeenKeys.coalesce(math.max(cfg.bloomBuildParallelism, 1))
+              .stat.bloomFilter("url_key", math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
+        }
         Some(seenBloom match {
           case Some(b) => b.mergeInPlace(delta); b
           case None => delta

@@ -25,6 +25,14 @@ final case class PolitenessConfig(
     // is a full capacity-sized bitset, so this bounds build memory/traffic
     // (capacity bits × parallelism per round); raise for 10^8+ deltas
     bloomBuildParallelism: Int = 2,
+    // storeless fast path: when > 0, the per-round delta bloom rides the
+    // narrow schedule checkpoint as an AccumulatorV2 (BloomAccumulator) —
+    // the separate coalesced delta-build job disappears from the round.
+    // Each checkpoint TASK returns a full capacity-sized bitset partial,
+    // so the ride is gated on partitions × filterBytes ≤ this budget
+    // (beyond it — wide caches or huge capacities — the coalesced build
+    // is the cheaper shape and the round falls back to it). 0 disables.
+    bloomAccumulatorMaxBytes: Long = 256L << 20,
     // disable to skip the eager schedule-size count (one-shot jobs that
     // don't feed a bloom-sizing running total)
     trackScheduledCount: Boolean = true,

@@ -26,6 +26,45 @@ final class CuckooSeenAggregator(expectedItems: Long)
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** AccumulatorV2 building a per-round delta Bloom DURING another job's
+  * materialization (the storeless drain's narrow schedule checkpoint rides
+  * it — FrontierRound.checkpointRound), which removes the separate
+  * coalesced delta-build job from the round's critical chain. Safe under
+  * Spark's at-least-once accumulator semantics for resubmitted/speculative
+  * tasks: adding only SETS bits, so re-adding the same keys is idempotent.
+  * Geometry (capacity, fpp) matches the stat.bloomFilter build, so the
+  * result mergeInPlace-folds into the same cumulative filter and is probed
+  * by the same mightContainString. Each task's partial is a full
+  * capacity-sized bitset — callers gate usage on partitions × [[byteSize]]
+  * (PolitenessConfig.bloomAccumulatorMaxBytes).
+  */
+final class BloomAccumulator(capacity: Long, fpp: Double)
+    extends org.apache.spark.util.AccumulatorV2[
+      String, org.apache.spark.util.sketch.BloomFilter] {
+  private var filter =
+    org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+  private var empty = true
+  override def isZero: Boolean = empty
+  override def copy(): BloomAccumulator = {
+    val c = new BloomAccumulator(capacity, fpp)
+    c.filter.mergeInPlace(filter)
+    c.empty = empty
+    c
+  }
+  override def reset(): Unit = {
+    filter = org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)
+    empty = true
+  }
+  override def add(v: String): Unit = { filter.putString(v); empty = false }
+  override def merge(other: org.apache.spark.util.AccumulatorV2[
+      String, org.apache.spark.util.sketch.BloomFilter]): Unit = {
+    filter.mergeInPlace(other.value)
+    empty = empty && other.isZero
+  }
+  override def value: org.apache.spark.util.sketch.BloomFilter = filter
+  def byteSize: Long = filter.bitSize() / 8L
+}
+
 /** Bucket-aligned approximate seen-set probe — the 10^10-key scale path the
   * broadcast Bloom cannot take alone: one 1%-fpp Bloom over 10^10 keys is
   * ~12 GB (unbroadcastable), but B bucket-aligned cuckoo filters of

@@ -120,4 +120,58 @@ class SeenSetSpec extends SparkTestBase {
       .collect().map(_.url_key).toSet
     assert(viaFlag == exact)
   }
+
+  test("BloomAccumulator == stat.bloomFilter build over the same keys") {
+    import graft.seen.BloomAccumulator
+    val keys = (1 to 4000).map(i => Urls.sha256Hex(s"acc$i"))
+    val capacity = 1L << 20
+    val fpp = 0.01
+    // accumulator filled by a distributed job (the checkpoint-riding
+    // shape: per-task partials merged driver-side, across 7 partitions)
+    val acc = new BloomAccumulator(capacity, fpp)
+    spark.sparkContext.register(acc, "spec_bloom_acc")
+    val addKey = udf { k: String => acc.add(k); true }.asNondeterministic()
+    keysDf(keys).repartition(7).filter(addKey(col("url_key")))
+      .localCheckpoint(true)
+    val built = keysDf(keys).coalesce(2)
+      .stat.bloomFilter("url_key", capacity, fpp)
+    // same geometry, no false negatives, mergeInPlace-compatible
+    assert(acc.value.bitSize() == built.bitSize())
+    assert(keys.forall(acc.value.mightContainString),
+      "accumulator filter must contain every added key")
+    val absent = (1 to 2000).map(i => Urls.sha256Hex(s"no$i"))
+    val fpRate = absent.count(acc.value.mightContainString).toDouble / absent.size
+    assert(fpRate < 0.02, s"fp rate $fpRate")
+    // bit-identity with the stat build (putString both sides): serialized
+    // forms match, so the ride is a drop-in replacement for the build job
+    def ser(f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      f.writeTo(bos); bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(ser(acc.value), ser(built)),
+      "accumulator-built and stat-built filters must be bit-identical")
+    // merging into a prior cumulative filter preserves prior membership
+    val prior = keysDf(absent).coalesce(1).stat.bloomFilter("url_key", capacity, fpp)
+    prior.mergeInPlace(acc.value)
+    assert((keys ++ absent).forall(prior.mightContainString))
+  }
+
+  test("storeless crawl bloom rides the checkpoint: accumulator path matches legacy") {
+    import graft.fixtures.{FixtureConfig, FixtureGen}
+    import graft.frontier.{FrontierCrawl, RobotsRules}
+    // identical crawls with the accumulator gate ON vs OFF must schedule
+    // and see exactly the same urls (the delta filters are bit-identical,
+    // so routing through notSeen is unchanged)
+    val fcfg = FixtureConfig(seed = 17L, hosts = 3, totalDetails = 50)
+    val pagesDf = FixtureGen.pages(spark, fcfg, partitions = 4).toDF()
+    def crawl(accBytes: Long) = {
+      val r = FrontierCrawl.run(spark, pagesDf, fcfg.seeds, None,
+        RobotsRules.empty,
+        PolitenessConfig(defaultBudget = 7, saltBuckets = 4,
+          bloomAccumulatorMaxBytes = accBytes), maxRounds = 50)
+      (r.seenKeys.collect().map(_.getString(0)).toSet,
+        r.schedule.select("url_key").collect().map(_.getString(0)).toSet)
+    }
+    assert(crawl(256L << 20) == crawl(0L))
+  }
 }
