@@ -134,13 +134,13 @@ object FrontierCrawl {
       // CONCURRENT with the commit wave (see RoundOutput.seenBloomAfter for
       // why the in-flight merge is probe-safe; the thunk waits for the big
       // job's observation before touching the schedule cache). Storeless
-      // path: assigned AFTER checkpointRound() below — the delta then reads
-      // the checkpoint-riding accumulator, no build job at all.
-      var fBloom: Future[Option[org.apache.spark.util.sketch.BloomFilter]] = null
-
+      // path: created AFTER checkpointRound() — the delta then reads the
+      // checkpoint-riding accumulator, no build job at all. The match
+      // RETURNS the future so the compiler enforces every branch makes one.
+      val fBloom: Future[Option[org.apache.spark.util.sketch.BloomFilter]] =
       store match {
         case Some(st) =>
-          fBloom = Future(out.seenBloomAfter())
+          val f = Future(out.seenBloomAfter())
           // atomic multi-table snapshot; reading back truncates lineage.
           // seen is committed as this round's DELTA; the manifest carries
           // the full part list (no distinct/rewrite of the cumulative set —
@@ -179,6 +179,7 @@ object FrontierCrawl {
           extractedParts :+= st.read(snap, "extracted")
           resultParts :+= st.read(snap, "results")
           metricParts :+= st.read(snap, "metrics")
+          f
         case None =>
           // the frontier checkpoint is the round's big job: it populates
           // the fused pages-pass cache (classify+extract+outlinks). The
@@ -193,13 +194,14 @@ object FrontierCrawl {
           // AFTER the checkpoint: the delta bloom now reads the narrow
           // checkpoint's accumulator (when the partitions×bytes gate let it
           // ride) — merge cost only, the per-round build job is gone
-          fBloom = Future(out.seenBloomAfter())
+          val f = Future(out.seenBloomAfter())
           seenDeltas = seenDeltas :+ ck.seenDelta
           seen = Some(seenDeltas.reduce(_.union(_)))
           schedParts :+= ck.scheduled.withColumn("round", lit(round))
           resultParts :+= ck.results
           extractedParts :+= ck.extracted
           metricParts :+= ck.metrics
+          f
       }
       // running seen count (sizes next round's bloom): the schedule count
       // is free here — the commit/checkpoint above materialized the round,

@@ -286,6 +286,10 @@ object FrontierRound {
       if (!knownSmall && (cfg.trackScheduledCount || willBuildBloom))
         scheduled.count()
       else -1L
+    // small/medium rounds: this round's delta fits a broadcast exact
+    // anti-join (see the fresh-link regimes below, where this routes)
+    val deltaBroadcastable = knownSmall ||
+      (eagerCount >= 0L && eagerCount <= cfg.broadcastDeltaMaxKeys)
 
     // "fetch" = equi-join with the pages table on url (SURVEY.md S2: the
     // Common-Crawl-style table lookup); left join so absent pages become
@@ -409,14 +413,22 @@ object FrontierRound {
       // the narrow checkpoint reads every scheduled row once — when the
       // round wants a delta bloom, build it HERE as an accumulator side
       // channel (idempotent bit-sets, see BloomAccumulator) instead of a
-      // separate coalesced job, gated on partitions × filterBytes
+      // separate coalesced job, gated on partitions × filterBytes. The
+      // non-broadcastable path built its merged bloom EAGERLY inside run()
+      // (nothing would read the accumulator — its partials would be dead
+      // shipped bytes), so the ride also requires deltaBroadcastable. The
+      // byte estimate is arithmetic — the capacity-sized bitset must not
+      // be allocated just for a gate that may reject it.
       val acc =
-        if (bloomRidesCheckpoint && willBuildBloom &&
+        if (bloomRidesCheckpoint && willBuildBloom && deltaBroadcastable &&
             cfg.bloomAccumulatorMaxBytes > 0L) {
-          val a = new graft.seen.BloomAccumulator(
-            math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
+          val bytes = org.apache.spark.util.sketch.BloomFilter
+            .optimalNumOfBits(math.max(cfg.bloomCapacity, 1000L),
+              cfg.bloomFpp) / 8L
           val parts = scheduled.rdd.getNumPartitions
-          if (parts.toLong * a.byteSize <= cfg.bloomAccumulatorMaxBytes) {
+          if (parts.toLong * bytes <= cfg.bloomAccumulatorMaxBytes) {
+            val a = new graft.seen.BloomAccumulator(
+              math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp)
             spark.sparkContext.register(a, s"seen_delta_bloom_r$round")
             Some(a)
           } else None
@@ -521,8 +533,6 @@ object FrontierRound {
     //    untracked): the prior shape — eager delta build + merge, one
     //    bloom-prefiltered anti-join against seen ∪ delta — so candidates
     //    never take an extra corpus-shaped shuffle at scale.
-    val deltaBroadcastable = knownSmall ||
-      (eagerCount >= 0L && eagerCount <= cfg.broadcastDeltaMaxKeys)
     val (fresh, seenBloomAfter) =
       if (deltaBroadcastable) {
         val afterDelta = freshCandidates

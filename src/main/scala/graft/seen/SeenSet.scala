@@ -35,8 +35,10 @@ final class CuckooSeenAggregator(expectedItems: Long)
   * Geometry (capacity, fpp) matches the stat.bloomFilter build, so the
   * result mergeInPlace-folds into the same cumulative filter and is probed
   * by the same mightContainString. Each task's partial is a full
-  * capacity-sized bitset — callers gate usage on partitions × [[byteSize]]
-  * (PolitenessConfig.bloomAccumulatorMaxBytes).
+  * capacity-sized bitset — callers gate usage on partitions × filter bytes
+  * (computed arithmetically via BloomFilter.optimalNumOfBits, BEFORE
+  * constructing this class: the constructor allocates the full bitset;
+  * see PolitenessConfig.bloomAccumulatorMaxBytes).
   */
 final class BloomAccumulator(capacity: Long, fpp: Double)
     extends org.apache.spark.util.AccumulatorV2[
@@ -62,7 +64,6 @@ final class BloomAccumulator(capacity: Long, fpp: Double)
     empty = empty && other.isZero
   }
   override def value: org.apache.spark.util.sketch.BloomFilter = filter
-  def byteSize: Long = filter.bitSize() / 8L
 }
 
 /** Bucket-aligned approximate seen-set probe — the 10^10-key scale path the

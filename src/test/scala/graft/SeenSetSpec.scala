@@ -169,8 +169,13 @@ class SeenSetSpec extends SparkTestBase {
         RobotsRules.empty,
         PolitenessConfig(defaultBudget = 7, saltBuckets = 4,
           bloomAccumulatorMaxBytes = accBytes), maxRounds = 50)
-      (r.seenKeys.collect().map(_.getString(0)).toSet,
-        r.schedule.select("url_key").collect().map(_.getString(0)).toSet)
+      // rounds + schedule MULTISET (url_key, round): a lost/empty
+      // accumulator filter would not change the seen SET, only re-schedule
+      // already-seen urls in later rounds — the multiset catches that
+      (r.rounds,
+        r.seenKeys.collect().map(_.getString(0)).toSet,
+        r.schedule.select("url_key", "round").collect()
+          .map(x => (x.getString(0), x.getInt(1))).sorted.toSeq)
     }
     assert(crawl(256L << 20) == crawl(0L))
   }
