@@ -248,15 +248,20 @@ object Curation {
       (f, f)
     } else {
       val freshP = fresh.persist(cfg.storage)
-      val pairs = Dedup.minhashLshPairsIncremental(corpusExact, corpusIndex,
-        freshP, textCol, idCol, cfg.minhashHashes, cfg.minhashBands,
-        cfg.jaccardThreshold, cfg.shingleSize)
-      // the two materializations are independent once `pairs` is eager
-      // (survivors = freshP anti-joined to cluster losers; baseAppend =
-      // freshP projected) — run them as concurrent jobs so the fold pays
-      // one checkpoint latency, not two (the fold is fixed-cost-bound:
-      // BENCH/BASELINE.md §D2 attributes its floor to sequential job
-      // launches)
+      // LAZY pairs: the band join + verify fold into
+      // keepClusterRepresentatives' edges checkpoint, so the fold pays ONE
+      // pair-shaped job (edges, with the emptiness probe riding its
+      // observation) instead of three (pairs checkpoint + isEmpty +
+      // edges checkpoint); release() drops the shingle cache once the
+      // futures below have materialized everything that reads it
+      val (pairs, releaseSh) = Dedup.minhashLshPairsIncrementalLazy(
+        corpusExact, corpusIndex, freshP, textCol, idCol, cfg.minhashHashes,
+        cfg.minhashBands, cfg.jaccardThreshold, cfg.shingleSize)
+      // the two materializations are independent (survivors = freshP
+      // anti-joined to cluster losers; baseAppend = freshP projected) —
+      // run them as concurrent jobs so the fold pays one checkpoint
+      // latency, not two (the fold is fixed-cost-bound: BENCH/BASELINE.md
+      // §D2 attributes its floor to sequential job launches)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -266,6 +271,7 @@ object Curation {
       val fBase = Future(freshP.select(outCols: _*).localCheckpoint(true))
       val out = Await.result(fOut, Duration.Inf)
       val baseAppend = Await.result(fBase, Duration.Inf)
+      releaseSh()
       freshP.unpersist(false)
       (out, baseAppend)
     }

@@ -198,13 +198,61 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       shingleSize: Int = 3,
       eager: Boolean = true,
-      maxBroadcastDeltaDocs: Long = 2000000L): DataFrame = {
+      maxBroadcastDeltaDocs: Long = 2000000L): DataFrame =
+    if (!eager)
+      incrementalPairsCore(corpus, bandIndex, delta, textCol, idCol,
+        numHashes, bands, jaccardThreshold, shingleSize, cacheDelta = false,
+        maxBroadcastDeltaDocs)._1
+    else {
+      val (verified, release) = incrementalPairsCore(corpus, bandIndex,
+        delta, textCol, idCol, numHashes, bands, jaccardThreshold,
+        shingleSize, cacheDelta = true, maxBroadcastDeltaDocs)
+      val out = verified.localCheckpoint(true)
+      release()
+      out
+    }
+
+  /** [[minhashLshPairsIncremental]] with the verified pair frame left
+    * LAZY: the caller folds it into its OWN single materialization (the
+    * curateDelta fold hands it to keepClusterRepresentatives, whose edges
+    * checkpoint then evaluates band join + verify exactly once — one job
+    * instead of pairs-checkpoint + edges-checkpoint). The count gate +
+    * shingle cache behave like the eager mode; call `release()` after the
+    * frame's one consumer materialized (it drops the shingle cache).
+    */
+  def minhashLshPairsIncrementalLazy(
+      corpus: DataFrame,
+      bandIndex: DataFrame,
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.5,
+      shingleSize: Int = 3,
+      maxBroadcastDeltaDocs: Long = 2000000L): (DataFrame, () => Unit) =
+    incrementalPairsCore(corpus, bandIndex, delta, textCol, idCol,
+      numHashes, bands, jaccardThreshold, shingleSize, cacheDelta = true,
+      maxBroadcastDeltaDocs)
+
+  private def incrementalPairsCore(
+      corpus: DataFrame,
+      bandIndex: DataFrame,
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      jaccardThreshold: Double,
+      shingleSize: Int,
+      cacheDelta: Boolean,
+      maxBroadcastDeltaDocs: Long): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = delta.sparkSession
     import spark.implicits._
 
     val deltaSh0 = shingleTable(delta, textCol, idCol, shingleSize)
-    val deltaSh = if (eager) deltaSh0.cache() else deltaSh0
+    val deltaSh = if (cacheDelta) deltaSh0.cache() else deltaSh0
 
     val deltaBanded = bandTable(deltaSh, numHashes, bands)
 
@@ -222,7 +270,7 @@ object Dedup {
     // documented small-batch contract still audits with the hint.
     val deltaBands = deltaBanded.withColumnRenamed("id", "delta_id")
     val deltaSmall =
-      if (eager) deltaSh.count() <= maxBroadcastDeltaDocs
+      if (cacheDelta) deltaSh.count() <= maxBroadcastDeltaDocs
       else delta.queryExecution.optimizedPlan.stats.sizeInBytes <=
         maxBroadcastDeltaDocs * 512L
     val probeSide = if (deltaSmall) broadcast(deltaBands) else deltaBands
@@ -261,12 +309,7 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= jaccardThreshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
-    if (!eager) verified
-    else {
-      val out = verified.localCheckpoint(true)
-      deltaSh.unpersist(false)
-      out
-    }
+    (verified, () => if (cacheDelta) { deltaSh.unpersist(false); () })
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash per doc (typed map),
@@ -334,13 +377,27 @@ object Dedup {
     *
     * Returns (id, cluster_rep) for every id appearing in `pairs`.
     */
-  def clusterAssign(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected edges, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def clusterAssign(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    clusterAssignEdges(edgesOf(pairs).localCheckpoint(true), maxIter)
+
+  /** Undirected both-direction edge set of a pair frame — ONE scan of
+    * `pairs` (explode, not a self-union), so a LAZY pair pipeline folded
+    * in here evaluates once when the caller materializes the edges.
+    */
+  private def edgesOf(pairs: DataFrame): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+
+  /** [[clusterAssign]] over an already-materialized edge frame (the
+    * iteration loop re-reads it once per iteration, so it must be a
+    * checkpoint/cache, not a live plan).
+    */
+  private def clusterAssignEdges(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
     // NOT checkpointed: the init label set is consumed exactly once (the
     // first iteration's join computes the distinct as part of that job) —
     // a barrier here was one more sequential job in a loop whose cost IS
@@ -397,15 +454,25 @@ object Dedup {
     * Near-dup-FREE inputs are the common case on clean data (a fresh
     * unique micro-batch folds in with zero candidate pairs), and the label
     * propagation + anti-join machinery still costs ~6 job launches over 0
-    * pairs — so the empty pair set short-circuits to `df` unchanged. Both
-    * curation callers pass an eagerly materialized pair frame
-    * (minhashLshPairs is eager), making the isEmpty probe a limit-1 read
-    * of a checkpoint, not a recompute.
+    * pairs — so an empty edge set short-circuits to `df` unchanged. The
+    * emptiness probe rides the edges checkpoint's own observation: one
+    * job serves probe + propagation input, and `pairs` may be a lazy
+    * verify pipeline (it evaluates exactly once, inside that job).
     */
   def keepClusterRepresentatives(df: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
-    if (pairs.isEmpty) return df
-    val losers = clusterAssign(pairs)
+    // ONE eager job: the edges checkpoint carries a row-count observation,
+    // so the empty-pairs probe and the cluster machinery share the same
+    // materialization (the former separate isEmpty job is gone) — and a
+    // LAZY `pairs` pipeline (curateDeltaWithBase hands the un-checkpointed
+    // verify frame straight in) evaluates exactly once, here
+    val obs = new org.apache.spark.sql.Observation()
+    val edges = edgesOf(pairs)
+      .observe(obs, count(lit(1)).as("rows"))
+      .localCheckpoint(true)
+    val rows = graft.ObservedMetrics.longField(obs, "rows") { edges.count() }
+    if (rows == 0L) return df
+    val losers = clusterAssignEdges(edges)
       .filter(col("id") =!= col("cluster_rep"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
