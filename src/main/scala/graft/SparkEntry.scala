@@ -801,6 +801,68 @@ object SparkEntry {
           col("video_height"), col("video_duration_ms"))
     }),
 
+    "multimodal_mp3_meta" -> ((s, dir) => {
+      // REAL MPEG frame-header decode under oracle: spec-exact frames
+      // constructed in SQL from doc_id arithmetic — MPEG-1/MPEG-2 Layer 3
+      // alternating by parity, all 14 bitrate indices, all 3 sample-rate
+      // indices, all 4 channel modes, every 3rd row behind an ID3v2 tag
+      // whose syncsafe size the parser must skip exactly, every 7th junk.
+      // The oracle computes every field analytically (bitrate via the
+      // classic tables as list literals).
+      def b(v: Column): Column = lpad(hex(v.cast("long")), 2, "0")
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val ver = when(pmod(col("doc_id"), lit(2)) === 0, 3).otherwise(2)
+      val brIdx = (pmod(col("doc_id"), lit(14)) + 1).cast("int")
+      val srIdx = pmod(col("doc_id"), lit(3)).cast("int")
+      val mode = pmod(col("doc_id"), lit(4)).cast("int")
+      val id3Size = pmod(col("doc_id"), lit(30)).cast("int") // < 128: last syncsafe byte
+      val frame = concat(lit("FF"),
+        b(shiftleft(ver, 3).bitwiseOR(lit(0xE0)).bitwiseOR(lit(3))), // L3 + no-CRC
+        b(shiftleft(brIdx, 4).bitwiseOR(shiftleft(srIdx, 2))),
+        b(shiftleft(mode, 6)),
+        lit("11" * 200))
+      val id3 = concat(lit("494433" + "0300" + "00" + "000000"), b(id3Size),
+        repeat(lit("00"), id3Size))
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0, lit("ABCD"))
+        .otherwise(concat(
+          when(pmod(col("doc_id"), lit(3)) === 0, id3).otherwise(lit("")),
+          frame))
+      Multimodal.audioMeta(d.select(col("doc_id"), unhex(payload).as("payload")))
+        .select(col("doc_id"), col("audio_format"), col("audio_channels"),
+          col("audio_sample_rate"), col("audio_bitrate_kbps"),
+          col("audio_duration_ms"))
+    }),
+
+    "multimodal_exif_orientation" -> ((s, dir) => {
+      // REAL EXIF TIFF/IFD walk under oracle: JPEGs constructed in SQL —
+      // SOI, APP1 "Exif\0\0", a TIFF block in BOTH byte orders (parity),
+      // IFD0 with one entry carrying orientation 1 + doc_id%8. Every 5th
+      // row's entry is a different tag (orientation → null), every 7th is
+      // junk. Oracle is pure CASE arithmetic.
+      def b(v: Column): Column = lpad(hex(v.cast("long")), 2, "0")
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val or = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+      val le = pmod(col("doc_id"), lit(2)) === 0
+      val tagLe = when(pmod(col("doc_id"), lit(5)) === 0, "3101").otherwise("1201")
+      val tagBe = when(pmod(col("doc_id"), lit(5)) === 0, "0131").otherwise("0112")
+      // TIFF (26 bytes): order mark, 42, IFD0@8; count=1; one SHORT entry;
+      // zero next-IFD pointer
+      val tiff = when(le,
+        concat(lit("4949" + "2A00" + "08000000" + "0100"), tagLe,
+          lit("0300" + "01000000"), b(or), lit("00" + "0000" + "00000000")))
+        .otherwise(
+          concat(lit("4D4D" + "002A" + "00000008" + "0001"), tagBe,
+            lit("0003" + "00000001" + "00"), b(or), lit("0000" + "00000000")))
+      // APP1 length = 2(len) + 6(Exif\0\0) + 26(TIFF) = 34 = 0x22
+      val jpeg = concat(lit("FFD8" + "FFE1" + "0022" + "457869660000"), tiff,
+        lit("FFD9"))
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0, lit("ABCD"))
+        .otherwise(jpeg)
+      Multimodal.exifOrientation(
+        d.select(col("doc_id"), unhex(payload).as("payload")))
+        .select(col("doc_id"), col("img_orientation"))
+    }),
+
     "warc_parse" -> ((s, dir) => {
       // the WARC framing parser under oracle: blobs are framed IN SQL from
       // documents rows (10 records per blob, doc_id order within the blob;
@@ -1693,6 +1755,38 @@ object SparkEntry {
              ELSE CAST(((doc_id % 50 + 1) * 500 * 1000) //
                (CASE WHEN doc_id % 2 = 1 THEN 600 ELSE 1000 END) AS BIGINT)
              END AS video_duration_ms
+         FROM documents""",
+
+    "multimodal_mp3_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'mp3' END AS audio_format,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END::INT AS audio_channels,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+             (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+               WHEN 1 THEN 48000 ELSE 32000 END
+              // (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END))
+           END::INT AS audio_sample_rate,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+             list_extract(
+               CASE WHEN doc_id % 2 = 0
+                 THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                 ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160] END,
+               CAST(doc_id % 14 + 1 AS INT))
+           END::INT AS audio_bitrate_kbps,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+             1632 // list_extract(
+               CASE WHEN doc_id % 2 = 0
+                 THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                 ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160] END,
+               CAST(doc_id % 14 + 1 AS INT))
+           END::BIGINT AS audio_duration_ms
+         FROM documents""",
+
+    "multimodal_exif_orientation" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
+             ELSE CAST(doc_id % 8 + 1 AS INT) END AS img_orientation
          FROM documents""",
 
     "warc_parse" ->

@@ -230,6 +230,96 @@ object Multimodal {
       })
   }
 
+  /** EXIF orientation (TIFF tag 0x0112, values 1-8) straight from a JPEG's
+    * APP1 payload — the rotate/flip flag an image-ingest pass needs BEFORE
+    * any pixel work (a resize that ignores it silently transposes 6/8-
+    * oriented phone photos). Two bounded folds, same scale shape as
+    * [[imageMeta]] (narrow projection riding the scan; no UDF, no
+    * shuffle, pixels never touched):
+    *  1. the FF-marker walk of [[jpegSof]], but targeting the APP1 segment
+    *     whose payload starts "Exif  " (non-Exif APP1s — XMP —
+    *     are skipped by length like any other segment; SOS/EOI stop the
+    *     walk: no EXIF can follow entropy-coded data);
+    *  2. a walk of IFD0's 12-byte entries under the TIFF byte-order mark
+    *     ("II" little / "MM" big — both real: phone makers split roughly
+    *     down the middle), reading the SHORT value of the first 0x0112
+    *     entry. The IFD header (byte order, magic 42, IFD0 offset, entry
+    *     count) is projected ONCE to a scratch attribute so the fold's
+    *     lambda reads struct fields, not re-evaluated captures (the HOF
+    *     capture rule, see [[jpegSof]]).
+    *
+    * Missing APP1 / non-Exif / corrupt TIFF / absent tag / out-of-range
+    * values yield null — never an error. Output: input columns +
+    * img_orientation (int 1-8 or null).
+    */
+  def exifOrientation(df: DataFrame, payloadCol: String = "payload",
+      maxSegments: Int = 32, maxIfdEntries: Int = 32): DataFrame = {
+    require(!df.columns.contains("__xa") && !df.columns.contains("__xb"),
+      "exifOrientation uses __xa/__xb as scratch columns; rename the input's")
+    val p = col(payloadCol)
+    val isJpeg = length(p) >= 4 && hex(substring(p, 1, 2)) === "FFD8"
+    val base = col("__xa")
+    def u16e(pos: Column, le: Column): Column =
+      when(le, leUInt(p, pos.cast("int"), 2)).otherwise(beUInt(p, pos, 2))
+    def u32e(pos: Column, le: Column): Column =
+      when(le, leUInt(p, pos.cast("int"), 4)).otherwise(beUInt(p, pos, 4))
+    // TIFF/IFD0 header, validated: byte order mark, magic 42, and the
+    // entry table's first byte in bounds
+    val leF = hex(p.substr(base.cast("int"), lit(2))) === "4949"
+    val ifdOff = u32e(base + 4L, leF)
+    val entStart = base + ifdOff + 2L
+    val header = when(
+      base.isNotNull &&
+        hex(p.substr(base.cast("int"), lit(2))).isin("4949", "4D4D") &&
+        u16e(base + 2L, leF) === 42L &&
+        entStart <= length(p).cast("long"),
+      struct(leF.as("le"), u16e(base + ifdOff, leF).as("cnt"),
+        entStart.as("ent")))
+    val xb = col("__xb")
+    val orient = aggregate(
+      sequence(lit(0), lit(maxIfdEntries - 1)),
+      lit(-1L),
+      (st, i) => {
+        val le = xb.getField("le")
+        val entPos = xb.getField("ent") + i.cast("long") * 12L
+        when(st >= 0L, st) // found: carry
+          .when(i.cast("long") >= xb.getField("cnt") ||
+            entPos + 11L > length(p).cast("long"), st)
+          .when(u16e(entPos, le) === 0x0112L, u16e(entPos + 8L, le))
+          .otherwise(st)
+      })
+    df.withColumn("__xa", when(isJpeg, exifTiffBase(p, maxSegments)))
+      .withColumn("__xb", header)
+      .withColumn("img_orientation",
+        when(xb.isNotNull, when(orient.between(1L, 8L), orient.cast("int"))))
+      .drop("__xa", "__xb")
+  }
+
+  /** The APP1/Exif variant of the [[jpegSof]] walk: returns the 1-based
+    * offset of the TIFF byte-order mark (APP1 payload + 6, past
+    * "Exif  "), or null. Negative state = found (carry flag).
+    */
+  private def exifTiffBase(p: Column, maxSegments: Int): Column = {
+    val res = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      lit(3L),
+      (st, _) => {
+        val off = st
+        val marker = beUInt(p, off + 1L, 1)
+        val segLen = beUInt(p, off + 2L, 2)
+        when(st.isNull || st < 0L, st)
+          .when(off + 4L > length(p).cast("long") ||
+            beUInt(p, off, 1) =!= 255L, lit(null).cast("long"))
+          .when(marker === 0xE1L &&
+            hex(p.substr((off + 4L).cast("int"), lit(6))) === "457869660000" &&
+            off + 18L <= length(p).cast("long"), // TIFF header must fit
+            -(off + 10L))
+          .when(marker === 0xDAL || marker === 0xD9L, lit(null).cast("long"))
+          .otherwise(off + 2L + segLen)
+      })
+    when(res < 0L, -res)
+  }
+
   /** REAL byte-level audio-header decode — the WAV/RIFF sibling of
     * [[imageMeta]]. Walks RIFF chunks (id, little-endian u32 size, padded
     * to even) from byte 13 as a bounded `aggregate` fold collecting BOTH
@@ -238,36 +328,141 @@ object Multimodal {
     * from which duration follows: data bytes / (rate · channels · bits/8).
     * Same scale shape as imageMeta: narrow projection, no UDF, no shuffle;
     * non-RIFF/corrupt payloads yield audio_format="unknown"/null fields.
+    *
+    * MPEG audio (mp3): the ID3v2 envelope's syncsafe size is skipped
+    * exactly, a bounded sync scan ([[mp3FrameOff]]) locates the first
+    * legal frame header, and version/layer/bitrate-index/sample-rate-index/
+    * channel-mode decode straight from its 4 bytes (the classic bitrate
+    * and sample-rate tables as array literals — V1 L1-L3, V2/V2.5 L1 and
+    * the shared L2/L3 table). audio_duration_ms for mp3 is the CBR
+    * ESTIMATE bytes·8/kbps over the payload from the first frame — exact
+    * for CBR streams, approximate for VBR (a VBR-exact duration needs
+    * every frame header, a decode-shaped pass by design out of scope for
+    * the header-only ingest). Free-format streams (bitrate index 0) give
+    * null bitrate/duration.
+    *
     * Output: input columns + audio_format, audio_channels,
-    * audio_sample_rate, audio_bits, audio_duration_ms. Validated in
-    * OpsSpec against REAL bytes from the JDK's javax.sound.sampled writer.
+    * audio_sample_rate, audio_bits (PCM only — frame-based codecs carry
+    * none), audio_bitrate_kbps (mp3 only), audio_duration_ms. Validated in
+    * OpsSpec against REAL bytes from the JDK's javax.sound.sampled writer
+    * (WAV) and hand-muxed spec-exact frames (mp3).
     */
   def audioMeta(df: DataFrame, payloadCol: String = "payload",
-      maxChunks: Int = 16): DataFrame = {
+      maxChunks: Int = 16, maxMp3SyncScan: Int = 64): DataFrame = {
     require(!df.columns.contains("__wd"),
       "audioMeta uses __wd as a scratch column; rename the input's __wd")
+    require(!df.columns.contains("__md"),
+      "audioMeta uses __md as a scratch column; rename the input's __md")
     val p = col(payloadCol)
     val isWav = length(p) >= 44 &&
       hex(substring(p, 1, 4)) === "52494646" && // "RIFF"
       hex(substring(p, 9, 4)) === "57415645" // "WAVE"
-    val fmt = when(isWav, "wav").otherwise("unknown")
+    // MPEG audio: an ID3v2 envelope or a bare frame-sync prefix. The
+    // frame itself is located by the bounded sync scan (mp3FrameOff).
+    val isMp3 = !isWav && length(p) >= 4 &&
+      (hex(substring(p, 1, 3)) === "494433" || // "ID3"
+        (beUInt(p, lit(1), 1) === 255 &&
+          beUInt(p, lit(2), 1).bitwiseAND(0xE0) === 0xE0))
+    val fmt = when(isWav, "wav").when(isMp3, "mp3").otherwise("unknown")
     val st = col("__wd")
     val found = st.getField("ch") >= 0
     def f(field: String): Column =
       when(col("audio_format") === "wav" && found, st.getField(field))
     val denom = st.getField("rate") * st.getField("ch") *
       (st.getField("bits") / 8)
+
+    // mp3 header fields — direct byte reads at the found frame offset
+    // (plain projections over the scan's scratch column, not HOF lambdas)
+    val off = col("__md")
+    val mOk = col("audio_format") === "mp3" && off.isNotNull
+    def b(i: Int): Column = beUInt(p, off + i, 1).cast("int")
+    val verBits = shiftright(b(1), 3).bitwiseAND(3) // 0=V2.5 2=V2 3=V1
+    val layerBits = shiftright(b(1), 1).bitwiseAND(3) // 1=L3 2=L2 3=L1
+    val brIdx = shiftright(b(2), 4).bitwiseAND(15).cast("int")
+    val srIdx = shiftright(b(2), 2).bitwiseAND(3).cast("int")
+    val mode = shiftright(b(3), 6).bitwiseAND(3)
+    // brIdx 15 is scan-rejected; 0 = free-format → null index → null
+    // (ANSI-safe: element_at on a null index returns null, never errors)
+    def kbps(vals: Int*): Column =
+      element_at(array(vals.map(lit): _*),
+        when(brIdx.between(1, 14), brIdx))
+    val bitrate =
+      when(verBits === 3 && layerBits === 3,
+        kbps(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448))
+        .when(verBits === 3 && layerBits === 2,
+          kbps(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384))
+        .when(verBits === 3 && layerBits === 1,
+          kbps(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+        .when(layerBits === 3, // V2/V2.5 L1
+          kbps(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256))
+        .otherwise( // V2/V2.5 L2+L3 share one table
+          kbps(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+    val srBase = element_at(array(lit(44100), lit(48000), lit(32000)), srIdx + 1)
+    val srDiv = when(verBits === 3, 1).when(verBits === 2, 2).otherwise(4)
+    val mp3Rate = floor(srBase / srDiv).cast("int")
+    val mp3Ch = when(mode === 3, 1).otherwise(2).cast("int")
+    // CBR estimate over the bytes from the first frame to EOF:
+    // bytes·8 bits / (kbps kbit/s) = ms exactly
+    val mp3Dur = floor((length(p).cast("long") - off + 1L) * 8 / bitrate)
+      .cast("long")
+
     df.withColumn("audio_format", fmt)
       .withColumn("__wd", when(isWav, wavChunks(p, maxChunks)))
-      .withColumn("audio_channels", f("ch"))
-      .withColumn("audio_sample_rate", f("rate").cast("int"))
-      .withColumn("audio_bits", f("bits"))
+      .withColumn("__md",
+        when(col("audio_format") === "mp3", mp3FrameOff(p, maxMp3SyncScan)))
+      .withColumn("audio_channels", coalesce(f("ch"), when(mOk, mp3Ch)))
+      .withColumn("audio_sample_rate",
+        coalesce(f("rate").cast("int"), when(mOk, mp3Rate)))
+      .withColumn("audio_bits", f("bits")) // frame-based codecs have none
+      .withColumn("audio_bitrate_kbps", when(mOk, bitrate))
       .withColumn("audio_duration_ms",
-        when(col("audio_format") === "wav" && found &&
-          st.getField("dsz") >= 0 && denom > 0,
-          // Column./ is double division; floor restores integral ms
-          floor(st.getField("dsz") * 1000L / denom).cast("long")))
-      .drop("__wd")
+        coalesce(
+          when(col("audio_format") === "wav" && found &&
+            st.getField("dsz") >= 0 && denom > 0,
+            // Column./ is double division; floor restores integral ms
+            floor(st.getField("dsz") * 1000L / denom).cast("long")),
+          when(mOk, mp3Dur)))
+      .drop("__wd", "__md")
+  }
+
+  /** Bounded MPEG-audio frame-sync scan: returns the 1-based offset of the
+    * first LEGAL frame header (11 sync bits, non-reserved version/layer,
+    * bitrate index ≠ 15, sample-rate index ≠ 3) after the optional ID3v2
+    * envelope (whose syncsafe-u32 size is skipped exactly), or null. The
+    * scan tolerates up to `maxScan` bytes of padding/garbage between the
+    * tag and the first frame — the common encoder layout is zero.
+    */
+  private def mp3FrameOff(p: Column, maxScan: Int): Column = {
+    def u8(pos: Column): Column = beUInt(p, pos, 1).cast("int")
+    val id3 = hex(p.substr(lit(1), lit(3))) === "494433"
+    val syncsafe =
+      shiftleft(u8(lit(7)).bitwiseAND(0x7F).cast("long"), 21) +
+        shiftleft(u8(lit(8)).bitwiseAND(0x7F).cast("long"), 14) +
+        shiftleft(u8(lit(9)).bitwiseAND(0x7F).cast("long"), 7) +
+        u8(lit(10)).bitwiseAND(0x7F).cast("long")
+    val start = when(id3 && length(p) >= 10, syncsafe + 11L)
+      .when(!id3, lit(1L))
+    // state: null = stuck, positive = next candidate offset, NEGATIVE =
+    // found at -state (the carry flag, same trick as jpegSof's w >= 0)
+    val res = aggregate(
+      sequence(lit(1), lit(maxScan)),
+      start,
+      (st, _) => {
+        val q = st.cast("int")
+        val h1 = u8(q + 1)
+        val ver = shiftright(h1, 3).bitwiseAND(3)
+        val layer = shiftright(h1, 1).bitwiseAND(3)
+        val h2 = u8(q + 2)
+        val brIdx = shiftright(h2, 4).bitwiseAND(15)
+        val srIdx = shiftright(h2, 2).bitwiseAND(3)
+        val legal = u8(q) === 255 && h1.bitwiseAND(0xE0) === 0xE0 &&
+          ver =!= 1 && layer =!= 0 && brIdx =!= 15 && srIdx =!= 3
+        when(st.isNull || st < 0L, st)
+          .when(st + 3L > length(p).cast("long"), lit(null).cast("long"))
+          .when(legal, -st)
+          .otherwise(st + 1L)
+      })
+    when(res < 0L, -res)
   }
 
   /** The bounded RIFF chunk walk: state (off, ch, rate, bits, dsz); ch/dsz
@@ -281,6 +476,10 @@ object Multimodal {
   private def leUInt(p: Column, pos: Column, n: Int): Column =
     conv(concat((n to 1 by -1).map(i => hex(p.substr(pos + (i - 1), lit(1)))): _*),
       16, 10).cast("long")
+
+  /** Big-endian unsigned int read off a binary column (1-based `pos`). */
+  private def beUInt(p: Column, pos: Column, n: Int): Column =
+    conv(hex(p.substr(pos.cast("int"), lit(n))), 16, 10).cast("long")
 
   private def wavChunks(p: Column, maxChunks: Int): Column = {
     def leU(pos: Column, n: Int): Column = leUInt(p, pos, n)

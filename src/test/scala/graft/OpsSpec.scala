@@ -1377,6 +1377,129 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("multimodal audioMeta mp3: spec-exact frame headers, ID3 skip, CBR duration") {
+    import graft.ops.Multimodal
+    // hand-muxed MPEG audio: optional ID3v2 (syncsafe size), optional
+    // padding, one spec-exact 4-byte frame header, junk body
+    def mp3(verBits: Int, layerBits: Int, brIdx: Int, srIdx: Int, mode: Int,
+        id3Size: Int = -1, pad: Int = 0, body: Int = 417): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (id3Size >= 0) {
+        out.write("ID3".getBytes("US-ASCII")); out.write(3); out.write(0)
+        out.write(0) // flags
+        out.write((id3Size >> 21) & 0x7F); out.write((id3Size >> 14) & 0x7F)
+        out.write((id3Size >> 7) & 0x7F); out.write(id3Size & 0x7F)
+        out.write(new Array[Byte](id3Size))
+      }
+      out.write(new Array[Byte](pad)) // zeros: never a false sync
+      out.write(0xFF)
+      out.write(0xE0 | (verBits << 3) | (layerBits << 1) | 1)
+      out.write((brIdx << 4) | (srIdx << 2))
+      out.write(mode << 6)
+      out.write(Array.fill[Byte](body)(0x11))
+      out.toByteArray
+    }
+    def expectDur(bytes: Array[Byte], frameOff0: Int, kbps: Int): Long =
+      (bytes.length - frameOff0).toLong * 8 / kbps
+    val bare = mp3(3, 1, 9, 0, 0) // V1 L3 128kbps 44100 stereo, no tag
+    val tagged = mp3(2, 1, 3, 1, 3, id3Size = 100) // V2 L3 24kbps 24000 mono
+    val padded = mp3(0, 1, 1, 2, 3, id3Size = 40, pad = 5) // V2.5 L3 8kbps 8000
+    val free = mp3(3, 1, 0, 0, 1) // free-format: bitrate/duration null
+    val cases = Seq(
+      (1L, bare, (2, 44100, 128, expectDur(bare, 0, 128))),
+      (2L, tagged, (1, 24000, 24, expectDur(tagged, 110, 24))),
+      (3L, padded, (1, 8000, 8, expectDur(padded, 55, 8))))
+    val df = (cases.map { case (id, b, _) => (id, b) } :+ ((4L, free)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioMeta(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    cases.foreach { case (id, _, (ch, rate, kbps, ms)) =>
+      val r = got(id)
+      assert(r.getAs[String]("audio_format") == "mp3", s"doc $id: $r")
+      assert(r.getAs[Int]("audio_channels") == ch, s"doc $id ch: $r")
+      assert(r.getAs[Int]("audio_sample_rate") == rate, s"doc $id rate: $r")
+      assert(r.getAs[Int]("audio_bitrate_kbps") == kbps, s"doc $id kbps: $r")
+      assert(r.getAs[Long]("audio_duration_ms") == ms, s"doc $id ms: $r")
+      assert(r.isNullAt(r.fieldIndex("audio_bits")), s"doc $id bits: $r")
+    }
+    val fr = got(4L)
+    assert(fr.getAs[String]("audio_format") == "mp3")
+    assert(fr.getAs[Int]("audio_channels") == 2 &&
+      fr.getAs[Int]("audio_sample_rate") == 44100, fr.toString)
+    assert(fr.isNullAt(fr.fieldIndex("audio_bitrate_kbps")) &&
+      fr.isNullAt(fr.fieldIndex("audio_duration_ms")), fr.toString)
+    // an ID3 tag with NO legal frame within the scan window: mp3-shaped
+    // but every field null (the scan finds nothing, never errors)
+    val noFrame = mp3(3, 1, 9, 0, 0, id3Size = 16).takeWhile(_ != 0xFF.toByte)
+    val nf = Multimodal.audioMeta(Seq((9L, noFrame)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(nf.getAs[String]("audio_format") == "mp3" &&
+      nf.isNullAt(nf.fieldIndex("audio_sample_rate")), nf.toString)
+    // scale shape: no Exchange
+    val plan = Multimodal.audioMeta(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("multimodal exifOrientation: TIFF IFD walk, both byte orders") {
+    import graft.ops.Multimodal
+    def u16(v: Int, le: Boolean): Array[Byte] =
+      if (le) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Int, le: Boolean): Array[Byte] =
+      if (le) u16(v & 0xFFFF, le = true) ++ u16(v >>> 16, le = true)
+      else u16(v >>> 16, le = false) ++ u16(v & 0xFFFF, le = false)
+    def jpeg(le: Boolean, orientation: Int, withTag: Boolean = true,
+        xmpFirst: Boolean = false): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+      if (xmpFirst) { // non-Exif APP1 the walk must skip by length
+        val body = "http://ns.adobe.com/xap/1.0/".getBytes("US-ASCII")
+        out.write(Array(0xFF, 0xE1).map(_.toByte))
+        out.write(u16(2 + body.length, le = false)); out.write(body)
+      }
+      val tiff = new java.io.ByteArrayOutputStream()
+      tiff.write((if (le) "II" else "MM").getBytes("US-ASCII"))
+      tiff.write(u16(42, le)); tiff.write(u32(8, le)) // IFD0 at base+8
+      tiff.write(u16(2, le)) // two entries
+      // entry 1: Make (0x010F), ASCII, inline "abc\0"
+      tiff.write(u16(0x010F, le)); tiff.write(u16(2, le))
+      tiff.write(u32(4, le)); tiff.write("abc ".getBytes("US-ASCII"))
+      // entry 2: Orientation (or an unrelated tag when withTag = false)
+      tiff.write(u16(if (withTag) 0x0112 else 0x0131, le))
+      tiff.write(u16(3, le)); tiff.write(u32(1, le))
+      tiff.write(u16(orientation, le)); tiff.write(u16(0, le))
+      tiff.write(u32(0, le)) // next-IFD pointer
+      val exif = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+        tiff.toByteArray
+      out.write(Array(0xFF, 0xE1).map(_.toByte))
+      out.write(u16(2 + exif.length, le = false)); out.write(exif)
+      out.write(Array(0xFF, 0xD9).map(_.toByte)) // EOI
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, jpeg(le = true, 6)),
+      (2L, jpeg(le = false, 8)),
+      (3L, jpeg(le = true, 3, xmpFirst = true)),
+      (4L, jpeg(le = false, 1, withTag = false)), // tag absent → null
+      (5L, Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)), // no APP1 → null
+      (6L, Array.fill[Byte](20)(0x42)), // junk → null
+      (7L, jpeg(le = true, 99))) // out-of-range value → null
+      .toDF("doc_id", "payload")
+    val got = Multimodal.exifOrientation(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(r.fieldIndex("img_orientation"))) None
+         else Some(r.getAs[Int]("img_orientation")))).toMap
+    assert(got == Map(1L -> Some(6), 2L -> Some(8), 3L -> Some(3),
+      4L -> None, 5L -> None, 6L -> None, 7L -> None), got.toString)
+    // truncated mid-TIFF: no error, null
+    val cut = jpeg(le = false, 5).dropRight(30)
+    val tr = Multimodal.exifOrientation(Seq((9L, cut)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(tr.isNullAt(tr.fieldIndex("img_orientation")), tr.toString)
+    val plan = Multimodal.exifOrientation(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tokenize chunking: stride windows with overlap, tail policy, shuffle-free plan") {
     import graft.ops.Tokenize
     val enc = Seq(
