@@ -19,6 +19,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One byte as two uppercase hex chars — shared by the payload-building
+    * multimodal gate queries. */
+  private def hexByte(v: Column): Column = lpad(hex(v.cast("long")), 2, "0")
+
   /** documents table doubled with offset ids — guarantees exact duplicates
     * for the dedup operators (same construction in the oracle SQL).
     */
@@ -809,7 +813,6 @@ object SparkEntry {
       // whose syncsafe size the parser must skip exactly, every 7th junk.
       // The oracle computes every field analytically (bitrate via the
       // classic tables as list literals).
-      def b(v: Column): Column = lpad(hex(v.cast("long")), 2, "0")
       val d = t(s, dir, "documents").select(col("doc_id"))
       val ver = when(pmod(col("doc_id"), lit(2)) === 0, 3).otherwise(2)
       val brIdx = (pmod(col("doc_id"), lit(14)) + 1).cast("int")
@@ -817,11 +820,11 @@ object SparkEntry {
       val mode = pmod(col("doc_id"), lit(4)).cast("int")
       val id3Size = pmod(col("doc_id"), lit(30)).cast("int") // < 128: last syncsafe byte
       val frame = concat(lit("FF"),
-        b(shiftleft(ver, 3).bitwiseOR(lit(0xE0)).bitwiseOR(lit(3))), // L3 + no-CRC
-        b(shiftleft(brIdx, 4).bitwiseOR(shiftleft(srIdx, 2))),
-        b(shiftleft(mode, 6)),
+        hexByte(shiftleft(ver, 3).bitwiseOR(lit(0xE0)).bitwiseOR(lit(3))), // L3 + no-CRC
+        hexByte(shiftleft(brIdx, 4).bitwiseOR(shiftleft(srIdx, 2))),
+        hexByte(shiftleft(mode, 6)),
         lit("11" * 200))
-      val id3 = concat(lit("494433" + "0300" + "00" + "000000"), b(id3Size),
+      val id3 = concat(lit("494433" + "0300" + "00" + "000000"), hexByte(id3Size),
         repeat(lit("00"), id3Size))
       val payload = when(pmod(col("doc_id"), lit(7)) === 0, lit("ABCD"))
         .otherwise(concat(
@@ -839,7 +842,6 @@ object SparkEntry {
       // IFD0 with one entry carrying orientation 1 + doc_id%8. Every 5th
       // row's entry is a different tag (orientation → null), every 7th is
       // junk. Oracle is pure CASE arithmetic.
-      def b(v: Column): Column = lpad(hex(v.cast("long")), 2, "0")
       val d = t(s, dir, "documents").select(col("doc_id"))
       val or = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
       val le = pmod(col("doc_id"), lit(2)) === 0
@@ -849,10 +851,10 @@ object SparkEntry {
       // zero next-IFD pointer
       val tiff = when(le,
         concat(lit("4949" + "2A00" + "08000000" + "0100"), tagLe,
-          lit("0300" + "01000000"), b(or), lit("00" + "0000" + "00000000")))
+          lit("0300" + "01000000"), hexByte(or), lit("00" + "0000" + "00000000")))
         .otherwise(
           concat(lit("4D4D" + "002A" + "00000008" + "0001"), tagBe,
-            lit("0003" + "00000001" + "00"), b(or), lit("0000" + "00000000")))
+            lit("0003" + "00000001" + "00"), hexByte(or), lit("0000" + "00000000")))
       // APP1 length = 2(len) + 6(Exif\0\0) + 26(TIFF) = 34 = 0x22
       val jpeg = concat(lit("FFD8" + "FFE1" + "0022" + "457869660000"), tiff,
         lit("FFD9"))

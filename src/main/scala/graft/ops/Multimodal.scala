@@ -221,6 +221,9 @@ object Multimodal {
         when(st.getField("w") >= 0, st) // found: carry through remaining steps
           .when(off.isNull || off + 8L > length(p).cast("long") ||
             hex(p.substr(iOff, lit(1))) =!= "FF", fail)
+          // JPEG B.1.1.2: optional 0xFF fill bytes before any marker —
+          // advance one byte, don't misread the marker as a length
+          .when(marker === 255, state(off + 1L, lit(-1), lit(-1)))
           .when(marker.isin(JpegSofMarkers: _*),
             // SOF layout: FF Cx len(2) precision(1) height(2 BE) width(2 BE)
             state(off,
@@ -282,10 +285,19 @@ object Multimodal {
       (st, i) => {
         val le = xb.getField("le")
         val entPos = xb.getField("ent") + i.cast("long") * 12L
+        // value read honors the entry's TYPE: SHORT (3) is the spec'd
+        // layout, LONG (4) appears in the wild (a BE LONG's low half
+        // lives in the LAST two value bytes, so a u16 read would see 0);
+        // anything else → -2 (found-but-unreadable → null downstream)
+        val typ = u16e(entPos + 2L, le)
+        val value = coalesce(
+          when(typ === 3L, u16e(entPos + 8L, le))
+            .when(typ === 4L, u32e(entPos + 8L, le)),
+          lit(-2L))
         when(st >= 0L, st) // found: carry
           .when(i.cast("long") >= xb.getField("cnt") ||
             entPos + 11L > length(p).cast("long"), st)
-          .when(u16e(entPos, le) === 0x0112L, u16e(entPos + 8L, le))
+          .when(u16e(entPos, le) === 0x0112L, value)
           .otherwise(st)
       })
     df.withColumn("__xa", when(isJpeg, exifTiffBase(p, maxSegments)))
@@ -310,6 +322,8 @@ object Multimodal {
         when(st.isNull || st < 0L, st)
           .when(off + 4L > length(p).cast("long") ||
             beUInt(p, off, 1) =!= 255L, lit(null).cast("long"))
+          // 0xFF fill bytes before a marker (JPEG B.1.1.2): advance one
+          .when(marker === 255L, off + 1L)
           .when(marker === 0xE1L &&
             hex(p.substr((off + 4L).cast("int"), lit(6))) === "457869660000" &&
             off + 18L <= length(p).cast("long"), // TIFF header must fit
@@ -335,11 +349,12 @@ object Multimodal {
     * channel-mode decode straight from its 4 bytes (the classic bitrate
     * and sample-rate tables as array literals — V1 L1-L3, V2/V2.5 L1 and
     * the shared L2/L3 table). audio_duration_ms for mp3 is the CBR
-    * ESTIMATE bytes·8/kbps over the payload from the first frame — exact
-    * for CBR streams, approximate for VBR (a VBR-exact duration needs
-    * every frame header, a decode-shaped pass by design out of scope for
-    * the header-only ingest). Free-format streams (bitrate index 0) give
-    * null bitrate/duration.
+    * ESTIMATE bytes·8/kbps over the payload from the first frame (a
+    * trailing 128-byte ID3v1 tag is excluded; rarer APE/Lyrics3 trailers
+    * are not) — exact for untrailed CBR streams, approximate for VBR (a
+    * VBR-exact duration needs every frame header, a decode-shaped pass by
+    * design out of scope for the header-only ingest). Free-format streams
+    * (bitrate index 0) give null bitrate/duration.
     *
     * Output: input columns + audio_format, audio_channels,
     * audio_sample_rate, audio_bits (PCM only — frame-based codecs carry
@@ -401,10 +416,16 @@ object Multimodal {
     val srDiv = when(verBits === 3, 1).when(verBits === 2, 2).otherwise(4)
     val mp3Rate = floor(srBase / srDiv).cast("int")
     val mp3Ch = when(mode === 3, 1).otherwise(2).cast("int")
-    // CBR estimate over the bytes from the first frame to EOF:
-    // bytes·8 bits / (kbps kbit/s) = ms exactly
-    val mp3Dur = floor((length(p).cast("long") - off + 1L) * 8 / bitrate)
-      .cast("long")
+    // CBR estimate over the bytes from the first frame to EOF: bytes·8
+    // bits / (kbps kbit/s) = ms. The ubiquitous 128-byte ID3v1 "TAG"
+    // trailer is excluded (it is metadata, not audio); other trailing
+    // tags (APE/Lyrics3) are rare enough to stay inside the estimate's
+    // stated tolerance.
+    val id3v1 = length(p) >= 128 &&
+      hex(p.substr(length(p) - 127, lit(3))) === "544147"
+    val audioBytes = length(p).cast("long") -
+      when(id3v1, 128L).otherwise(0L) - off + 1L
+    val mp3Dur = floor(audioBytes * 8 / bitrate).cast("long")
 
     df.withColumn("audio_format", fmt)
       .withColumn("__wd", when(isWav, wavChunks(p, maxChunks)))

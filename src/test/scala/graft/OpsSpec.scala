@@ -1428,6 +1428,14 @@ class OpsSpec extends SparkTestBase {
       fr.getAs[Int]("audio_sample_rate") == 44100, fr.toString)
     assert(fr.isNullAt(fr.fieldIndex("audio_bitrate_kbps")) &&
       fr.isNullAt(fr.fieldIndex("audio_duration_ms")), fr.toString)
+    // trailing 128-byte ID3v1 tag: metadata, excluded from the CBR
+    // duration estimate
+    val trailed = bare ++ ("TAG".getBytes("US-ASCII") ++ new Array[Byte](125))
+    val td = Multimodal.audioMeta(Seq((8L, trailed)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(td.getAs[Long]("audio_duration_ms") == expectDur(bare, 0, 128),
+      td.toString)
+
     // an ID3 tag with NO legal frame within the scan window: mp3-shaped
     // but every field null (the scan finds nothing, never errors)
     val noFrame = mp3(3, 1, 9, 0, 0, id3Size = 16).takeWhile(_ != 0xFF.toByte)
@@ -1449,9 +1457,11 @@ class OpsSpec extends SparkTestBase {
       if (le) u16(v & 0xFFFF, le = true) ++ u16(v >>> 16, le = true)
       else u16(v >>> 16, le = false) ++ u16(v & 0xFFFF, le = false)
     def jpeg(le: Boolean, orientation: Int, withTag: Boolean = true,
-        xmpFirst: Boolean = false): Array[Byte] = {
+        xmpFirst: Boolean = false, ffFill: Boolean = false,
+        longType: Boolean = false): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       out.write(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+      if (ffFill) out.write(0xFF) // JPEG B.1.1.2 fill byte before a marker
       if (xmpFirst) { // non-Exif APP1 the walk must skip by length
         val body = "http://ns.adobe.com/xap/1.0/".getBytes("US-ASCII")
         out.write(Array(0xFF, 0xE1).map(_.toByte))
@@ -1463,11 +1473,13 @@ class OpsSpec extends SparkTestBase {
       tiff.write(u16(2, le)) // two entries
       // entry 1: Make (0x010F), ASCII, inline "abc\0"
       tiff.write(u16(0x010F, le)); tiff.write(u16(2, le))
-      tiff.write(u32(4, le)); tiff.write("abc ".getBytes("US-ASCII"))
+      tiff.write(u32(4, le))
+      tiff.write("abc".getBytes("US-ASCII") ++ Array[Byte](0))
       // entry 2: Orientation (or an unrelated tag when withTag = false)
       tiff.write(u16(if (withTag) 0x0112 else 0x0131, le))
-      tiff.write(u16(3, le)); tiff.write(u32(1, le))
-      tiff.write(u16(orientation, le)); tiff.write(u16(0, le))
+      tiff.write(u16(if (longType) 4 else 3, le)); tiff.write(u32(1, le))
+      if (longType) tiff.write(u32(orientation, le))
+      else { tiff.write(u16(orientation, le)); tiff.write(u16(0, le)) }
       tiff.write(u32(0, le)) // next-IFD pointer
       val exif = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
         tiff.toByteArray
@@ -1483,14 +1495,18 @@ class OpsSpec extends SparkTestBase {
       (4L, jpeg(le = false, 1, withTag = false)), // tag absent → null
       (5L, Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)), // no APP1 → null
       (6L, Array.fill[Byte](20)(0x42)), // junk → null
-      (7L, jpeg(le = true, 99))) // out-of-range value → null
+      (7L, jpeg(le = true, 99)), // out-of-range value → null
+      (8L, jpeg(le = false, 7, ffFill = true)), // FF fill before a marker
+      (10L, jpeg(le = false, 6, longType = true)), // LONG-typed tag (BE)
+      (11L, jpeg(le = true, 2, longType = true))) // LONG-typed tag (LE)
       .toDF("doc_id", "payload")
     val got = Multimodal.exifOrientation(df).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (if (r.isNullAt(r.fieldIndex("img_orientation"))) None
          else Some(r.getAs[Int]("img_orientation")))).toMap
     assert(got == Map(1L -> Some(6), 2L -> Some(8), 3L -> Some(3),
-      4L -> None, 5L -> None, 6L -> None, 7L -> None), got.toString)
+      4L -> None, 5L -> None, 6L -> None, 7L -> None,
+      8L -> Some(7), 10L -> Some(6), 11L -> Some(2)), got.toString)
     // truncated mid-TIFF: no error, null
     val cut = jpeg(le = false, 5).dropRight(30)
     val tr = Multimodal.exifOrientation(Seq((9L, cut)).toDF("doc_id", "payload"))
