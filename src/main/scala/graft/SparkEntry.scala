@@ -406,9 +406,13 @@ object SparkEntry {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(store), true) // re-runnable
-      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      // thread each fold's observed count into the next fold's broadcast
+      // gate (the streamingCurate steady-batch contract, ×4 headroom) —
+      // the gate row exercises the count-job-free path end-to-end
+      Seq(b0, b1, b2).zipWithIndex.foldLeft(-1L) { case (prev, (b, i)) =>
         graft.streaming.StreamOps.foldCurateBatch(b, i.toLong, store, cfgC,
-          compactThreshold = 2)
+          compactThreshold = 2,
+          deltaDocsBound = if (prev >= 0L) Some(prev * 4L) else None)
       }
       graft.streaming.StreamOps.readCuratedSurvivors(s, store)
         .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))

@@ -219,8 +219,10 @@ object Curation {
     */
   def curateDelta(corpusExact: DataFrame, corpusIndex: DataFrame,
       delta: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame =
-    curateDeltaWithBase(corpusExact, corpusIndex, delta, idCol, textCol, cfg)._1
+      cfg: Config = Config(),
+      deltaDocsBound: Option[Long] = None): DataFrame =
+    curateDeltaWithBase(corpusExact, corpusIndex, delta, idCol, textCol, cfg,
+      deltaDocsBound)._1
 
   /** [[curateDelta]] plus the delta's BASE-APPEND set: the exact-stage rows
     * (fresh content, pre near-dup collapse) that must join the persisted
@@ -228,10 +230,16 @@ object Curation {
     * base needs near-dup losers too, not just survivors (a later doc may
     * chain through one; see [[dedupBase]]). Returns
     * (survivors, baseAppend), both eagerly materialized.
+    *
+    * `deltaDocsBound`: optional caller-supplied upper bound on the
+    * delta's row count — forwarded to the incremental-LSH broadcast gate
+    * so the fold skips its per-call delta count job (bound contract in
+    * [[Dedup.minhashLshPairsIncrementalLazy]]).
     */
   def curateDeltaWithBase(corpusExact: DataFrame, corpusIndex: DataFrame,
       delta: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): (DataFrame, DataFrame) = {
+      cfg: Config = Config(),
+      deltaDocsBound: Option[Long] = None): (DataFrame, DataFrame) = {
     val outCols = Seq(col(idCol), col(textCol), col("lang"), col("n_tokens"))
     val deltaExact = dedupBase(delta, idCol, textCol, cfg)
     // exact-dup check: prefer a persisted `content_hash` column on
@@ -256,7 +264,8 @@ object Curation {
       // futures below have materialized everything that reads it
       val (pairs, releaseSh) = Dedup.minhashLshPairsIncrementalLazy(
         corpusExact, corpusIndex, freshP, textCol, idCol, cfg.minhashHashes,
-        cfg.minhashBands, cfg.jaccardThreshold, cfg.shingleSize)
+        cfg.minhashBands, cfg.jaccardThreshold, cfg.shingleSize,
+        knownDeltaDocs = deltaDocsBound)
       // the two materializations are independent (survivors = freshP
       // anti-joined to cluster losers; baseAppend = freshP projected) —
       // run them as concurrent jobs so the fold pays one checkpoint

@@ -198,15 +198,17 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       shingleSize: Int = 3,
       eager: Boolean = true,
-      maxBroadcastDeltaDocs: Long = 2000000L): DataFrame =
+      maxBroadcastDeltaDocs: Long = 2000000L,
+      knownDeltaDocs: Option[Long] = None): DataFrame =
     if (!eager)
       incrementalPairsCore(corpus, bandIndex, delta, textCol, idCol,
         numHashes, bands, jaccardThreshold, shingleSize, cacheDelta = false,
-        maxBroadcastDeltaDocs)._1
+        maxBroadcastDeltaDocs, knownDeltaDocs)._1
     else {
       val (verified, release) = incrementalPairsCore(corpus, bandIndex,
         delta, textCol, idCol, numHashes, bands, jaccardThreshold,
-        shingleSize, cacheDelta = true, maxBroadcastDeltaDocs)
+        shingleSize, cacheDelta = true, maxBroadcastDeltaDocs,
+        knownDeltaDocs)
       val out = verified.localCheckpoint(true)
       release()
       out
@@ -219,6 +221,16 @@ object Dedup {
     * instead of pairs-checkpoint + edges-checkpoint). The count gate +
     * shingle cache behave like the eager mode; call `release()` after the
     * frame's one consumer materialized (it drops the shingle cache).
+    *
+    * `knownDeltaDocs`: a caller-supplied UPPER BOUND on the delta's row
+    * count — when given, the broadcast gate compares it instead of
+    * running the count job (one job off a fixed-cost-bound fold). A
+    * too-HIGH bound only routes to the always-correct shuffle join; a
+    * bound below the true size risks broadcasting an over-gate delta,
+    * which fails LOUDLY at Spark's broadcast-size cap — never silently
+    * wrong. Stream callers pass the previous batch's observed count with
+    * headroom (the steady-batch contract; see
+    * [[graft.streaming.StreamOps.foldCurateBatch]]).
     */
   def minhashLshPairsIncrementalLazy(
       corpus: DataFrame,
@@ -230,10 +242,11 @@ object Dedup {
       bands: Int = 16,
       jaccardThreshold: Double = 0.5,
       shingleSize: Int = 3,
-      maxBroadcastDeltaDocs: Long = 2000000L): (DataFrame, () => Unit) =
+      maxBroadcastDeltaDocs: Long = 2000000L,
+      knownDeltaDocs: Option[Long] = None): (DataFrame, () => Unit) =
     incrementalPairsCore(corpus, bandIndex, delta, textCol, idCol,
       numHashes, bands, jaccardThreshold, shingleSize, cacheDelta = true,
-      maxBroadcastDeltaDocs)
+      maxBroadcastDeltaDocs, knownDeltaDocs)
 
   private def incrementalPairsCore(
       corpus: DataFrame,
@@ -246,7 +259,8 @@ object Dedup {
       jaccardThreshold: Double,
       shingleSize: Int,
       cacheDelta: Boolean,
-      maxBroadcastDeltaDocs: Long): (DataFrame, () => Unit) = {
+      maxBroadcastDeltaDocs: Long,
+      knownDeltaDocs: Option[Long] = None): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = delta.sparkSession
     import spark.implicits._
@@ -262,17 +276,23 @@ object Dedup {
     // cache): an unbounded hint on a corpus-sized "delta" is a
     // driver/broadcast-limit OOM, and such a batch belongs to
     // [[minhashLshPairs]] anyway — above the gate the join degrades to a
-    // shuffle of both sides instead of failing. In eager=false (live-plan
-    // audit / composition) mode no job may run at build time and nothing
-    // is cached to absorb a count, so the gate falls back to the
-    // optimizer's size ESTIMATE — conservative enough to keep a
-    // corpus-sized parquet "delta" off the broadcast path while the
-    // documented small-batch contract still audits with the hint.
+    // shuffle of both sides instead of failing. A caller-supplied
+    // `knownDeltaDocs` upper bound replaces the count job entirely (the
+    // shingle cache then populates during the fold's first scan instead
+    // of here; see the Lazy variant's Scaladoc for the bound contract).
+    // In eager=false (live-plan audit / composition) mode no job may run
+    // at build time and nothing is cached to absorb a count, so the gate
+    // falls back to the optimizer's size ESTIMATE — conservative enough
+    // to keep a corpus-sized parquet "delta" off the broadcast path while
+    // the documented small-batch contract still audits with the hint.
     val deltaBands = deltaBanded.withColumnRenamed("id", "delta_id")
-    val deltaSmall =
-      if (cacheDelta) deltaSh.count() <= maxBroadcastDeltaDocs
-      else delta.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        maxBroadcastDeltaDocs * 512L
+    val deltaSmall = knownDeltaDocs match {
+      case Some(bound) => bound <= maxBroadcastDeltaDocs
+      case None =>
+        if (cacheDelta) deltaSh.count() <= maxBroadcastDeltaDocs
+        else delta.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          maxBroadcastDeltaDocs * 512L
+    }
     val probeSide = if (deltaSmall) broadcast(deltaBands) else deltaBands
     val vsIndex = bandIndex
       .join(probeSide, Seq("band", "band_hash"))

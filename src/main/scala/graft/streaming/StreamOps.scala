@@ -262,30 +262,46 @@ object StreamOps {
     settled.foreach(_.get)
   }
 
+  /** Fold one micro-batch into the curated store. Returns the batch's
+    * observed row count (rides an Observation on the fold's own jobs —
+    * no extra count job; -1 when the runtime delivers no observed
+    * metrics). `deltaDocsBound`: optional upper bound on THIS batch's
+    * rows, forwarded to the incremental-LSH broadcast gate so the fold
+    * skips its delta count job — stream callers pass the previous
+    * batch's observed count with headroom (steady-batch contract; a
+    * too-high bound only routes to the always-correct shuffle join, see
+    * [[graft.ops.Dedup.minhashLshPairsIncrementalLazy]]).
+    */
   def foldCurateBatch(batch: DataFrame, batchId: Long, storeDir: String,
       cfg: graft.ops.Curation.Config,
       idCol: String = "doc_id", textCol: String = "text",
       compactThreshold: Int = 0,
-      writePartitions: Int = 4): Unit = {
+      writePartitions: Int = 4,
+      deltaDocsBound: Option[Long] = None): Long = {
     import graft.ops.{Curation, Dedup}
     val spark = batch.sparkSession
     val (basePath, idxPath, outPath) =
       (s"$storeDir/base", s"$storeDir/index", s"$storeDir/survivors")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    // the batch count rides the fold's first batch-scanning job (the
+    // dedupBase checkpoint / the delta fold's edges checkpoint) — read
+    // back AFTER the writes settle, when those jobs have provably run
+    val rowsObs = org.apache.spark.sql.Observation()
+    val batchObserved = batch.observe(rowsObs, count(lit(1)).as("rows"))
     val priorBase = livePaths(fs, basePath, excludeBatchId = batchId)
     val (survivors, baseAppend) =
       if (priorBase.isEmpty) {
         // first batch: plain batch curation; base = the batch's dedupBase
-        val base = Curation.dedupBase(batch, idCol, textCol, cfg)
+        val base = Curation.dedupBase(batchObserved, idCol, textCol, cfg)
           .localCheckpoint(true)
         (Curation.curate(batch, idCol, textCol, cfg), base)
       } else {
         val corpusExact = spark.read.parquet(priorBase: _*)
         val index = spark.read.parquet(livePaths(fs, idxPath, batchId): _*)
           .select(col("band"), col("band_hash"), col("id"))
-        Curation.curateDeltaWithBase(corpusExact, index, batch,
-          idCol, textCol, cfg)
+        Curation.curateDeltaWithBase(corpusExact, index, batchObserved,
+          idCol, textCol, cfg, deltaDocsBound)
       }
     // micro-batch outputs are delta-sized: writing them at the session's
     // full parallelism produces parallelism-many tiny files per table per
@@ -328,6 +344,10 @@ object StreamOps {
     if (compactThreshold > 0 &&
         livePaths(fs, basePath).count(_.contains("batch_id=")) >= compactThreshold)
       compactStore(spark, fs, storeDir, batchId)
+    // writes settled above ⇒ the observed job finished; a short wait
+    // suffices and -1 (unsupported runtime) sends the NEXT fold back to
+    // the always-correct count-job gate
+    graft.ObservedMetrics.longField(rowsObs, "rows", timeoutSecs = 5) { -1L }
   }
 
   /** Streaming incremental curation: bind [[foldCurateBatch]] to a live
@@ -342,13 +362,22 @@ object StreamOps {
       idCol: String = "doc_id", textCol: String = "text",
       compactThreshold: Int = 0,
       writePartitions: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // steady-batch gate bound: each fold's observed row count (×4
+    // headroom) bounds the NEXT fold's broadcast gate, removing the
+    // per-fold delta count job; -1 (no observed metrics) falls back to
+    // the count-job gate for the following batch
+    val prevRows = new java.util.concurrent.atomic.AtomicLong(-1L)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldCurateBatch(batch, batchId, storeDir, cfg, idCol, textCol,
-          compactThreshold, writePartitions)
+        val p = prevRows.get()
+        val bound = if (p >= 0L) Some(p * 4L) else None
+        prevRows.set(foldCurateBatch(batch, batchId, storeDir, cfg, idCol,
+          textCol, compactThreshold, writePartitions, bound))
+        ()
       }
       .start()
+  }
 }

@@ -160,6 +160,41 @@ class StreamingSpec extends SparkTestBase {
       "crash-window replay lost the batch's survivors")
   }
 
+  test("foldCurateBatch: caller-supplied gate bound — both routes identical; observed count returned") {
+    import graft.ops.Curation
+    val ccfg = Curation.Config(langs = Set("latin"), minTokens = 5,
+      maxTokens = 100, jaccardThreshold = 0.6)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val fresh2 = "entirely new batch two prose on cuckoo filters bloom sketches and seen sets"
+    val b1 = Seq((1L, base), (2L, base), (6L, base + " tail one"))
+    val b2 = Seq((101L, base), (104L, fresh2), (105L, fresh2))
+
+    def runFold(bound2: Option[Long]): (Set[Long], Seq[Long]) = {
+      val store = java.nio.file.Files.createTempDirectory("fold-bound").toString
+      val r1 = StreamOps.foldCurateBatch(b1.toDF("doc_id", "text"), 0L,
+        store, ccfg)
+      val r2 = StreamOps.foldCurateBatch(b2.toDF("doc_id", "text"), 1L,
+        store, ccfg, deltaDocsBound = bound2)
+      (StreamOps.readCuratedSurvivors(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet, Seq(r1, r2))
+    }
+
+    val (noBound, counts) = runFold(None)                // count-job gate
+    val (broadcastRoute, _) = runFold(Some(12L))         // bound ≤ gate → broadcast
+    val (shuffleRoute, _) = runFold(Some(3000000L))      // bound > gate → shuffle join
+    assert(broadcastRoute == noBound,
+      "bound-driven broadcast route changed the fold results")
+    assert(shuffleRoute == noBound,
+      "bound-driven shuffle route changed the fold results")
+
+    // observed count = raw batch rows (pre-filter), riding the fold's own
+    // jobs; -1 only when the runtime delivers no observed metrics
+    if (graft.ObservedMetrics.observationsSupported)
+      assert(counts == Seq(b1.size.toLong, b2.size.toLong),
+        s"observed batch counts wrong: $counts")
+    else assert(counts.forall(c => c == -1L))
+  }
+
   test("watermarked windowed fetch-rate counts per host") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[graft.model.PageRow]
