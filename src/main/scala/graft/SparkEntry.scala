@@ -412,7 +412,7 @@ object SparkEntry {
       Seq(b0, b1, b2).zipWithIndex.foldLeft(-1L) { case (prev, (b, i)) =>
         graft.streaming.StreamOps.foldCurateBatch(b, i.toLong, store, cfgC,
           compactThreshold = 2,
-          deltaDocsBound = if (prev >= 0L) Some(prev * 4L) else None)
+          deltaDocsBound = graft.streaming.StreamOps.nextGateBound(prev))
       }
       graft.streaming.StreamOps.readCuratedSurvivors(s, store)
         .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))

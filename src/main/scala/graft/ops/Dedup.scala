@@ -226,10 +226,11 @@ object Dedup {
     * count — when given, the broadcast gate compares it instead of
     * running the count job (one job off a fixed-cost-bound fold). A
     * too-HIGH bound only routes to the always-correct shuffle join; a
-    * bound below the true size risks broadcasting an over-gate delta,
-    * which fails LOUDLY at Spark's broadcast-size cap — never silently
-    * wrong. Stream callers pass the previous batch's observed count with
-    * headroom (the steady-batch contract; see
+    * bound below the true size is caught by a free plan-estimate veto
+    * when the optimizer can size the delta, and otherwise fails LOUDLY
+    * at Spark's broadcast-size cap — never silently wrong. Stream
+    * callers pass the previous batch's observed count with headroom
+    * (the steady-batch contract; see
     * [[graft.streaming.StreamOps.foldCurateBatch]]).
     */
   def minhashLshPairsIncrementalLazy(
@@ -287,7 +288,19 @@ object Dedup {
     // the documented small-batch contract still audits with the hint.
     val deltaBands = deltaBanded.withColumnRenamed("id", "delta_id")
     val deltaSmall = knownDeltaDocs match {
-      case Some(bound) => bound <= maxBroadcastDeltaDocs
+      case Some(bound) =>
+        // the caller's bound replaces the count JOB, but a computable plan
+        // estimate still gets a free VETO: a stream's backlog-drain batch
+        // can exceed the steady-batch bound by far more than the
+        // contract's headroom, and the forced broadcast the measured gate
+        // exists to prevent would come back as a query crash. Estimates
+        // at/above ~1 PiB are the optimizer's "unknown" default leaking
+        // through (LogicalRDD etc.) and carry no signal — only a real
+        // estimate may veto.
+        val est = delta.queryExecution.optimizedPlan.stats.sizeInBytes
+        bound <= maxBroadcastDeltaDocs &&
+          (est >= BigInt(1L << 50) ||
+            est <= BigInt(maxBroadcastDeltaDocs) * 512L)
       case None =>
         if (cacheDelta) deltaSh.count() <= maxBroadcastDeltaDocs
         else delta.queryExecution.optimizedPlan.stats.sizeInBytes <=

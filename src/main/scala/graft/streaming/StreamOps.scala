@@ -345,10 +345,22 @@ object StreamOps {
         livePaths(fs, basePath).count(_.contains("batch_id=")) >= compactThreshold)
       compactStore(spark, fs, storeDir, batchId)
     // writes settled above ⇒ the observed job finished; a short wait
-    // suffices and -1 (unsupported runtime) sends the NEXT fold back to
-    // the always-correct count-job gate
-    graft.ObservedMetrics.longField(rowsObs, "rows", timeoutSecs = 5) { -1L }
+    // suffices and -1 sends the NEXT fold back to the always-correct
+    // count-job gate. NON-latching: a slow listener-bus delivery under
+    // the fold's own concurrent jobs is not "observations unsupported",
+    // and the miss costs one count-gate fold, not the process-wide latch
+    graft.ObservedMetrics.longField(rowsObs, "rows", timeoutSecs = 5,
+      latchOnTimeout = false) { -1L }
   }
+
+  /** The steady-batch gate-bound policy in one place: the previous
+    * batch's observed row count with ×4 headroom bounds the next fold's
+    * broadcast gate (see [[foldCurateBatch]]); no observation (-1) or an
+    * empty batch yields no bound — the next fold measures (a count job
+    * on the store-shaped plans is cheap exactly when batches are tiny).
+    */
+  def nextGateBound(prevRows: Long): Option[Long] =
+    if (prevRows > 0L) Some(prevRows * 4L) else None
 
   /** Streaming incremental curation: bind [[foldCurateBatch]] to a live
     * document stream — each micro-batch dedups (exact + near) against
@@ -372,10 +384,9 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val p = prevRows.get()
-        val bound = if (p >= 0L) Some(p * 4L) else None
         prevRows.set(foldCurateBatch(batch, batchId, storeDir, cfg, idCol,
-          textCol, compactThreshold, writePartitions, bound))
+          textCol, compactThreshold, writePartitions,
+          nextGateBound(prevRows.get())))
         ()
       }
       .start()

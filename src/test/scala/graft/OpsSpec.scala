@@ -115,6 +115,44 @@ class OpsSpec extends SparkTestBase {
     assert(!inc.exists(p => p._1 == 10004L || p._2 == 10004L)) // unique stays unpaired
   }
 
+  test("incremental LSH gate bound: estimate veto blocks a mis-bounded broadcast; all routes agree") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpusRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    // enough rows that the LocalRelation size estimate (~28 bytes/row)
+    // clears the vetoed route's 1024-byte threshold below
+    val delta = (Seq(
+      (20000L, corpusRows(0)._2),
+      (20001L, "wholly unique delta content nothing like the corpus at all here"),
+      (20002L, "delta twin delta twin delta twin delta twin delta twin words"),
+      (20003L, "delta twin delta twin delta twin delta twin delta twin words")
+    ) ++ (0 until 60).map(i =>
+      (20100L + i, s"filler row number $i about topic-$i alone entirely unshared")
+    )).toDF("doc_id", "text")
+    val index = Dedup.lshBandIndex(docs, "text", "doc_id")
+    // eager=false keeps the logical plan live for hint inspection
+    def pairs(known: Option[Long], maxB: Long) =
+      Dedup.minhashLshPairsIncremental(docs, index, delta, "text", "doc_id",
+        jaccardThreshold = 0.5, eager = false,
+        maxBroadcastDeltaDocs = maxB, knownDeltaDocs = known)
+    val gated = pairs(None, 2000000L)      // estimate gate (no bound)
+    val hinted = pairs(Some(4L), 2000000L) // sound bound → broadcast route
+    // bound claims broadcastable but the computable estimate says the
+    // delta outweighs the gate (maxB=2 → 1024-byte veto threshold):
+    // the spike-batch case — must route to the shuffle join, not crash
+    val vetoed = pairs(Some(1L), 2L)
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "sound bound must keep the broadcast hint")
+    assert(!vetoed.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "estimate veto must strip the broadcast hint on a mis-bounded delta")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = res(gated)
+    assert(ref.nonEmpty)
+    assert(res(hinted) == ref, "broadcast-route pairs diverged")
+    assert(res(vetoed) == ref, "veto-route pairs diverged")
+  }
+
   test("minhash LSH: finds all exact dups and near-dups above threshold") {
     // exact ground truth: word-shingle jaccard >= 0.8, computed scalar-side
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
