@@ -814,20 +814,32 @@ object SparkEntry {
       // constructed in SQL from doc_id arithmetic — MPEG-1/MPEG-2 Layer 3
       // alternating by parity, all 14 bitrate indices, all 3 sample-rate
       // indices, all 4 channel modes, every 3rd row behind an ID3v2 tag
-      // whose syncsafe size the parser must skip exactly, every 7th junk.
-      // The oracle computes every field analytically (bitrate via the
-      // classic tables as list literals).
+      // whose syncsafe size the parser must skip exactly, every 7th junk,
+      // every 11th (mod 11 = 5) carrying a Xing VBR header at the exact
+      // side-info offset (frame count doc_id%90+1 → exact duration + avg
+      // bitrate instead of the CBR estimate). The oracle computes every
+      // field analytically (bitrate via the classic tables as list
+      // literals).
       val d = t(s, dir, "documents").select(col("doc_id"))
       val ver = when(pmod(col("doc_id"), lit(2)) === 0, 3).otherwise(2)
       val brIdx = (pmod(col("doc_id"), lit(14)) + 1).cast("int")
       val srIdx = pmod(col("doc_id"), lit(3)).cast("int")
       val mode = pmod(col("doc_id"), lit(4)).cast("int")
       val id3Size = pmod(col("doc_id"), lit(30)).cast("int") // < 128: last syncsafe byte
+      // side-info length per (version, channel-mode) — where Xing lives
+      val sideInfo = when(ver === 3, when(mode === 3, 17).otherwise(32))
+        .otherwise(when(mode === 3, 9).otherwise(17))
+      val xFrames = (pmod(col("doc_id"), lit(90)) + 1).cast("int")
+      val xingFill = concat(repeat(lit("11"), sideInfo),
+        lit("58696E67" + "00000001"), lpad(hex(xFrames), 8, "0"),
+        repeat(lit("11"), lit(188) - sideInfo)) // total stays 200 bytes
+      val fill = when(pmod(col("doc_id"), lit(11)) === 5, xingFill)
+        .otherwise(lit("11" * 200))
       val frame = concat(lit("FF"),
         hexByte(shiftleft(ver, 3).bitwiseOR(lit(0xE0)).bitwiseOR(lit(3))), // L3 + no-CRC
         hexByte(shiftleft(brIdx, 4).bitwiseOR(shiftleft(srIdx, 2))),
         hexByte(shiftleft(mode, 6)),
-        lit("11" * 200))
+        fill)
       val id3 = concat(lit("494433" + "0300" + "00" + "000000"), hexByte(id3Size),
         repeat(lit("00"), id3Size))
       val payload = when(pmod(col("doc_id"), lit(7)) === 0, lit("ABCD"))
@@ -837,6 +849,8 @@ object SparkEntry {
       Multimodal.audioMeta(d.select(col("doc_id"), unhex(payload).as("payload")))
         .select(col("doc_id"), col("audio_format"), col("audio_channels"),
           col("audio_sample_rate"), col("audio_bitrate_kbps"),
+          // int-projected: the driver comparator has no boolean precedent
+          col("audio_vbr").cast("int").as("audio_vbr"),
           col("audio_duration_ms"))
     }),
 
@@ -1773,14 +1787,32 @@ object SparkEntry {
                WHEN 1 THEN 48000 ELSE 32000 END
               // (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END))
            END::INT AS audio_sample_rate,
-           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             WHEN doc_id % 11 = 5 THEN
+               -- Xing rows: average bitrate over the exact duration
+               1632 // ((doc_id % 90 + 1)
+                 * (CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END) * 1000
+                 // ((CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+                      WHEN 1 THEN 48000 ELSE 32000 END)
+                    // (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)))
+             ELSE
              list_extract(
                CASE WHEN doc_id % 2 = 0
                  THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
                  ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160] END,
                CAST(doc_id % 14 + 1 AS INT))
            END::INT AS audio_bitrate_kbps,
-           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END::INT AS audio_vbr,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+             WHEN doc_id % 11 = 5 THEN
+               -- exact: frames * samples-per-frame * 1000 / rate
+               (doc_id % 90 + 1)
+                 * (CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END) * 1000
+                 // ((CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+                      WHEN 1 THEN 48000 ELSE 32000 END)
+                    // (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END))
+             ELSE
              1632 // list_extract(
                CASE WHEN doc_id % 2 = 0
                  THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320]

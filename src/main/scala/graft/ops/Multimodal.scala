@@ -348,19 +348,24 @@ object Multimodal {
     * legal frame header, and version/layer/bitrate-index/sample-rate-index/
     * channel-mode decode straight from its 4 bytes (the classic bitrate
     * and sample-rate tables as array literals — V1 L1-L3, V2/V2.5 L1 and
-    * the shared L2/L3 table). audio_duration_ms for mp3 is the CBR
-    * ESTIMATE bytes·8/kbps over the payload from the first frame (a
-    * trailing 128-byte ID3v1 tag is excluded; rarer APE/Lyrics3 trailers
-    * are not) — exact for untrailed CBR streams, approximate for VBR (a
-    * VBR-exact duration needs every frame header, a decode-shaped pass by
-    * design out of scope for the header-only ingest). Free-format streams
-    * (bitrate index 0) give null bitrate/duration.
+    * the shared L2/L3 table). audio_duration_ms for mp3 prefers the
+    * EXACT frame count from a Xing/Info or VBRI header in the first
+    * frame (frames · samples-per-frame ÷ rate — the headers every VBR
+    * encoder writes precisely because per-frame scanning is a decode-
+    * shaped pass), falling back to the CBR ESTIMATE bytes·8/kbps over
+    * the payload from the first frame (a trailing 128-byte ID3v1 tag is
+    * excluded; rarer APE/Lyrics3 trailers are not) — exact for untrailed
+    * CBR streams, approximate for tag-less VBR. Free-format streams
+    * (bitrate index 0) give null bitrate and estimate.
     *
     * Output: input columns + audio_format, audio_channels,
     * audio_sample_rate, audio_bits (PCM only — frame-based codecs carry
-    * none), audio_bitrate_kbps (mp3 only), audio_duration_ms. Validated in
-    * OpsSpec against REAL bytes from the JDK's javax.sound.sampled writer
-    * (WAV) and hand-muxed spec-exact frames (mp3).
+    * none), audio_bitrate_kbps (mp3 only; the AVERAGE bytes·8/duration
+    * when a VBR header dates the stream exactly, else the first frame's
+    * header value), audio_vbr (Xing/VBRI present), audio_duration_ms.
+    * Validated in OpsSpec against REAL bytes from the JDK's
+    * javax.sound.sampled writer (WAV) and hand-muxed spec-exact frames
+    * (mp3, incl. Xing/Info/VBRI and truncated-header fallbacks).
     */
   def audioMeta(df: DataFrame, payloadCol: String = "payload",
       maxChunks: Int = 16, maxMp3SyncScan: Int = 64): DataFrame = {
@@ -427,6 +432,40 @@ object Multimodal {
       when(id3v1, 128L).otherwise(0L) - off + 1L
     val mp3Dur = floor(audioBytes * 8 / bitrate).cast("long")
 
+    // VBR headers make the duration EXACT (frame count × samples/frame ÷
+    // rate) instead of the CBR estimate. "Xing"/"Info" sits after the
+    // first frame's side info (MPEG1: mono 17 / else 32 bytes; MPEG2/2.5:
+    // mono 9 / else 17); flags bit 0 gates the frame-count field. "VBRI"
+    // (Fraunhofer) sits at the fixed 32-byte offset, frames at +14.
+    // Truncated headers fail the length guard and fall back to the CBR
+    // estimate — never a partial read.
+    val sideInfo = when(verBits === 3,
+      when(mode === 3, 17).otherwise(32))
+      .otherwise(when(mode === 3, 9).otherwise(17))
+    val xOff = off + 4L + sideInfo
+    val xTag = hex(p.substr(xOff, lit(4)))
+    val isXingTag = xTag === "58696E67" // "Xing" (VBR)
+    val isInfoTag = xTag === "496E666F" // "Info" (CBR, still exact frames)
+    val xingOk = (isXingTag || isInfoTag) &&
+      length(p).cast("long") >= xOff + 11L &&
+      beUInt(p, xOff + 4L, 4).bitwiseAND(1L) === 1L
+    val xFrames = beUInt(p, xOff + 8L, 4)
+    val vOff = off + 36L
+    val vbriOk = hex(p.substr(vOff, lit(4))) === "56425249" && // "VBRI"
+      length(p).cast("long") >= vOff + 17L
+    val vFrames = beUInt(p, vOff + 14L, 4)
+    val frames = when(xingOk, xFrames).when(vbriOk, vFrames)
+    val spf = when(layerBits === 3, 384) // L1
+      .when(layerBits === 2, 1152) // L2
+      .otherwise(when(verBits === 3, 1152).otherwise(576)) // L3 V1 / V2+
+    val vbrDur = when(frames.isNotNull && mp3Rate > 0,
+      floor(frames * spf * 1000L / mp3Rate).cast("long"))
+    val isVbr = isXingTag || vbriOk
+    // with an exact duration in hand the average bitrate beats the first
+    // frame's header value (arbitrary in a VBR stream)
+    val avgKbps = when(isVbr && vbrDur > 0L,
+      floor(audioBytes * 8 / vbrDur).cast("int"))
+
     df.withColumn("audio_format", fmt)
       .withColumn("__wd", when(isWav, wavChunks(p, maxChunks)))
       .withColumn("__md",
@@ -435,14 +474,17 @@ object Multimodal {
       .withColumn("audio_sample_rate",
         coalesce(f("rate").cast("int"), when(mOk, mp3Rate)))
       .withColumn("audio_bits", f("bits")) // frame-based codecs have none
-      .withColumn("audio_bitrate_kbps", when(mOk, bitrate))
+      .withColumn("audio_bitrate_kbps",
+        when(mOk, coalesce(avgKbps, bitrate)))
+      .withColumn("audio_vbr",
+        when(mOk, isVbr).when(col("audio_format") === "wav" && found, false))
       .withColumn("audio_duration_ms",
         coalesce(
           when(col("audio_format") === "wav" && found &&
             st.getField("dsz") >= 0 && denom > 0,
             // Column./ is double division; floor restores integral ms
             floor(st.getField("dsz") * 1000L / denom).cast("long")),
-          when(mOk, mp3Dur)))
+          when(mOk, coalesce(vbrDur, mp3Dur))))
       .drop("__wd", "__md")
   }
 

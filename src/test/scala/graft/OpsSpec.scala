@@ -1486,6 +1486,83 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("multimodal audioMeta mp3: Xing/Info/VBRI exact duration, truncation fallback") {
+    import graft.ops.Multimodal
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // one spec-exact L3 frame with a VBR header after the side info
+    // (Xing/Info) or at the fixed 32-byte offset (VBRI); 0x11 filler
+    def mp3vbr(verBits: Int, brIdx: Int, srIdx: Int, mode: Int, tag: String,
+        frames: Long, flags: Long = 1L, id3Size: Int = -1,
+        total: Int = 204): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (id3Size >= 0) {
+        out.write("ID3".getBytes("US-ASCII")); out.write(3); out.write(0)
+        out.write(0)
+        out.write((id3Size >> 21) & 0x7F); out.write((id3Size >> 14) & 0x7F)
+        out.write((id3Size >> 7) & 0x7F); out.write(id3Size & 0x7F)
+        out.write(new Array[Byte](id3Size))
+      }
+      val mark = out.size()
+      out.write(0xFF)
+      out.write(0xE0 | (verBits << 3) | (1 << 1) | 1) // L3, no CRC
+      out.write((brIdx << 4) | (srIdx << 2))
+      out.write(mode << 6)
+      if (tag == "VBRI") {
+        out.write(new Array[Byte](32))
+        out.write("VBRI".getBytes("US-ASCII"))
+        out.write(Array[Byte](0, 1, 0, 0, 0, 0)) // version, delay, quality
+        out.write(u32(0L)) // bytes field (unused by the parser)
+        out.write(u32(frames))
+      } else {
+        val side = if (verBits == 3) { if (mode == 3) 17 else 32 }
+          else { if (mode == 3) 9 else 17 }
+        out.write(new Array[Byte](side))
+        out.write(tag.getBytes("US-ASCII"))
+        out.write(u32(flags)); out.write(u32(frames))
+      }
+      while (out.size() - mark < total) out.write(0x11)
+      out.toByteArray
+    }
+    // (id, bytes, expected (vbr, kbps, durMs)); frame is always 204 bytes
+    // from sync to EOF → CBR-estimate bits = 1632
+    def exact(frames: Long, spf: Long, rate: Long): Long =
+      frames * spf * 1000L / rate
+    val cases = Seq(
+      // V1 L3 44100 stereo, Xing: exact dur, avg kbps = 1632/dur
+      (1L, mp3vbr(3, 9, 0, 0, "Xing", 10L),
+        (true, (1632L / exact(10, 1152, 44100)).toInt, exact(10, 1152, 44100))),
+      // Info = CBR encoder tag: exact frames, NOT vbr, header kbps kept
+      (2L, mp3vbr(2, 3, 1, 3, "Info", 20L),
+        (false, 24, exact(20, 576, 24000))),
+      // VBRI (fixed offset), behind an ID3 envelope: off-relative reads
+      (3L, mp3vbr(3, 9, 0, 0, "VBRI", 50L, id3Size = 60),
+        (true, (1632L / exact(50, 1152, 44100)).toInt, exact(50, 1152, 44100))),
+      // Xing without the FRAMES flag: vbr, but with no exact duration the
+      // CBR estimate + the header's own bitrate stand
+      (4L, mp3vbr(3, 9, 0, 0, "Xing", 10L, flags = 0L),
+        (true, 128, 1632L / 128L)))
+    val df = cases.map { case (id, b, _) => (id, b) }.toDF("doc_id", "payload")
+    val got = Multimodal.audioMeta(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    cases.foreach { case (id, _, (vbr, kbps, ms)) =>
+      val r = got(id)
+      assert(r.getAs[String]("audio_format") == "mp3", s"doc $id: $r")
+      assert(r.getAs[Boolean]("audio_vbr") == vbr, s"doc $id vbr: $r")
+      assert(r.getAs[Int]("audio_bitrate_kbps") == kbps, s"doc $id kbps: $r")
+      assert(r.getAs[Long]("audio_duration_ms") == ms, s"doc $id ms: $r")
+    }
+    // truncated mid-Xing (cut before the frame-count field): length guard
+    // rejects the header, CBR estimate over the truncated bytes
+    val full = mp3vbr(3, 9, 0, 0, "Xing", 10L)
+    val cut = full.take(4 + 32 + 6)
+    val tr = Multimodal.audioMeta(Seq((9L, cut)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(tr.getAs[Long]("audio_duration_ms") == cut.length * 8L / 128L &&
+      tr.getAs[Boolean]("audio_vbr"), tr.toString)
+  }
+
   test("multimodal exifOrientation: TIFF IFD walk, both byte orders") {
     import graft.ops.Multimodal
     def u16(v: Int, le: Boolean): Array[Byte] =
