@@ -815,28 +815,31 @@ object SparkEntry {
       // alternating by parity, all 14 bitrate indices, all 3 sample-rate
       // indices, all 4 channel modes, every 3rd row behind an ID3v2 tag
       // whose syncsafe size the parser must skip exactly, every 7th junk,
-      // every 11th (mod 11 = 5) carrying a Xing VBR header at the exact
-      // side-info offset (frame count doc_id%90+1 → exact duration + avg
-      // bitrate instead of the CBR estimate). The oracle computes every
-      // field analytically (bitrate via the classic tables as list
-      // literals).
+      // every 11th (mod 11 = 5) CRC-protected and carrying a Xing VBR
+      // header at the exact CRC+side-info offset (frame count doc_id%90+1
+      // → exact duration + avg bitrate instead of the CBR estimate). The
+      // oracle computes every field analytically (bitrate via the classic
+      // tables as list literals).
       val d = t(s, dir, "documents").select(col("doc_id"))
       val ver = when(pmod(col("doc_id"), lit(2)) === 0, 3).otherwise(2)
       val brIdx = (pmod(col("doc_id"), lit(14)) + 1).cast("int")
       val srIdx = pmod(col("doc_id"), lit(3)).cast("int")
       val mode = pmod(col("doc_id"), lit(4)).cast("int")
       val id3Size = pmod(col("doc_id"), lit(30)).cast("int") // < 128: last syncsafe byte
-      // side-info length per (version, channel-mode) — where Xing lives
+      val isXing = pmod(col("doc_id"), lit(11)) === 5
+      // side-info length per (version, channel-mode) — where Xing lives,
+      // after the 2-byte CRC-16 the protection bit declares
       val sideInfo = when(ver === 3, when(mode === 3, 17).otherwise(32))
         .otherwise(when(mode === 3, 9).otherwise(17))
       val xFrames = (pmod(col("doc_id"), lit(90)) + 1).cast("int")
-      val xingFill = concat(repeat(lit("11"), sideInfo),
+      val xingFill = concat(lit("BEEF"), repeat(lit("11"), sideInfo),
         lit("58696E67" + "00000001"), lpad(hex(xFrames), 8, "0"),
-        repeat(lit("11"), lit(188) - sideInfo)) // total stays 200 bytes
-      val fill = when(pmod(col("doc_id"), lit(11)) === 5, xingFill)
-        .otherwise(lit("11" * 200))
+        repeat(lit("11"), lit(186) - sideInfo)) // total stays 200 bytes
+      val fill = when(isXing, xingFill).otherwise(lit("11" * 200))
       val frame = concat(lit("FF"),
-        hexByte(shiftleft(ver, 3).bitwiseOR(lit(0xE0)).bitwiseOR(lit(3))), // L3 + no-CRC
+        // L3; Xing rows CRC-protected (protection bit 0), others not
+        hexByte(shiftleft(ver, 3).bitwiseOR(lit(0xE0))
+          .bitwiseOR(when(isXing, 2).otherwise(3))),
         hexByte(shiftleft(brIdx, 4).bitwiseOR(shiftleft(srIdx, 2))),
         hexByte(shiftleft(mode, 6)),
         fill)

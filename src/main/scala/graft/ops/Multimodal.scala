@@ -356,7 +356,9 @@ object Multimodal {
     * the payload from the first frame (a trailing 128-byte ID3v1 tag is
     * excluded; rarer APE/Lyrics3 trailers are not) — exact for untrailed
     * CBR streams, approximate for tag-less VBR. Free-format streams
-    * (bitrate index 0) give null bitrate and estimate.
+    * (bitrate index 0) give null bitrate and estimate — unless a VBR
+    * header dates the stream exactly, in which case the average bitrate
+    * over the exact duration is published like for any other VBR stream.
     *
     * Output: input columns + audio_format, audio_channels,
     * audio_sample_rate, audio_bits (PCM only — frame-based codecs carry
@@ -435,14 +437,18 @@ object Multimodal {
     // VBR headers make the duration EXACT (frame count × samples/frame ÷
     // rate) instead of the CBR estimate. "Xing"/"Info" sits after the
     // first frame's side info (MPEG1: mono 17 / else 32 bytes; MPEG2/2.5:
-    // mono 9 / else 17); flags bit 0 gates the frame-count field. "VBRI"
-    // (Fraunhofer) sits at the fixed 32-byte offset, frames at +14.
-    // Truncated headers fail the length guard and fall back to the CBR
-    // estimate — never a partial read.
+    // mono 9 / else 17), which itself sits after the optional 2-byte
+    // CRC-16 (protection bit 0 = CRC present); flags bit 0 gates the
+    // frame-count field. "VBRI" (Fraunhofer) sits at the fixed 32-byte
+    // offset, frames at +14. Truncated FIELDS fail the length guard and
+    // fall back to the CBR estimate — never a partial read — while a
+    // readable tag magic alone still classifies the stream as VBR
+    // (same policy for Xing and VBRI).
     val sideInfo = when(verBits === 3,
       when(mode === 3, 17).otherwise(32))
       .otherwise(when(mode === 3, 9).otherwise(17))
-    val xOff = off + 4L + sideInfo
+    val crcLen = when(b(1).bitwiseAND(1) === 0, 2).otherwise(0)
+    val xOff = off + 4L + crcLen + sideInfo
     val xTag = hex(p.substr(xOff, lit(4)))
     val isXingTag = xTag === "58696E67" // "Xing" (VBR)
     val isInfoTag = xTag === "496E666F" // "Info" (CBR, still exact frames)
@@ -451,16 +457,18 @@ object Multimodal {
       beUInt(p, xOff + 4L, 4).bitwiseAND(1L) === 1L
     val xFrames = beUInt(p, xOff + 8L, 4)
     val vOff = off + 36L
-    val vbriOk = hex(p.substr(vOff, lit(4))) === "56425249" && // "VBRI"
-      length(p).cast("long") >= vOff + 17L
+    val isVbriTag = hex(p.substr(vOff, lit(4))) === "56425249" // "VBRI"
+    val vbriOk = isVbriTag && length(p).cast("long") >= vOff + 17L
     val vFrames = beUInt(p, vOff + 14L, 4)
+    // frames = 0 is a corrupt/placeholder header: fall back to the
+    // estimate rather than publishing a 0 ms duration
     val frames = when(xingOk, xFrames).when(vbriOk, vFrames)
     val spf = when(layerBits === 3, 384) // L1
       .when(layerBits === 2, 1152) // L2
       .otherwise(when(verBits === 3, 1152).otherwise(576)) // L3 V1 / V2+
-    val vbrDur = when(frames.isNotNull && mp3Rate > 0,
+    val vbrDur = when(frames > 0 && mp3Rate > 0,
       floor(frames * spf * 1000L / mp3Rate).cast("long"))
-    val isVbr = isXingTag || vbriOk
+    val isVbr = isXingTag || isVbriTag
     // with an exact duration in hand the average bitrate beats the first
     // frame's header value (arbitrary in a VBR stream)
     val avgKbps = when(isVbr && vbrDur > 0L,

@@ -1495,7 +1495,7 @@ class OpsSpec extends SparkTestBase {
     // (Xing/Info) or at the fixed 32-byte offset (VBRI); 0x11 filler
     def mp3vbr(verBits: Int, brIdx: Int, srIdx: Int, mode: Int, tag: String,
         frames: Long, flags: Long = 1L, id3Size: Int = -1,
-        total: Int = 204): Array[Byte] = {
+        total: Int = 204, crc: Boolean = false): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       if (id3Size >= 0) {
         out.write("ID3".getBytes("US-ASCII")); out.write(3); out.write(0)
@@ -1506,7 +1506,8 @@ class OpsSpec extends SparkTestBase {
       }
       val mark = out.size()
       out.write(0xFF)
-      out.write(0xE0 | (verBits << 3) | (1 << 1) | 1) // L3, no CRC
+      // L3; protection bit 0 = CRC-16 present between header and side info
+      out.write(0xE0 | (verBits << 3) | (1 << 1) | (if (crc) 0 else 1))
       out.write((brIdx << 4) | (srIdx << 2))
       out.write(mode << 6)
       if (tag == "VBRI") {
@@ -1516,6 +1517,7 @@ class OpsSpec extends SparkTestBase {
         out.write(u32(0L)) // bytes field (unused by the parser)
         out.write(u32(frames))
       } else {
+        if (crc) { out.write(0xBE); out.write(0xEF) }
         val side = if (verBits == 3) { if (mode == 3) 17 else 32 }
           else { if (mode == 3) 9 else 17 }
         out.write(new Array[Byte](side))
@@ -1542,6 +1544,13 @@ class OpsSpec extends SparkTestBase {
       // Xing without the FRAMES flag: vbr, but with no exact duration the
       // CBR estimate + the header's own bitrate stand
       (4L, mp3vbr(3, 9, 0, 0, "Xing", 10L, flags = 0L),
+        (true, 128, 1632L / 128L)),
+      // CRC-protected frame: Xing sits 2 bytes later (after the CRC-16)
+      (5L, mp3vbr(3, 9, 0, 0, "Xing", 10L, crc = true),
+        (true, (1632L / exact(10, 1152, 44100)).toInt, exact(10, 1152, 44100))),
+      // frames = 0 (corrupt/placeholder header): vbr, but never a 0 ms
+      // duration — the CBR estimate + header bitrate stand
+      (6L, mp3vbr(3, 9, 0, 0, "Xing", 0L),
         (true, 128, 1632L / 128L)))
     val df = cases.map { case (id, b, _) => (id, b) }.toDF("doc_id", "payload")
     val got = Multimodal.audioMeta(df).collect()
@@ -1554,13 +1563,17 @@ class OpsSpec extends SparkTestBase {
       assert(r.getAs[Long]("audio_duration_ms") == ms, s"doc $id ms: $r")
     }
     // truncated mid-Xing (cut before the frame-count field): length guard
-    // rejects the header, CBR estimate over the truncated bytes
-    val full = mp3vbr(3, 9, 0, 0, "Xing", 10L)
-    val cut = full.take(4 + 32 + 6)
-    val tr = Multimodal.audioMeta(Seq((9L, cut)).toDF("doc_id", "payload"))
-      .collect().head
-    assert(tr.getAs[Long]("audio_duration_ms") == cut.length * 8L / 128L &&
-      tr.getAs[Boolean]("audio_vbr"), tr.toString)
+    // rejects the header, CBR estimate over the truncated bytes — but the
+    // readable tag magic still classifies the stream as VBR; truncated
+    // VBRI gets the identical treatment (consistent policy)
+    for (tag <- Seq("Xing", "VBRI")) {
+      val full = mp3vbr(3, 9, 0, 0, tag, 10L)
+      val cut = full.take(4 + 32 + 6)
+      val tr = Multimodal.audioMeta(Seq((9L, cut)).toDF("doc_id", "payload"))
+        .collect().head
+      assert(tr.getAs[Long]("audio_duration_ms") == cut.length * 8L / 128L &&
+        tr.getAs[Boolean]("audio_vbr"), s"$tag: $tr")
+    }
   }
 
   test("multimodal exifOrientation: TIFF IFD walk, both byte orders") {
