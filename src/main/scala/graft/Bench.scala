@@ -17,6 +17,32 @@ object Bench {
     */
   val BenchBuckets = 64
 
+  /** The ONE measurement-session builder, shared by every bench/profile
+    * main (Bench, ScalingBench, QueryScale, ProfileRound, ProfileDrain) so
+    * a tuning change — tmpfs local dir, broadcast threshold, UTC — lands
+    * everywhere at once instead of silently diverging per tool.
+    * `localDirName` keeps concurrent tools from sharing a shuffle dir.
+    */
+  def benchSession(cores: Int, localDirName: String = "graft-bench-local",
+      aqe: Boolean = true): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // tmpfs shuffle/cache dirs + generous broadcast threshold: stabilizes
+      // local-mode timings (block-device jitter) and broadcasts the
+      // schedule side of the fetch join
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite) s"/dev/shm/$localDirName"
+        else System.getProperty("java.io.tmpdir"))
+      .config("spark.sql.autoBroadcastJoinThreshold", (256L * 1024 * 1024).toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   /** Drain a synthetic web of `details` pages and return
     * (urls scheduled, rounds, seconds).
     */
@@ -110,21 +136,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // tmpfs shuffle/cache dirs + generous broadcast threshold: stabilizes
-      // local-mode timings (block-device jitter) and broadcasts the
-      // schedule side of the fetch join
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-bench-local"
-        else System.getProperty("java.io.tmpdir"))
-      .config("spark.sql.autoBroadcastJoinThreshold", (256L * 1024 * 1024).toString)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = benchSession(cpus.toInt)
 
     // operator-inventory timings — PROBE-GATED (BENCH_r02 lesson: the r2
     // query suite ran through a host-degraded window and recorded 9-15x

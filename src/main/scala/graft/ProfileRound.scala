@@ -19,16 +19,7 @@ object ProfileRound {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val details = sys.env.getOrElse("SPARK_GRAFT_SCALE_DETAILS", "200000").toInt
     val pagesDir = sys.env.getOrElse("SPARK_GRAFT_PAGES_DIR", "/dev/shm/graft-profile-pages")
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/spark-local")
-      .config("spark.sql.autoBroadcastJoinThreshold", (256L * 1024 * 1024).toString)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.benchSession(cores, localDirName = "spark-local")
     import spark.implicits._
 
     val bucketed = sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "1") == "1"

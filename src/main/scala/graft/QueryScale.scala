@@ -16,21 +16,8 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryScale {
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").canWrite) s"/dev/shm/graft-qscale-$cores"
-        else System.getProperty("java.io.tmpdir"))
-      .config("spark.sql.autoBroadcastJoinThreshold", (256L * 1024 * 1024).toString)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(cores: Int): SparkSession =
+    Bench.benchSession(cores, localDirName = s"graft-qscale-$cores")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

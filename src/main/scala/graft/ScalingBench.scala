@@ -33,19 +33,8 @@ object ScalingBench {
   private val PagesDirB4 = "/dev/shm/graft-scale-pages-b4"
   private val PagesDirB8 = "/dev/shm/graft-scale-pages-b8"
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/spark-local")
-      .config("spark.sql.autoBroadcastJoinThreshold", (256L * 1024 * 1024).toString)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(cores: Int): SparkSession =
+    Bench.benchSession(cores, localDirName = "spark-local")
 
   // ---- throttle probe (shared with Bench.main — see BenchGate) ------------
 

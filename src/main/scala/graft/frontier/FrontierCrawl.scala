@@ -92,9 +92,14 @@ object FrontierCrawl {
       if (cfg.useBloomPrefilter) seen0.map(_.stat.bloomFilter("url_key",
         math.max(cfg.bloomCapacity, 1000L), cfg.bloomFpp))
       else None
-    // storeless mode: per-round checkpointed delta frames; the cumulative
-    // view is a lazy union (no O(R^2) re-copying)
-    var seenDeltas = Vector.empty[DataFrame]
+    // storeless mode: the cumulative seen view grows by ONE union node per
+    // round over the checkpointed delta frames (no O(R^2) re-copying — and
+    // no per-round rebuild of the R-way union either: re-deriving
+    // `deltas.reduce(union)` each round re-analyzed R-1 fresh Dataset
+    // constructions per round, a measured O(R) driver cost per round that
+    // ProfileDrain showed growing 18→67ms by round 6; the incremental
+    // union analyzes only the new top node, its children already marked
+    // analyzed)
     // running url_key count of `seen` (may overcount retries; used only to
     // size the bloom filter, where an upper bound is safe)
     var seenCount: Long = if (seen.isDefined) -1L else 0L
@@ -195,8 +200,10 @@ object FrontierCrawl {
           // checkpoint's accumulator (when the partitions×bytes gate let it
           // ride) — merge cost only, the per-round build job is gone
           val f = Future(out.seenBloomAfter())
-          seenDeltas = seenDeltas :+ ck.seenDelta
-          seen = Some(seenDeltas.reduce(_.union(_)))
+          seen = Some(seen match {
+            case Some(s) => s.union(ck.seenDelta)
+            case None => ck.seenDelta
+          })
           schedParts :+= ck.scheduled.withColumn("round", lit(round))
           resultParts :+= ck.results
           extractedParts :+= ck.extracted

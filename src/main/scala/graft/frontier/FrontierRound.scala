@@ -40,13 +40,21 @@ object FrontierRound {
       extracted: DataFrame,
       metrics: DataFrame)
 
-  final case class RoundOutput(
-      scheduled: DataFrame,
-      results: DataFrame, // FetchResult-shaped
-      extracted: Dataset[Extracted],
-      newFrontier: Dataset[FrontierEntry],
-      newSeenKeys: DataFrame, // url_key of everything scheduled this round
-      metrics: Dataset[RoundMetrics],
+  /** results/extracted/metrics are BY-NAME + lazy: they are projections
+    * nothing in the storeless loop reads (it uses the checkpointed round's
+    * frames instead), and constructing a Dataset is never free — each one
+    * is an analyzer pass, which ProfileDrain measured as part of the
+    * ~300ms/round driver-only plan-build cost between rounds. Store-path
+    * and bench callers touch them and pay the same one-time analysis as
+    * before.
+    */
+  final class RoundOutput(
+      val scheduled: DataFrame,
+      results0: => DataFrame, // FetchResult-shaped
+      extracted0: => Dataset[Extracted],
+      val newFrontier: Dataset[FrontierEntry],
+      val newSeenKeys: DataFrame, // url_key of everything scheduled this round
+      metrics0: => Dataset[RoundMetrics],
       // this round's schedule size. On the small-round path (caller passed
       // a scheduledSizeBound within the broadcast gate) no eager count job
       // runs: the thunk reads the free-rider `observation` ("scheduled"
@@ -55,7 +63,7 @@ object FrontierRound {
       // commit/checkpoint wave is underway (30s timeout falls back to a
       // cache-hot count job). On the eager path it returns the memoized
       // count immediately.
-      scheduledCount: () => Long,
+      val scheduledCount: () => Long,
       // cumulative seen-set bloom AFTER this round (incrementally
       // maintained: prior bloom ∪ this round's delta); carry into the next
       // round's `seenBloom` so the filter is never rebuilt over the
@@ -68,22 +76,26 @@ object FrontierRound {
       // state still covers the prior seen set (a bloom-negative probe at
       // any instant is a true "not previously seen"; extra bits only move
       // rows onto the exact anti-join)
-      seenBloomAfter: () => Option[org.apache.spark.util.sketch.BloomFilter],
+      val seenBloomAfter: () => Option[org.apache.spark.util.sketch.BloomFilter],
       // count(newFrontier) rides whatever action materializes it
       // (localCheckpoint or the snapshot write) — the crawl loop's
       // "frontier drained?" test reads this instead of launching a
       // per-round isEmpty job
-      frontierObservation: org.apache.spark.sql.Observation,
+      val frontierObservation: org.apache.spark.sql.Observation,
       // free-rider metrics over `results` (scheduled, hosts_approx,
       // fetched_ok) — readable after the first action that materializes it
-      observation: org.apache.spark.sql.Observation,
+      val observation: org.apache.spark.sql.Observation,
       // the storeless fast path: checkpoints the round's html-free
       // superset ONCE (a cache read — invoke only after the big job has
       // populated the caches) and returns every per-round table as a lazy
       // projection over it; also delivers the lazy schedule count
-      checkpointRound: () => CheckpointedRound,
+      val checkpointRound: () => CheckpointedRound,
       // intermediate cached frames; callers unpersist after materializing
-      caches: Seq[DataFrame])
+      val caches: Seq[DataFrame]) {
+    lazy val results: DataFrame = results0
+    lazy val extracted: Dataset[Extracted] = extracted0
+    lazy val metrics: Dataset[RoundMetrics] = metrics0
+  }
 
   /** Canonicalize raw (url, priority) pairs into frontier entries. */
   def toFrontier(spark: SparkSession, links: DataFrame, round: Int): Dataset[FrontierEntry] = {
@@ -125,21 +137,40 @@ object FrontierRound {
       robots: RobotsRules,
       cfg: PolitenessConfig): SchedulePlan = {
     import spark.implicits._
-    val robotsB = spark.sparkContext.broadcast(robots)
-    val cfgB = spark.sparkContext.broadcast(cfg)
-
-    val allowed = frontier.filter(e => robotsB.value.allowed(e.host, e.url))
-
-    val budgetUdf = udf((host: String) => robotsB.value.budget(host, cfgB.value))
-    val delayUdf = udf((host: String) => robotsB.value.delayMs(host, cfgB.value))
+    // No robots rules (empty map — e.g. a budgets-open drain) means the
+    // allow filter is vacuous and budget/delay are host-independent
+    // constants: skip the typed filter (a full deserialize pass over the
+    // frontier), the per-row UDF calls, and the two per-round broadcast
+    // registrations outright. Identical semantics by construction —
+    // RobotsRules.{allowed,budget,delayMs} on an empty map return
+    // true/defaultBudget/defaultDelayMs for every host.
+    val noRules = robots.byHost.isEmpty
+    val (allowed, budgetOf, delayOf) =
+      if (noRules)
+        (frontier, lit(cfg.defaultBudget), lit(cfg.defaultDelayMs))
+      else {
+        // plain vals so the closures capture only the broadcasts (a lazy
+        // val here compiles to a LazyRef capturing the SparkSession —
+        // Task not serializable)
+        val robotsB = spark.sparkContext.broadcast(robots)
+        val cfgB = spark.sparkContext.broadcast(cfg)
+        (frontier.filter(e => robotsB.value.allowed(e.host, e.url)),
+          udf((host: String) => robotsB.value.budget(host, cfgB.value))
+            .apply($"host"),
+          udf((host: String) => robotsB.value.delayMs(host, cfgB.value))
+            .apply($"host"))
+      }
 
     val stage1 = allowed.toDF()
-      .withColumn("salt", pmod(xxhash64($"url_key"), lit(cfg.saltBuckets)).cast("int"))
+      // one projection (salt appended in tuple order) instead of
+      // withColumn + a post-sort select — two fewer analyzer passes on a
+      // plan rebuilt every round
+      .select($"url_key", $"url", $"host", $"priority", $"attempt",
+        $"discovered_round",
+        pmod(xxhash64($"url_key"), lit(cfg.saltBuckets)).cast("int").as("salt"))
       .repartition($"host", $"salt")
       .sortWithinPartitions($"host", $"salt", $"priority", $"url_key",
         $"attempt".desc, $"discovered_round")
-      .select($"url_key", $"url", $"host", $"priority", $"attempt",
-        $"discovered_round", $"salt")
       .as[(String, String, String, Double, Int, Int, Int)]
       .mapPartitions { it =>
         var curHost: String = null
@@ -164,19 +195,19 @@ object FrontierRound {
 
     val phase2 = Window.partitionBy($"host").orderBy($"priority", $"url_key")
     val stage2 = stage1
-      .filter($"rn1" <= budgetUdf($"host"))
+      .filter($"rn1" <= budgetOf)
       .withColumn("slot", row_number().over(phase2))
     val scheduled = stage2
-      .filter($"slot" <= budgetUdf($"host"))
-      .withColumn("scheduled_delay_ms", ($"slot" - 1).cast("long") * delayUdf($"host"))
+      .filter($"slot" <= budgetOf)
+      .withColumn("scheduled_delay_ms", ($"slot" - 1).cast("long") * delayOf)
       .drop("rn1")
 
     // deferred = dropped by phase 1 ∪ over-budget after phase 2 — both
     // derived from the rank columns directly (no anti-join / extra shuffle)
     val entryCols = Seq($"url_key", $"url", $"host", $"priority", $"attempt",
       $"discovered_round")
-    val deferred = stage1.filter($"rn1" > budgetUdf($"host")).select(entryCols: _*)
-      .union(stage2.filter($"slot" > budgetUdf($"host")).select(entryCols: _*))
+    val deferred = stage1.filter($"rn1" > budgetOf).select(entryCols: _*)
+      .union(stage2.filter($"slot" > budgetOf).select(entryCols: _*))
       .as[FrontierEntry]
     SchedulePlan(scheduled, deferred, stage1)
   }
@@ -389,7 +420,8 @@ object FrontierRound {
       count(lit(1)).as("scheduled"),
       approx_count_distinct($"host").as("hosts_approx"),
       sum(when($"status" === "ok", 1L).otherwise(0L)).as("fetched_ok"))
-    val results = resultsOf(obsSuperset)
+    // lazy: analyzed only if a caller reads them (see RoundOutput Scaladoc)
+    lazy val results = resultsOf(obsSuperset)
 
     // delta-bloom accumulator, published ONLY after the narrow checkpoint
     // materialized with it attached (so a concurrent buildBloomAfter can
@@ -464,7 +496,7 @@ object FrontierRound {
     val scheduledCountThunk: () => Long =
       if (eagerCount >= 0L) () => eagerCount else () => lazyScheduledCount
 
-    val extracted = extractedOf(obsSuperset)
+    lazy val extracted = extractedOf(obsSuperset)
 
     val rawLinks = processed
       .select(explode($"links").as("l"))
@@ -566,11 +598,11 @@ object FrontierRound {
     val newFrontier = fresh.union(retries).union(plan.deferred)
       .observe(frontierObservation, count(lit(1)).as("rows"))
 
-    val metrics = metricsOf(obsSuperset)
+    lazy val metrics = metricsOf(obsSuperset)
 
-    RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys, metrics,
-      scheduledCountThunk, seenBloomAfter, frontierObservation, observation,
-      checkpointRound,
+    new RoundOutput(scheduled, results, extracted, newFrontier, newSeenKeys,
+      metrics, scheduledCountThunk, seenBloomAfter, frontierObservation,
+      observation, checkpointRound,
       Seq(scheduled, processed.toDF(), freshCandidates.toDF(), plan.dedupedCache))
   }
 }
