@@ -135,7 +135,15 @@ object FrontierRound {
       spark: SparkSession,
       frontier: Dataset[FrontierEntry],
       robots: RobotsRules,
-      cfg: PolitenessConfig): SchedulePlan = {
+      cfg: PolitenessConfig,
+      // caller's upper bound on `frontier`'s row count, -1 if unknown (see
+      // run()'s scheduledSizeBound — the same value flows here). Both rank
+      // columns are bounded by the (deduped) frontier size, so a bound at
+      // or under the uniform no-rules budget PROVES neither budget filter
+      // can bind — the deferred branch is then empty by construction and
+      // its whole subtree (a second window + exchange over the stage-1
+      // cache, two query stages per round) is dropped from the plan.
+      frontierSizeBound: Long = -1L): SchedulePlan = {
     import spark.implicits._
     // No robots rules (empty map — e.g. a budgets-open drain) means the
     // allow filter is vacuous and budget/delay are host-independent
@@ -193,12 +201,18 @@ object FrontierRound {
         "discovered_round", "rn1")
       .cache()
 
+    // rn1 and slot never exceed the (deduped) frontier row count, so with a
+    // uniform budget (no robots) at or above the caller's frontier-size
+    // bound, both budget filters are vacuous and deferred is provably empty
+    val budgetsCannotBind = noRules && frontierSizeBound >= 0L &&
+      frontierSizeBound <= cfg.defaultBudget.toLong
+
     val phase2 = Window.partitionBy($"host").orderBy($"priority", $"url_key")
-    val stage2 = stage1
-      .filter($"rn1" <= budgetOf)
+    val stage2 = (if (budgetsCannotBind) stage1
+                  else stage1.filter($"rn1" <= budgetOf))
       .withColumn("slot", row_number().over(phase2))
-    val scheduled = stage2
-      .filter($"slot" <= budgetOf)
+    val scheduled = (if (budgetsCannotBind) stage2
+                     else stage2.filter($"slot" <= budgetOf))
       .withColumn("scheduled_delay_ms", ($"slot" - 1).cast("long") * delayOf)
       .drop("rn1")
 
@@ -206,9 +220,11 @@ object FrontierRound {
     // derived from the rank columns directly (no anti-join / extra shuffle)
     val entryCols = Seq($"url_key", $"url", $"host", $"priority", $"attempt",
       $"discovered_round")
-    val deferred = stage1.filter($"rn1" > budgetOf).select(entryCols: _*)
-      .union(stage2.filter($"slot" > budgetOf).select(entryCols: _*))
-      .as[FrontierEntry]
+    val deferred =
+      if (budgetsCannotBind) spark.emptyDataset[FrontierEntry]
+      else stage1.filter($"rn1" > budgetOf).select(entryCols: _*)
+        .union(stage2.filter($"slot" > budgetOf).select(entryCols: _*))
+        .as[FrontierEntry]
     SchedulePlan(scheduled, deferred, stage1)
   }
 
@@ -250,8 +266,12 @@ object FrontierRound {
         candidates.join(seenSide, Seq("url_key"), "left_anti").as[FrontierEntry]
       case Some(bloom) =>
         val bloomB = spark.sparkContext.broadcast(bloom)
-        val definitelyNew = candidates.filter(e => !bloomB.value.mightContainString(e.url_key))
-        val maybeSeen = candidates.filter(e => bloomB.value.mightContainString(e.url_key))
+        // column-level probe on url_key only: a typed filter here would
+        // deserialize the full FrontierEntry per row on BOTH branch scans
+        // of the candidates cache
+        val mightContain = udf((k: String) => bloomB.value.mightContainString(k))
+        val definitelyNew = candidates.filter(!mightContain($"url_key"))
+        val maybeSeen = candidates.filter(mightContain($"url_key"))
         definitelyNew.union(
           maybeSeen.join(seenSide, Seq("url_key"), "left_anti").as[FrontierEntry])
     }
@@ -274,12 +294,14 @@ object FrontierRound {
       // but seenKeys is present, the prefilter falls back to a per-call
       // build (the legacy O(R²)-over-a-crawl path).
       seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
-      // caller's upper bound on this round's schedule size (the schedule is
-      // a subset of the frontier, so the previous round's OBSERVED frontier
-      // row count is a valid bound). A known bound within the broadcast
-      // gate removes the eager per-round count job — the one removable job
-      // in the drain's per-round critical chain; -1 (unknown) keeps the
-      // prior eager-count behavior, which is correct at any size.
+      // caller's upper bound on this round's FRONTIER row count (both real
+      // callers pass the previous round's OBSERVED frontier count, which is
+      // exact). It therefore also bounds the schedule (schedule ⊆
+      // frontier). A known bound within the broadcast gate removes the
+      // eager per-round count job — the one removable job in the drain's
+      // per-round critical chain — and a bound under the uniform no-rules
+      // budget drops the provably-empty deferred subtree (see schedule());
+      // -1 (unknown) keeps the prior behavior, correct at any size.
       scheduledSizeBound: Long = -1L,
       // storeless-caller declaration: this round's checkpointRound() WILL
       // run, so the delta bloom may ride the narrow checkpoint as an
@@ -290,7 +312,8 @@ object FrontierRound {
       bloomRidesCheckpoint: Boolean = false): RoundOutput = {
     import spark.implicits._
 
-    val plan = schedule(spark, frontier, robots, cfg)
+    val plan = schedule(spark, frontier, robots, cfg,
+      frontierSizeBound = scheduledSizeBound)
     val scheduled = plan.scheduled.cache()
     // the cuckoo seen path never consults a bloom (notSeen short-circuits
     // before the bloom branch), so building one there would be a per-round
@@ -502,14 +525,23 @@ object FrontierRound {
       .select(explode($"links").as("l"))
       .select($"l.url".as("url"), $"l.priority".as("priority"))
 
-    // cached: the bloom split in notSeen scans candidates twice (new +
-    // maybe-seen branches) — without this the explode + canonicalize +
-    // sha256 pipeline runs twice
-    val freshCandidates = toFrontier(spark, rawLinks, round + 1).cache()
-
     // seen set after this round = everything scheduled (attempted), like the
     // reference's successful∪failed bookkeeping (handler.py:134-141)
     val newSeenKeys = scheduled.select($"url_key")
+
+    // cached: the bloom split in notSeen scans its input twice (new +
+    // maybe-seen branches) — without this the explode + canonicalize +
+    // sha256 pipeline runs twice. On the broadcast-delta path the cache
+    // sits ABOVE the delta anti-join, so the join — and its broadcast
+    // build of newSeenKeys, an AQE query stage per round — runs once, not
+    // once per bloom branch.
+    val freshCandidates = (
+      if (deltaBroadcastable)
+        toFrontier(spark, rawLinks, round + 1)
+          .join(broadcast(newSeenKeys), Seq("url_key"), "left_anti")
+          .as[FrontierEntry]
+      else toFrontier(spark, rawLinks, round + 1)
+    ).cache()
 
     // fresh links must not include anything ever scheduled: cumulative seen
     // ∪ this round's schedule (J1, the central frontier op)
@@ -567,12 +599,11 @@ object FrontierRound {
     //    never take an extra corpus-shaped shuffle at scale.
     val (fresh, seenBloomAfter) =
       if (deltaBroadcastable) {
-        val afterDelta = freshCandidates
-          .join(broadcast(newSeenKeys), Seq("url_key"), "left_anti")
-          .as[FrontierEntry]
+        // freshCandidates is already post-delta-anti-join on this path
+        // (cached above the join — see its definition)
         val f = seenKeys match {
-          case Some(s) => notSeen(spark, afterDelta, s, cfg, seenCountHint, seenBloom)
-          case None => afterDelta
+          case Some(s) => notSeen(spark, freshCandidates, s, cfg, seenCountHint, seenBloom)
+          case None => freshCandidates
         }
         lazy val merged = buildBloomAfter()
         (f, () => merged)

@@ -297,4 +297,44 @@ class FrontierSpec extends SparkTestBase {
     assert(resumed.seenKeys.count() == fullSeen,
       s"legacy seen set dropped on resume (${resumed.seenKeys.count()} vs $fullSeen)")
   }
+
+  test("empty-deferred gate: bounded no-rules schedule == ungated; binding budget keeps deferred") {
+    import spark.implicits._
+    import graft.url.Urls
+    val entries = (1 to 20).map { i =>
+      val u = s"https://h${i % 3}.example/p$i"
+      graft.model.FrontierEntry(Urls.sha256Hex(u), u, s"h${i % 3}.example",
+        (i % 5).toDouble, 0, 0)
+    }
+    val frontier = spark.createDataset(entries)
+    def plan(pol: PolitenessConfig, bound: Long) =
+      FrontierRound.schedule(spark, frontier, RobotsRules.empty, pol,
+        frontierSizeBound = bound)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("url_key", "slot", "scheduled_delay_ms").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+    // bound (20) ≤ budget (64): the gate PROVES deferred empty — scheduled
+    // must be identical to the ungated (-1 bound) plan and the deferred
+    // subtree must be a literal empty relation, not a computed filter
+    val loose = PolitenessConfig(defaultBudget = 64, defaultDelayMs = 10L,
+      saltBuckets = 4)
+    val gated = plan(loose, bound = 20L)
+    val ungated = plan(loose, bound = -1L)
+    assert(rows(gated.scheduled) == rows(ungated.scheduled))
+    assert(gated.deferred.isEmpty && ungated.deferred.isEmpty)
+    assert(gated.deferred.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+    // bound (20) > budget (4): budgets CAN bind — the gate must stay off
+    // and the deferred rows must match the ungated plan exactly
+    val tight = PolitenessConfig(defaultBudget = 4, defaultDelayMs = 10L,
+      saltBuckets = 4)
+    val gatedTight = plan(tight, bound = 20L)
+    val ungatedTight = plan(tight, bound = -1L)
+    assert(rows(gatedTight.scheduled) == rows(ungatedTight.scheduled))
+    val defKeys = gatedTight.deferred.collect().map(_.url_key).toSet
+    assert(defKeys.nonEmpty)
+    assert(defKeys == ungatedTight.deferred.collect().map(_.url_key).toSet)
+  }
 }
