@@ -118,13 +118,20 @@ object ProfileDrain {
         }
         if (round == 2 && sys.env.get("SPARK_GRAFT_DRAIN_EXPLAIN").contains("1"))
           out.newFrontier.explain("formatted")
+        // mirrors FrontierCrawl: frontier checkpoint ∥ round checkpoint
+        // (the two laps overlap — their sum exceeds the wall on purpose;
+        // ck_wave is the wall of the combined wave)
+        val tWave = System.nanoTime()
+        val fCk = Future(lap("ck_round") { out.checkpointRound() })
         frontier = lap("ck_frontier") {
           frontier.sparkSession.sparkContext.setJobDescription(s"frontier r$round")
           val f = out.newFrontier.localCheckpoint(true)
           frontier.sparkSession.sparkContext.setJobDescription(null)
           f.as[graft.model.FrontierEntry]
         }
-        val ck = lap("ck_round") { out.checkpointRound() }
+        val ck = Await.result(fCk, Duration.Inf)
+        phase("ck_wave") = phase.getOrElse("ck_wave", 0L) +
+          (System.nanoTime() - tWave)
         val fBloom = Future(out.seenBloomAfter())
         seen = lap("seen_union_plan") {
           Some(seen.map(_.union(ck.seenDelta)).getOrElse(ck.seenDelta))

@@ -193,9 +193,17 @@ object FrontierCrawl {
           // schedule, results, extracted, and metrics all derive as lazy
           // projections (they read checkpoint blocks, so they survive the
           // cache release below). Extraction itself already ran inside the
-          // round's single fused pages pass.
+          // round's single fused pages pass. The two materializations are
+          // submitted CONCURRENTLY: they share the cached fused pass, and
+          // the block manager's per-partition locks make whichever task
+          // arrives first compute a partition while the other waits then
+          // reads — same total work, but the checkpoint wave's job latency
+          // overlaps the big job instead of following it (order between
+          // the two actions is semantics-free: both are materializations
+          // of deterministic plans over the same caches).
+          val fCk = Future(out.checkpointRound())
           frontier = out.newFrontier.localCheckpoint(true).as[FrontierEntry]
-          val ck = out.checkpointRound()
+          val ck = Await.result(fCk, Duration.Inf)
           // AFTER the checkpoint: the delta bloom now reads the narrow
           // checkpoint's accumulator (when the partitions×bytes gate let it
           // ride) — merge cost only, the per-round build job is gone
