@@ -114,22 +114,30 @@ object ProfileDrain {
         val out = lap("run_plan_build") {
           FrontierRound.run(spark, pages, frontier, seen, round,
             RobotsRules.empty, pol, seenCount, seenBloom,
-            scheduledSizeBound = frontierRows, bloomRidesCheckpoint = true)
+            frontierSizeBound = frontierRows, bloomRidesCheckpoint = true)
         }
         if (round == 2 && sys.env.get("SPARK_GRAFT_DRAIN_EXPLAIN").contains("1"))
           out.newFrontier.explain("formatted")
         // mirrors FrontierCrawl: frontier checkpoint ∥ round checkpoint
         // (the two laps overlap — their sum exceeds the wall on purpose;
-        // ck_wave is the wall of the combined wave)
+        // ck_wave is the wall of the combined wave). The Future measures
+        // its own duration LOCALLY and the main thread folds it into
+        // `phase` after Await — LinkedHashMap is not thread-safe and a
+        // concurrent insert from the Future thread could corrupt it
         val tWave = System.nanoTime()
-        val fCk = Future(lap("ck_round") { out.checkpointRound() })
+        val fCk = Future {
+          val t0 = System.nanoTime()
+          val r = out.checkpointRound()
+          (r, System.nanoTime() - t0)
+        }
         frontier = lap("ck_frontier") {
           frontier.sparkSession.sparkContext.setJobDescription(s"frontier r$round")
           val f = out.newFrontier.localCheckpoint(true)
           frontier.sparkSession.sparkContext.setJobDescription(null)
           f.as[graft.model.FrontierEntry]
         }
-        val ck = Await.result(fCk, Duration.Inf)
+        val (ck, ckNanos) = Await.result(fCk, Duration.Inf)
+        phase("ck_round") = phase.getOrElse("ck_round", 0L) + ckNanos
         phase("ck_wave") = phase.getOrElse("ck_wave", 0L) +
           (System.nanoTime() - tWave)
         val fBloom = Future(out.seenBloomAfter())

@@ -133,7 +133,7 @@ object FrontierCrawl {
       // broadcast-delta gate; -1 (round 0 / observation miss) keeps the
       // measured-count path
       val out = FrontierRound.run(spark, pages, frontier, seen, round, robots,
-        cfg, seenCount, seenBloom, scheduledSizeBound = frontierRows,
+        cfg, seenCount, seenBloom, frontierSizeBound = frontierRows,
         bloomRidesCheckpoint = store.isEmpty)
       // next round's cumulative bloom. Store path: delta build + merge runs
       // CONCURRENT with the commit wave (see RoundOutput.seenBloomAfter for

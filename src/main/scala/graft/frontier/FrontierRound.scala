@@ -56,7 +56,7 @@ object FrontierRound {
       val newSeenKeys: DataFrame, // url_key of everything scheduled this round
       metrics0: => Dataset[RoundMetrics],
       // this round's schedule size. On the small-round path (caller passed
-      // a scheduledSizeBound within the broadcast gate) no eager count job
+      // a frontierSizeBound within the broadcast gate) no eager count job
       // runs: the thunk reads the free-rider `observation` ("scheduled"
       // metric, one results row per scheduled row) and BLOCKS until an
       // action materializes `results` — call it only once the round's
@@ -86,9 +86,14 @@ object FrontierRound {
       // fetched_ok) — readable after the first action that materializes it
       val observation: org.apache.spark.sql.Observation,
       // the storeless fast path: checkpoints the round's html-free
-      // superset ONCE (a cache read — invoke only after the big job has
-      // populated the caches) and returns every per-round table as a lazy
-      // projection over it; also delivers the lazy schedule count
+      // superset ONCE and returns every per-round table as a lazy
+      // projection over it; also delivers the lazy schedule count. SAFE
+      // to invoke CONCURRENTLY with the big job that populates the caches
+      // (both production callers do — the block manager's per-partition
+      // locks make whichever task arrives first compute a partition while
+      // the other waits then reads); the only required ordering is that
+      // it completes BEFORE seenBloomAfter() when bloomRidesCheckpoint
+      // (a violation degrades to the legacy build, never a wrong filter)
       val checkpointRound: () => CheckpointedRound,
       // intermediate cached frames; callers unpersist after materializing
       val caches: Seq[DataFrame]) {
@@ -137,7 +142,7 @@ object FrontierRound {
       robots: RobotsRules,
       cfg: PolitenessConfig,
       // caller's upper bound on `frontier`'s row count, -1 if unknown (see
-      // run()'s scheduledSizeBound — the same value flows here). Both rank
+      // run()'s frontierSizeBound — the same value flows here). Both rank
       // columns are bounded by the (deduped) frontier size, so a bound at
       // or under the uniform no-rules budget PROVES neither budget filter
       // can bind — the deferred branch is then empty by construction and
@@ -169,7 +174,13 @@ object FrontierRound {
             .apply($"host"))
       }
 
-    val stage1 = allowed.toDF()
+    // rn1 and slot never exceed the (deduped) frontier row count, so with a
+    // uniform budget (no robots) at or above the caller's frontier-size
+    // bound, both budget filters are vacuous and deferred is provably empty
+    val budgetsCannotBind = noRules && frontierSizeBound >= 0L &&
+      frontierSizeBound <= cfg.defaultBudget.toLong
+
+    val stage1Raw = allowed.toDF()
       // one projection (salt appended in tuple order) instead of
       // withColumn + a post-sort select — two fewer analyzer passes on a
       // plan rebuilt every round
@@ -199,13 +210,13 @@ object FrontierRound {
       }
       .toDF("url_key", "url", "host", "priority", "attempt",
         "discovered_round", "rn1")
-      .cache()
-
-    // rn1 and slot never exceed the (deduped) frontier row count, so with a
-    // uniform budget (no robots) at or above the caller's frontier-size
-    // bound, both budget filters are vacuous and deferred is provably empty
-    val budgetsCannotBind = noRules && frontierSizeBound >= 0L &&
-      frontierSizeBound <= cfg.defaultBudget.toLong
+    // the cache pays off only ungated, where stage1 has THREE readers
+    // (scheduled + the two deferred filters); gated, deferred is an empty
+    // relation and `scheduled` (itself cached by run()) is the sole
+    // reader — caching would serialize every deduped frontier row for
+    // nothing on the drain hot loop. Callers' unpersist of a non-cached
+    // frame is a no-op.
+    val stage1 = if (budgetsCannotBind) stage1Raw else stage1Raw.cache()
 
     val phase2 = Window.partitionBy($"host").orderBy($"priority", $"url_key")
     val stage2 = (if (budgetsCannotBind) stage1
@@ -302,7 +313,7 @@ object FrontierRound {
       // per-round critical chain — and a bound under the uniform no-rules
       // budget drops the provably-empty deferred subtree (see schedule());
       // -1 (unknown) keeps the prior behavior, correct at any size.
-      scheduledSizeBound: Long = -1L,
+      frontierSizeBound: Long = -1L,
       // storeless-caller declaration: this round's checkpointRound() WILL
       // run, so the delta bloom may ride the narrow checkpoint as an
       // accumulator (no separate build job; see buildBloomAfter). The
@@ -313,7 +324,7 @@ object FrontierRound {
     import spark.implicits._
 
     val plan = schedule(spark, frontier, robots, cfg,
-      frontierSizeBound = scheduledSizeBound)
+      frontierSizeBound = frontierSizeBound)
     val scheduled = plan.scheduled.cache()
     // the cuckoo seen path never consults a bloom (notSeen short-circuits
     // before the bloom branch), so building one there would be a per-round
@@ -322,11 +333,14 @@ object FrontierRound {
       cfg.useBloomPrefilter && cfg.cuckooSeenBuckets == 0 &&
         !(seenKeys.isDefined && seenBloom.isEmpty)
     // a caller-known bound inside the broadcast gate proves the round
-    // broadcast-delta-safe WITHOUT counting it — mis-bounding only ever
-    // routes a round to the (always-correct) large-round plan, never the
-    // reverse
-    val knownSmall = scheduledSizeBound >= 0L &&
-      scheduledSizeBound <= cfg.broadcastDeltaMaxKeys
+    // broadcast-delta-safe WITHOUT counting it. NOTE: an OVER-bound only
+    // routes a round to the (always-correct) large-round plan here, but
+    // the bound is correctness-critical upstream — schedule()'s
+    // empty-deferred gate requires it to truly bound the FRONTIER row
+    // count (see the frontierSizeBound parameter doc); an under-bound
+    // there would silently drop deferred rows
+    val knownSmall = frontierSizeBound >= 0L &&
+      frontierSizeBound <= cfg.broadcastDeltaMaxKeys
     // eager count (a per-round job): only when the bound is unknown/large.
     // It forces the cache in one pass AT FULL PARALLELISM — required ahead
     // of the EAGER bloom build below: otherwise the bloom's
