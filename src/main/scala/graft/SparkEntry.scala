@@ -555,7 +555,10 @@ object SparkEntry {
       Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", k = 8)),
 
     "ann_lsh_pairs" -> ((s, dir) =>
-      // no oracle (hash-derived hyperplanes); OpsSpec verifies vs brute force
+      // fully oracled since the hyperplane derivation moved to the
+      // engine-portable md5 unit draw (Sketches.hyperplanes): DuckDB
+      // re-derives the planes, signatures, buckets and cosine verify
+      // bit-exactly. OpsSpec additionally verifies recall vs brute force.
       Ann.lshCandidatePairs(t(s, dir, "embeddings"),
         bits = 8, tables = 6, dim = 64, minCosine = 0.2)),
 
@@ -1303,6 +1306,36 @@ object SparkEntry {
     "dedup_embedding_cosine" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
          CAST(1.0 AS DOUBLE) AS cosine FROM embeddings""",
+
+    // re-derives the md5 hyperplanes, per-table signatures, bucket
+    // self-join and exact-cosine verify. Every arithmetic step is
+    // bit-exact across engines: 48-bit md5 prefix / 2^47 is an exact
+    // double, and list_dot_product over CAST(... AS DOUBLE[]) matches the
+    // Scala loop's sequential double accumulation (verified bit-identical)
+    "ann_lsh_pairs" ->
+      """WITH pl AS (
+           SELECT t.t AS t, b.b AS b,
+             list(CAST(CAST('0x' || substr(md5('42-' || t.t || '-' || b.b || '-' || d.d), 1, 12) AS BIGINT) AS DOUBLE)
+               / CAST(140737488355328.0 AS DOUBLE) - CAST(1.0 AS DOUBLE) ORDER BY d.d) AS p
+           FROM range(0,6) t(t), range(0,8) b(b), range(0,64) d(d)
+           GROUP BY t.t, b.b),
+         sigs AS (
+           SELECT e.vec_id AS id, pl.t,
+             sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.p) > CAST(0 AS DOUBLE)
+                 THEN (CAST(1 AS BIGINT) << pl.b) ELSE CAST(0 AS BIGINT) END) AS sig
+           FROM embeddings e, pl GROUP BY e.vec_id, pl.t),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.id < b.id),
+         v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+           SELECT c.id_a, c.id_b,
+             CASE WHEN list_dot_product(va.v, va.v) = CAST(0 AS DOUBLE)
+                    OR list_dot_product(vb.v, vb.v) = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+                  ELSE list_dot_product(va.v, vb.v) /
+                    (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) END AS c
+           FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= CAST(0.2 AS DOUBLE)""",
 
     "ann_ivf_clustered" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

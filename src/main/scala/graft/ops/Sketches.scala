@@ -131,14 +131,27 @@ object Sketches extends Serializable {
   }
 
   /** Deterministic random hyperplanes for cosine LSH:
-    * planes(table)(bit)(dim) in [-1, 1], derived from the seed — tiny
+    * planes(table)(bit)(dim) in [-1, 1), derived from the seed — tiny
     * (tables×bits×dim doubles), broadcast to executors.
+    *
+    * ENGINE-PORTABLE derivation (the mix_sample_split md5-unit-draw
+    * pattern): coefficient = first 48 bits of md5("seed-t-b-d") / 2^47 - 1.
+    * A 48-bit integer is exactly representable as a double and the divisor
+    * is a power of two, so the coefficient — and therefore every signature
+    * dot product (sequential double accumulation, verified bit-identical
+    * to DuckDB's list_dot_product) — reproduces bit-exactly in any engine
+    * with md5 + IEEE doubles, which is what makes ann_lsh_pairs
+    * DuckDB-oracle-able rather than adjudicated no-oracle.
     */
-  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(tables, bits, dim) { (t, b, d) =>
-      (Math.floorMod(mix(seed ^ (t.toLong << 40) ^ (b.toLong << 20) ^ d.toLong), 2000001L)
-        .toDouble / 1000000.0) - 1.0
+      md.reset()
+      val hex = md.digest(s"$seed-$t-$b-$d".getBytes("UTF-8"))
+        .take(6).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 140737488355328.0 - 1.0
     }
+  }
 
   /** Signature of a vector under one table's hyperplanes. */
   def rhpSignature(v: Array[Float], planes: Array[Array[Double]]): Long = {
