@@ -109,6 +109,23 @@ object SparkEntry {
         .select(col("event_type"), col("event_id"), col("value"), col("rnk"))
     }),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // frontier-priority link-graph rank (LinkRank.pageRank, 3 power
+      // iterations, damping 0.85) over a deterministic synthetic web
+      // graph: 500 linking nodes (k % 500) pointing at 700 targets (md5
+      // draw % 700) — nodes 500-699 appear only as destinations, so the
+      // dangling-mass path is exercised. Fully oracled: fixed iterations
+      // unroll to three grouped-sum CTEs in DuckDB; double noise across
+      // engines is ~1e-15, far inside round-6
+      val edges = t(s, dir, "orders").filter(col("o_orderkey") < 6000)
+        .select(col("o_orderkey").cast("long").as("k"))
+        .select(pmod(col("k"), lit(500)).as("src"),
+          pmod(conv(substring(md5(concat(col("k").cast("string"),
+            lit("-pr"))), 1, 8), 16, 10).cast("long"), lit(700)).as("dst"))
+      graft.frontier.LinkRank.pageRank(edges, iters = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }),
+
     "w6_politeness_schedule" -> ((s, dir) => {
       // the scheduling kernel (W6) over a neutral table: per-host (event
       // type) rank by priority (value desc), budget 5, slot → delay
@@ -1127,6 +1144,41 @@ object SparkEntry {
          (SELECT event_type, event_id, value,
           row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
           FROM events) WHERE rnk <= 3""",
+
+    // fixed-iteration PageRank unrolls to one (dangling, inflow, rank)
+    // CTE triple per power iteration; every literal CAST to DOUBLE and
+    // (1.0 - 0.85) left as the expression Scala evaluates
+    "graph_pagerank" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders WHERE o_orderkey < 6000),
+         e AS (SELECT DISTINCT k % 500 AS src,
+                 CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '-pr'), 1, 8) AS BIGINT) % 700 AS dst
+               FROM ids),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+         d1 AS (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+                FROM r0 r LEFT JOIN od USING (node) WHERE od.odeg IS NULL),
+         c1 AS (SELECT e.dst AS node, sum(r.rank / od.odeg) AS inflow
+                FROM r0 r JOIN od USING (node) JOIN e ON e.src = r.node GROUP BY e.dst),
+         r1 AS (SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d1.dm / nn.n) AS rank
+                FROM nodes nd LEFT JOIN c1 c USING (node), nn, d1),
+         d2 AS (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+                FROM r1 r LEFT JOIN od USING (node) WHERE od.odeg IS NULL),
+         c2 AS (SELECT e.dst AS node, sum(r.rank / od.odeg) AS inflow
+                FROM r1 r JOIN od USING (node) JOIN e ON e.src = r.node GROUP BY e.dst),
+         r2 AS (SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d2.dm / nn.n) AS rank
+                FROM nodes nd LEFT JOIN c2 c USING (node), nn, d2),
+         d3 AS (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+                FROM r2 r LEFT JOIN od USING (node) WHERE od.odeg IS NULL),
+         c3 AS (SELECT e.dst AS node, sum(r.rank / od.odeg) AS inflow
+                FROM r2 r JOIN od USING (node) JOIN e ON e.src = r.node GROUP BY e.dst),
+         r3 AS (SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d3.dm / nn.n) AS rank
+                FROM nodes nd LEFT JOIN c3 c USING (node), nn, d3)
+         SELECT node, round(rank, 6) AS rank FROM r3""",
 
     "w6_politeness_schedule" ->
       """SELECT event_type, event_id, slot, (slot - 1) * 1000 AS scheduled_delay_ms FROM

@@ -1,0 +1,113 @@
+package graft
+
+import graft.frontier.LinkRank
+import graft.ops.Sketches
+import org.apache.spark.sql.functions._
+
+/** LinkRank (frontier-priority PageRank): parity with a scalar reference
+  * implementation on graphs with dangling nodes, mass conservation, host
+  * aggregation, and the frontier re-prioritization contract.
+  */
+class LinkRankSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Scalar PageRank mirroring LinkRank.pageRank's semantics exactly:
+    * distinct edges, rank = (1-d)/N + d·(inflow + dangling/N).
+    */
+  private def scalarPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toDouble
+    val outDeg = e.groupBy(_._1).map { case (s, es) => (s, es.size.toDouble) }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outDeg.contains).map(rank).sum
+      val inflow = e.groupBy(_._2).map { case (dst, es) =>
+        (dst, es.map { case (s, _) => rank(s) / outDeg(s) }.sum)
+      }
+      rank = nodes.map { nd =>
+        nd -> ((1.0 - d) / n + d * (inflow.getOrElse(nd, 0.0) + dangling / n))
+      }.toMap
+    }
+    rank
+  }
+
+  /** Deterministic pseudo-random graph: 30 linking nodes, 45 targets —
+    * targets 30-44 never link out, so dangling mass is nonzero every
+    * iteration. Duplicate edges planted to exercise the distinct.
+    */
+  private def randomEdges: Seq[(Long, Long)] =
+    (0 until 120).map { i =>
+      val src = (Sketches.mix(i * 31L) >>> 8) % 30L
+      val dst = (Sketches.mix(i * 131L + 7L) >>> 8) % 45L
+      (src.abs, dst.abs)
+    } ++ Seq((0L, 1L), (0L, 1L)) // duplicates collapse
+
+  test("pageRank matches the scalar reference on a dangling-heavy graph") {
+    val expected = scalarPageRank(randomEdges, iters = 4, d = 0.85)
+    val got = LinkRank.pageRank(randomEdges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank"))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (node, r) =>
+      assert(math.abs(r - expected(node)) < 1e-12,
+        s"node=$node got=$r expected=${expected(node)}")
+    }
+    // mass conservation: dangling redistribution keeps sum(rank) == 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank iters=0 is the uniform start; hubs outrank leaves after iterating") {
+    // star graph: every leaf links to the hub
+    val star = (1L to 9L).map(i => (i, 0L))
+    val uniform = LinkRank.pageRank(star.toDF("src", "dst"), iters = 0)
+      .collect().map(_.getAs[Double]("rank"))
+    assert(uniform.forall(r => math.abs(r - 0.1) < 1e-12))
+    val ranked = LinkRank.pageRank(star.toDF("src", "dst"), iters = 3)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank"))).toMap
+    assert((1L to 9L).forall(i => ranked(0L) > ranked(i)), s"hub must dominate: $ranked")
+  }
+
+  test("checkpoint-interval truncation changes nothing") {
+    val every = LinkRank.pageRank(randomEdges.toDF("src", "dst"), iters = 5,
+      checkpointInterval = 1).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank"))).toMap
+    val never = LinkRank.pageRank(randomEdges.toDF("src", "dst"), iters = 5,
+      checkpointInterval = 100).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank"))).toMap
+    assert(every.keySet == never.keySet)
+    every.foreach { case (n, r) => assert(r == never(n)) }
+  }
+
+  test("hostRank collapses urls to hosts and drops intra-host self-loops") {
+    val urlEdges = Seq(
+      ("http://a.com/1", "http://b.com/x"),
+      ("http://a.com/2", "http://b.com/y"), // same host edge → one distinct
+      ("http://a.com/3", "http://a.com/4"), // self-loop → dropped
+      ("http://b.com/x", "http://c.com/")
+    ).toDF("src_url", "dst_url")
+    val got = LinkRank.hostRank(urlEdges, iters = 2)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Double]("rank"))).toMap
+    val expected = scalarPageRank(Seq((1L, 2L), (2L, 3L)), iters = 2, d = 0.85)
+    assert(got.keySet == Set("a.com", "b.com", "c.com"))
+    assert(math.abs(got("a.com") - expected(1L)) < 1e-12)
+    assert(math.abs(got("b.com") - expected(2L)) < 1e-12)
+    assert(math.abs(got("c.com") - expected(3L)) < 1e-12)
+  }
+
+  test("prioritize rewrites priority to -hostRank, keeping unknown hosts") {
+    val frontier = Seq(
+      ("k1", "http://a.com/1", "a.com", 5.0),
+      ("k2", "http://z.com/1", "z.com", 7.0)
+    ).toDF("url_key", "url", "host", "priority")
+    val ranks = Seq(("a.com", 0.4)).toDF("host", "rank")
+    val got = LinkRank.prioritize(frontier, ranks)
+      .collect().map(r => (r.getAs[String]("url_key"), r.getAs[Double]("priority"))).toMap
+    assert(got("k1") == -0.4) // ranked host: crawls sooner (ascending order)
+    assert(got("k2") == 7.0) // unknown host: untouched
+    // schema unchanged — the frame stays schedule()-compatible
+    assert(LinkRank.prioritize(frontier, ranks).columns.toSeq ==
+      frontier.columns.toSeq)
+  }
+}
