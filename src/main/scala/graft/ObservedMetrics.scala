@@ -41,4 +41,23 @@ object ObservedMetrics {
           if (latchOnTimeout) supported = false
           fallback
       }
+
+  /** Double twin of [[longField]] (LinkRank's per-iteration dangling-mass
+    * ride). Same null ⇒ 0 and latch semantics.
+    */
+  def doubleField(obs: Observation, field: String, timeoutSecs: Int = 30,
+      latchOnTimeout: Boolean = true)(fallback: => Double): Double =
+    if (!supported) fallback
+    else
+      try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(timeoutSecs,
+            java.util.concurrent.TimeUnit.SECONDS))
+        val v = row.get(row.fieldIndex(field))
+        if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          if (latchOnTimeout) supported = false
+          fallback
+      }
 }

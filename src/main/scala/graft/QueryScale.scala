@@ -211,6 +211,42 @@ object QueryScale {
           }
         }
 
+        // pagerank_op: corpus-sized LinkRank over a skewed synthetic web
+        // graph (SPARK_GRAFT_PR_EDGES edges, default 4M, over edges/10
+        // linking hosts; dst drawn with a Zipf-ish double-pmod skew so hub
+        // in-degrees are hot, plus a ~25% dangling tail in [nSrc, 4/3·nSrc)
+        // that never links out). iters=5 times the per-iteration exchange
+        // pair at the W-dominated size; the gate row is fixture-sized.
+        if (isoOn("pagerank_op")) {
+          val prEdges = sys.env.getOrElse("SPARK_GRAFT_PR_EDGES", "4000000").toLong
+          val nSrc = math.max(prEdges / 10L, 100L)
+          val edgesP = spark.range(0L, prEdges, 1L, cores).toDF("i")
+            .select(
+              pmod(abs(xxhash64(col("i"), lit(1))), lit(nSrc)).as("src"),
+              when(pmod(abs(xxhash64(col("i"), lit(4))), lit(4L)) === 0L,
+                lit(nSrc) + pmod(abs(xxhash64(col("i"), lit(5))), lit(nSrc / 3L)))
+                .otherwise(pmod(abs(xxhash64(col("i"), lit(2))),
+                  lit(1L) + pmod(abs(xxhash64(col("i"), lit(3))), lit(nSrc))))
+                .as("dst"))
+            .localCheckpoint(true)
+          def runPr(): Long = graft.frontier.LinkRank.pageRank(
+            edgesP, iters = 5).count()
+          // SPARK_GRAFT_PR_EXPLAIN=1 dumps the (lazy-tail) iteration plan
+          // at THIS size to stderr — the fixture-sized PLANS.md dump
+          // broadcasts the edge table and can't show the exchange shape
+          if (sys.env.contains("SPARK_GRAFT_PR_EXPLAIN"))
+            Console.err.println(graft.frontier.LinkRank.pageRank(
+              edgesP, iters = 1, truncateFinal = false)
+              .queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+              .linesIterator.take(40).mkString("\n"))
+          runPr() // warm
+          out += "pagerank_op" -> BenchGate.gated(s"op:pagerank@$cores",
+            cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+            val t0 = System.nanoTime(); runPr(); (System.nanoTime() - t0) / 1e9
+          }
+        }
+
         if (isoOn("bm25_probe_op")) {
         // bm25_probe_op: index prebuilt on disk; timed region = the probe
         val toks = split(col("text"), " ")

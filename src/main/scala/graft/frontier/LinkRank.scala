@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   *    the plan as broadcast one-row frames (crossJoin(broadcast(...))) —
   *    no per-iteration driver collect; the whole computation stays lazy
   *    until the caller materializes it.
-  *  - lineage is truncated every `checkpointInterval` iterations
-  *    (localCheckpoint): an iterative plan otherwise doubles per round and
-  *    the analyzer/optimizer cost grows superlinearly (the classic
-  *    iterative-DataFrame trap; at 50 iterations an untruncated plan is
-  *    minutes of driver time before the first task).
+  *  - every iteration materializes (localCheckpoint): iteration i+1 reads
+  *    iteration i THREE times (dangling mass, inflow join, carry-through
+  *    select), so a lazy chain recomputes each earlier iteration ~3^k
+  *    times — measured 76s for what is ~4s checkpointed at 4M edges —
+  *    and the plan itself grows superlinearly (the classic
+  *    iterative-DataFrame trap). A power iteration is an inherent
+  *    barrier anyway: one truncating job per iteration is the honest
+  *    per-iteration cost, O(nodes) memory writes.
   *
   * Determinism: with fixed `iters` the result is a pure function of the
   * graph — each iteration is one grouped double sum, reproducible across
@@ -51,60 +54,99 @@ object LinkRank {
       damping: Double = 0.85,
       srcCol: String = "src",
       dstCol: String = "dst",
-      checkpointInterval: Int = 5,
-      // false returns the last iteration as a LAZY plan (no eager final
-      // checkpoint) — for callers composing the ranks into a larger query
-      // that materializes once, and for plan audits
+      // false returns the LAST iteration as a lazy plan (its inputs are
+      // still checkpointed) — for callers composing the ranks into a
+      // larger query that materializes once, and for plan audits
       truncateFinal: Boolean = true): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val spark = edges.sparkSession
 
-    // distinct edges, computed once; both per-iteration exchanges key on
-    // this frame's columns. cache() not localCheckpoint: the frame is read
-    // 2·iters times but its lineage is one scan + one exchange.
+    // distinct edges, hash-partitioned on src and sorted ONCE, cached: the
+    // cached relation's outputPartitioning/ordering satisfy the
+    // per-iteration sort-merge join's requirements, so the (corpus-sized)
+    // edge table never re-shuffles or re-sorts — only the node-sized rank
+    // frame moves each iteration. The merge hint at the join site matters:
+    // left to its stats Spark BROADCASTS the edge cache instead (measured:
+    // a 92 MiB single-threaded driver broadcast PER ITERATION at 4M edges
+    // — the web graph shipped through the driver iters times).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+      .distinct().repartition(col("src")).sortWithinPartitions("src")
+      .cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     // out-degree per linking node; nodes absent here are dangling
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg")).cache()
-    // N as a broadcast one-row frame — no driver-side count job
-    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    // N: one bounded scalar job (also materializes the nodes cache) — a
+    // per-iteration 1-row N frame costs a crossJoin + its own AQE stage
+    // every iteration for a value that never changes
+    val n = nodes.count()
+    if (n == 0L) {
+      val out = nodes.select(col("node"), lit(0.0).as("rank"))
+      e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+      return out
+    }
+    val nD = n.toDouble
+
+    // the dangling mass each iteration needs is a FREE RIDER on the
+    // previous iteration's checkpoint job (the repo's observation-ride
+    // pattern): sum(rank where dangling) is observed while the checkpoint
+    // materializes and injected into the next plan as a literal — the
+    // per-iteration dangling aggregation + broadcast stages disappear.
+    // Attached only when a next iteration will READ it (i < iters): an
+    // observation on a never-materialized plan leaks its listener.
+    def withDm(df: DataFrame, wantDm: Boolean)
+        : (DataFrame, Option[org.apache.spark.sql.Observation]) =
+      if (!wantDm) (df, None)
+      else {
+        val o = new org.apache.spark.sql.Observation()
+        (df.observe(o,
+          sum(when(col("out_deg").isNull, col("rank"))).as("dm")), Some(o))
+      }
 
     // rank_0 = 1/N, with out_deg joined on once (left: dangling keep null)
-    var ranks = nodes.crossJoin(nRow)
-      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("rank"))
-      .join(outDeg, Seq("node"), "left")
-      .localCheckpoint(true) // also materializes the three caches above
+    val (r0, o0) = withDm(
+      nodes.select(col("node"), lit(1.0 / nD).as("rank"))
+        .join(outDeg, Seq("node"), "left"),
+      wantDm = iters >= 1)
+    // materialize EVERY iteration (see the object Scaladoc: three
+    // downstream readers per iteration make a lazy chain recompute
+    // upstream iterations exponentially); the final frame may stay lazy
+    // on request — its inputs are already truncated
+    var ranks =
+      if (iters >= 1 || truncateFinal) r0.localCheckpoint(true) else r0
+    var obs = o0
 
     for (i <- 1 to iters) {
+      // the observed sum is delivered by the checkpoint that just ran;
+      // the fallback recomputes it from the checkpointed frame (always
+      // correct, one small job). Non-latching: a listener-bus lag under
+      // load is not "observations unsupported".
+      val prev = ranks
+      val dangling = graft.ObservedMetrics.doubleField(obs.get, "dm",
+        latchOnTimeout = false) {
+        val v = prev.agg(
+          sum(when(col("out_deg").isNull, col("rank")))).head.get(0)
+        if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+      }
       // inflow per node: sum over in-edges of rank(src)/out_deg(src)
       val contribs = ranks.filter(col("out_deg").isNotNull)
-        .join(e, ranks("node") === e("src"))
+        .join(e.hint("merge"), ranks("node") === e("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("out_deg").cast("double")).as("w"))
         .groupBy("node").agg(sum(col("w")).as("inflow"))
-      // dangling mass this iteration, as a broadcast scalar frame.
-      // coalesce: an empty aggregation (no dangling nodes) yields NULL sum
-      val dangling = broadcast(ranks.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling")))
       val next = ranks.select(col("node"), col("out_deg"))
         .join(contribs, Seq("node"), "left")
-        .crossJoin(nRow).crossJoin(dangling)
         .select(col("node"),
-          (lit(1.0 - damping) / col("n").cast("double") +
+          (lit((1.0 - damping) / nD) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
-              col("dangling") / col("n").cast("double"))).as("rank"),
+              lit(dangling / nD))).as("rank"),
           col("out_deg"))
-      // truncate lineage periodically and (by default) at the end — the
-      // returned frame must not carry an iters-deep plan into the caller's
-      // query
+      val (nx, no) = withDm(next, wantDm = i < iters)
       ranks =
-        if (i % math.max(checkpointInterval, 1) == 0 ||
-            (i == iters && truncateFinal))
-          next.localCheckpoint(true)
-        else next
+        if (i < iters || truncateFinal) nx.localCheckpoint(true)
+        else nx
+      obs = no
     }
     val out = ranks.select(col("node"), col("rank"))
     // with a lazy tail (truncateFinal = false) the returned plan still

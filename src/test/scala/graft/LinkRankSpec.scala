@@ -69,15 +69,15 @@ class LinkRankSpec extends SparkTestBase {
     assert((1L to 9L).forall(i => ranked(0L) > ranked(i)), s"hub must dominate: $ranked")
   }
 
-  test("checkpoint-interval truncation changes nothing") {
-    val every = LinkRank.pageRank(randomEdges.toDF("src", "dst"), iters = 5,
-      checkpointInterval = 1).collect()
+  test("lazy final iteration (truncateFinal=false) changes nothing") {
+    val eager = LinkRank.pageRank(randomEdges.toDF("src", "dst"), iters = 5)
+      .collect()
       .map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank"))).toMap
-    val never = LinkRank.pageRank(randomEdges.toDF("src", "dst"), iters = 5,
-      checkpointInterval = 100).collect()
+    val lazyTail = LinkRank.pageRank(randomEdges.toDF("src", "dst"), iters = 5,
+      truncateFinal = false).collect()
       .map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank"))).toMap
-    assert(every.keySet == never.keySet)
-    every.foreach { case (n, r) => assert(r == never(n)) }
+    assert(eager.keySet == lazyTail.keySet)
+    eager.foreach { case (n, r) => assert(r == lazyTail(n)) }
   }
 
   test("hostRank collapses urls to hosts and drops intra-host self-loops") {
