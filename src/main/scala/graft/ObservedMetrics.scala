@@ -26,8 +26,10 @@ object ObservedMetrics {
   /** True until a latching read has timed out (test/diagnostic hook). */
   def observationsSupported: Boolean = supported
 
-  def longField(obs: Observation, field: String, timeoutSecs: Int = 30,
-      latchOnTimeout: Boolean = true)(fallback: => Long): Long =
+  // one body for every typed reader — the wait/null/latch logic MUST NOT
+  // fork per numeric type (this module exists because call sites diverged)
+  private def read[T](obs: Observation, field: String, timeoutSecs: Int,
+      latchOnTimeout: Boolean, conv: Number => T, zero: T)(fallback: => T): T =
     if (!supported) fallback
     else
       try {
@@ -35,29 +37,21 @@ object ObservedMetrics {
           scala.concurrent.duration.Duration(timeoutSecs,
             java.util.concurrent.TimeUnit.SECONDS))
         val v = row.get(row.fieldIndex(field))
-        if (v == null) 0L else v.asInstanceOf[Number].longValue()
+        if (v == null) zero else conv(v.asInstanceOf[Number])
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           if (latchOnTimeout) supported = false
           fallback
       }
 
+  def longField(obs: Observation, field: String, timeoutSecs: Int = 30,
+      latchOnTimeout: Boolean = true)(fallback: => Long): Long =
+    read(obs, field, timeoutSecs, latchOnTimeout, _.longValue(), 0L)(fallback)
+
   /** Double twin of [[longField]] (LinkRank's per-iteration dangling-mass
     * ride). Same null ⇒ 0 and latch semantics.
     */
   def doubleField(obs: Observation, field: String, timeoutSecs: Int = 30,
       latchOnTimeout: Boolean = true)(fallback: => Double): Double =
-    if (!supported) fallback
-    else
-      try {
-        val row = scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(timeoutSecs,
-            java.util.concurrent.TimeUnit.SECONDS))
-        val v = row.get(row.fieldIndex(field))
-        if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          if (latchOnTimeout) supported = false
-          fallback
-      }
+    read(obs, field, timeoutSecs, latchOnTimeout, _.doubleValue(), 0.0)(fallback)
 }

@@ -234,12 +234,20 @@ object QueryScale {
           // SPARK_GRAFT_PR_EXPLAIN=1 dumps the (lazy-tail) iteration plan
           // at THIS size to stderr — the fixture-sized PLANS.md dump
           // broadcasts the edge table and can't show the exchange shape
-          if (sys.env.contains("SPARK_GRAFT_PR_EXPLAIN"))
+          if (sys.env.contains("SPARK_GRAFT_PR_EXPLAIN")) {
             Console.err.println(graft.frontier.LinkRank.pageRank(
               edgesP, iters = 1, truncateFinal = false)
               .queryExecution.explainString(
                 org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
               .linesIterator.take(40).mkString("\n"))
+            // the lazy-tail diagnostic run pins its edge/degree caches
+            // (truncateFinal=false skips the unpersists so the returned
+            // plan stays readable) — drop them before the measured runs,
+            // or a multi-hundred-MB edge cache sits under the very
+            // timings this row certifies. edgesP itself is a
+            // localCheckpoint (RDD blocks, not catalog cache): unaffected.
+            spark.sqlContext.clearCache()
+          }
           runPr() // warm
           out += "pagerank_op" -> BenchGate.gated(s"op:pagerank@$cores",
             cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {

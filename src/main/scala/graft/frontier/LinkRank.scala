@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *    shuffle-on-`dst` aggregation — the two unavoidable exchanges of
   *    distributed PageRank. Edge/rank frames are hash-partitioned on the
   *    join key so AQE reuses the layout across iterations.
-  *  - dangling mass (nodes with no out-edges) and the node count N ride
-  *    the plan as broadcast one-row frames (crossJoin(broadcast(...))) —
-  *    no per-iteration driver collect; the whole computation stays lazy
-  *    until the caller materializes it.
+  *  - the node count N is ONE bounded scalar job at build time (a value
+  *    that never changes; a per-iteration 1-row frame costs a crossJoin +
+  *    its own AQE stage each iteration), and the per-iteration dangling
+  *    mass rides the previous iteration's checkpoint as an Observation
+  *    (the repo's free-rider pattern) injected as a literal — the only
+  *    per-iteration driver traffic is that one observed double.
   *  - every iteration materializes (localCheckpoint): iteration i+1 reads
   *    iteration i THREE times (dangling mass, inflow join, carry-through
   *    select), so a lazy chain recomputes each earlier iteration ~3^k
@@ -116,19 +118,26 @@ object LinkRank {
     var ranks =
       if (iters >= 1 || truncateFinal) r0.localCheckpoint(true) else r0
     var obs = o0
+    // call-local observation latch: the await runs AFTER the checkpoint
+    // completed, so a timeout means this runtime isn't delivering observed
+    // metrics for checkpoint actions — without the latch every remaining
+    // iteration would stall the full timeout while the <1s fallback job
+    // sits ready. Local (not the ObservedMetrics process-wide latch) so a
+    // one-off listener-bus stall doesn't disable the ride for the rest of
+    // the process.
+    var obsLive = true
 
     for (i <- 1 to iters) {
-      // the observed sum is delivered by the checkpoint that just ran;
-      // the fallback recomputes it from the checkpointed frame (always
-      // correct, one small job). Non-latching: a listener-bus lag under
-      // load is not "observations unsupported".
       val prev = ranks
-      val dangling = graft.ObservedMetrics.doubleField(obs.get, "dm",
-        latchOnTimeout = false) {
+      def dmFallback: Double = {
         val v = prev.agg(
           sum(when(col("out_deg").isNull, col("rank")))).head.get(0)
         if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
       }
+      val dangling =
+        if (!obsLive || obs.isEmpty) dmFallback
+        else graft.ObservedMetrics.doubleField(obs.get, "dm",
+          latchOnTimeout = false) { obsLive = false; dmFallback }
       // inflow per node: sum over in-edges of rank(src)/out_deg(src)
       val contribs = ranks.filter(col("out_deg").isNotNull)
         .join(e.hint("merge"), ranks("node") === e("src"))
@@ -142,7 +151,7 @@ object LinkRank {
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
               lit(dangling / nD))).as("rank"),
           col("out_deg"))
-      val (nx, no) = withDm(next, wantDm = i < iters)
+      val (nx, no) = withDm(next, wantDm = i < iters && obsLive)
       ranks =
         if (i < iters || truncateFinal) nx.localCheckpoint(true)
         else nx
@@ -169,10 +178,19 @@ object LinkRank {
       damping: Double = 0.85,
       srcCol: String = "src_url",
       dstCol: String = "dst_url"): DataFrame = {
-    val hostOf = (c: String) => regexp_extract(col(c), "://([^/?#]+)", 1)
+    // MUST be Urls.host semantics (via its declarative twin — codegen'd,
+    // no UDF): the frontier's host column is Urls.host of the canonical
+    // url (FrontierRound.scala:113), and prioritize joins on it — a
+    // case/port/userinfo-keeping derivation here would silently never
+    // match ("Example.com:8443" vs "example.com") and split one host's
+    // rank mass across several graph nodes. Unparseable urls ("" host)
+    // drop: they are not crawlable hosts and "" would aggregate them all
+    // into one bogus mega-node.
+    val hostOf = (c: String) => graft.url.Urls.hostColumn(col(c))
     val hostEdges = urlEdges
       .select(hostOf(srcCol).as("src"), hostOf(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") =!= col("dst") &&
+        col("src") =!= lit("") && col("dst") =!= lit(""))
     pageRank(hostEdges, iters, damping).select(
       col("node").as("host"), col("rank"))
   }

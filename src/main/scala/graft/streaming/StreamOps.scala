@@ -38,11 +38,12 @@ object StreamOps {
   def fetchRateByHost(pages: DataFrame, windowLen: String = "1 minute",
       lateness: String = "2 minutes"): DataFrame = {
     pages
-      // authority up to /, ? or # — same semantics as Urls.host, kept as a
-      // codegen'd regexp (no UDF in the streaming agg); the old pattern
-      // required a trailing slash, collapsing path-less URLs
-      // ("http://example.com", "...com?x=1") into one bogus host="" group
-      .withColumn("host", regexp_extract(col("url"), "://([^/?#]+)", 1))
+      // Urls.host semantics via its declarative twin (codegen'd, no UDF
+      // in the streaming agg): the bare authority regexp this used before
+      // kept case/port/userinfo, so "http://A.com:80/x" and "http://a.com/y"
+      // counted as different hosts — rate metrics that disagree with the
+      // per-host budgets the scheduler actually enforces
+      .withColumn("host", graft.url.Urls.hostColumn(col("url")))
       .withWatermark("warc_ts", lateness)
       .groupBy(window(col("warc_ts"), windowLen), col("host"))
       .agg(count(lit(1)).as("pages"))

@@ -139,6 +139,26 @@ object Urls extends Serializable {
     h.toLowerCase(java.util.Locale.ROOT)
   }
 
+  /** Declarative (codegen'd, UDF-free) twin of [[host]] for column
+    * pipelines that must agree with the frontier's `host` values (which
+    * come from `Urls.host` via typed code, e.g.
+    * FrontierRound.scala:113): authority after the first "://" up to
+    * /?#, userinfo stripped at the LAST '@', port stripped with IPv6
+    * brackets kept whole, lowercased; "" when unparseable (incl. null).
+    * Any divergence breaks host-keyed joins SILENTLY (a rank/metric row
+    * for "Example.com:8443" never matches frontier host "example.com"),
+    * so UrlsSpec pins column==scalar parity on the adversarial set.
+    */
+  def hostColumn(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val auth = regexp_extract(url, "://([^/?#]+)", 1)
+    val hp = element_at(split(auth, "@", -1), -1)
+    val h = when(hp.startsWith("["),
+        when(instr(hp, "]") > 0, hp.substr(lit(1), instr(hp, "]"))).otherwise(hp))
+      .otherwise(substring_index(hp, ":", 1))
+    lower(coalesce(h, lit("")))
+  }
+
   /** Frontier key: sha2-256 hex of the canonical URL (north_rule). */
   def urlKey(url: String): String = sha256Hex(canonicalize(url))
 

@@ -26,6 +26,39 @@ class FunctionsSpec extends SparkTestBase {
     assert(!row.getAs[Boolean]("bad"))
   }
 
+  test("Urls.hostColumn == Urls.host on the adversarial set") {
+    // the declarative twin MUST track the scalar exactly: the frontier's
+    // host column is Urls.host, and hostRank/fetchRateByHost key joins
+    // and metrics on hostColumn-derived values
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "https://Example.com:8443/a",        // case + port
+      "http://user:p@ss@HOST.ir/x",        // userinfo with '@' in password
+      "http://example.com",                // path-less
+      "http://example.com?x=1",            // query, no slash
+      "http://example.com#f",              // fragment, no slash
+      "https://[2001:DB8::1]:8080/p",      // IPv6 with port
+      "https://[::1]",                     // bare IPv6
+      "ftp://A.B.C:21/f",                  // non-http scheme
+      "no-scheme/path",                    // unparseable
+      "http:///empty-auth",                // empty authority
+      "relative?q=://host.in.query/x",     // "://" appearing mid-string
+      ""                                   // empty
+    )
+    val got = urls.toDF("u")
+      .select(col("u"), graft.url.Urls.hostColumn(col("u")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    urls.foreach { u =>
+      assert(got(u) == graft.url.Urls.host(u),
+        s"url=$u column=${got(u)} scalar=${graft.url.Urls.host(u)}")
+    }
+    // null input: scalar returns "" — the column twin must too
+    val nullGot = Seq(Option.empty[String]).toDF("u")
+      .select(graft.url.Urls.hostColumn(col("u")).as("h")).collect()(0).getString(0)
+    assert(nullGot == "")
+  }
+
   test("extract_* functions match the typed extractor byte-for-byte") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._

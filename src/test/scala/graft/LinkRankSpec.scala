@@ -77,7 +77,13 @@ class LinkRankSpec extends SparkTestBase {
       truncateFinal = false).collect()
       .map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank"))).toMap
     assert(eager.keySet == lazyTail.keySet)
-    eager.foreach { case (n, r) => assert(r == lazyTail(n)) }
+    // semantically identical; exact bit-equality is NOT guaranteed — the
+    // inflow sum's shuffle-merge order differs between the checkpointed and
+    // lazy materializations, so double addition can differ by ~1 ulp
+    // (observed: ...94064 vs ...940639). 1e-12 is ~1e3 ulps of headroom.
+    eager.foreach { case (n, r) =>
+      assert(math.abs(r - lazyTail(n)) < 1e-12, s"node=$n $r vs ${lazyTail(n)}")
+    }
   }
 
   test("hostRank collapses urls to hosts and drops intra-host self-loops") {
