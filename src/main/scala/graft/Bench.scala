@@ -158,7 +158,8 @@ object Bench {
     // them in SPARK_GRAFT_QUERIES) times them on demand.
     val fixedCostRows = Set("pipeline_training_data", "pipeline_curate_stream",
       "search_bm25_index_append", "multimodal_image_meta",
-      "multimodal_audio_meta", "multimodal_frames", "warc_parse")
+      "multimodal_audio_meta", "multimodal_frames", "warc_parse",
+      "graph_anchor_text", "trap_detect")
     val fullSuite = queryFilter.isDefined ||
       sys.env.contains("SPARK_GRAFT_FULL_SUITE")
     val selected = names.filter(n => queryFilter.forall(_.contains(n)))

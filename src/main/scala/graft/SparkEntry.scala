@@ -126,6 +126,58 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
 
+    "graph_anchor_text" -> ((s, dir) => {
+      // anchor-text extraction + top-k aggregation (AnchorText): pages are
+      // CONSTRUCTED in SQL (the multimodal gate pattern) so the REAL
+      // parser/resolver runs while the oracle knows every anchor
+      // analytically. Each page carries a relative href, a "../" href
+      // (exercises RFC merge + dot-segment canonicalization), an
+      // absolute UPPERCASE-scheme href with entities + default port +
+      // unsorted query + fragment (exercises the canonicalizer), and
+      // javascript:/no-href noise the extractor must drop
+      val pages = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey").cast("long").as("n"))
+        .selectExpr(
+          "concat('http://s', CAST(n % 7 AS STRING), '.ir/d/page', " +
+            "CAST(n AS STRING), '.html') AS url",
+          "concat('<html><body><a href=\"/t', CAST(n % 50 AS STRING), " +
+            "'\">Target ', CAST(n % 50 AS STRING), '</a>', " +
+            "'<a href=\"../shared.html\">Shared &amp; Co</a>', " +
+            "'<a HREF=\"HTTP://Hub.IR:80/h?b=1&amp;a=2#z\">Hub ', " +
+            "CAST(n % 3 AS STRING), '</a>', " +
+            "'<a href=\"javascript:void(0)\">x</a><a>y</a>" +
+            "</body></html>') AS html")
+      graft.frontier.AnchorText.topAnchors(
+        graft.frontier.AnchorText.anchors(pages).toDF(), k = 3)
+    }),
+
+    "trap_detect" -> ((s, dir) => {
+      // crawl-trap host verdicts (TrapDetect.trapHosts) over a synthetic
+      // url space: cal.ir explodes by template (every url → /d/{n}/{n}),
+      // shop.ir by both routes (1 template + 7-param facet urls),
+      // news.ir is authored-diverse (alpha path segments — nothing to
+      // abstract), tiny.ir has trap shape but sits under minUrls. The
+      // verdict is all-integer arithmetic — row-exact across engines
+      val urls = t(s, dir, "orders").filter(col("o_orderkey") < 6000)
+        .select(col("o_orderkey").cast("long").as("n"))
+        .selectExpr(
+          """CASE
+               WHEN n % 3 = 0 THEN concat('http://cal.ir/d/',
+                 CAST(2000 + n DIV 100 AS STRING), '/', CAST(n % 12 AS STRING))
+               WHEN n % 3 = 1 THEN concat('http://shop.ir/list?a=',
+                 CAST(n AS STRING), '&b=1&c=2&d=3&e=4&f=5&g=6')
+               WHEN n % 12 = 2 AND n < 800 THEN
+                 concat('http://tiny.ir/p/', CAST(n AS STRING))
+               ELSE concat('http://news.ir/',
+                 chr(97 + CAST(n % 24 AS INT)),
+                 chr(97 + CAST((n DIV 24) % 24 AS INT)), '/story')
+             END AS url""")
+      graft.frontier.TrapDetect.trapHosts(urls,
+        minUrls = 100L, explosion = 50L)
+        .select(col("host"), col("n_urls"), col("n_templates"),
+          col("n_key_sets"), col("signal_urls"), col("exploded"), col("trap"))
+    }),
+
     "w6_politeness_schedule" -> ((s, dir) => {
       // the scheduling kernel (W6) over a neutral table: per-host (event
       // type) rank by priority (value desc), budget 5, slot → delay
@@ -1179,6 +1231,55 @@ object SparkEntry {
                   + CAST(0.85 AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d3.dm / nn.n) AS rank
                 FROM nodes nd LEFT JOIN c3 c USING (node), nn, d3)
          SELECT node, round(rank, 6) AS rank FROM r3""",
+
+    // the oracle knows every anchor ANALYTICALLY from the page
+    // construction: "/tX" resolves against the page origin, "../shared
+    // .html" merges at /d/ and the dot segment collapses to the root,
+    // the uppercase-scheme absolute href canonicalizes (lowercase host,
+    // :80 stripped, query sorted, fragment cut, &amp; decoded), and the
+    // javascript:/no-href anchors never produce rows
+    "graph_anchor_text" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 3000),
+         a AS (
+           SELECT concat('http://s', CAST(n % 7 AS VARCHAR), '.ir/t', CAST(n % 50 AS VARCHAR)) AS dst_url,
+                  concat('Target ', CAST(n % 50 AS VARCHAR)) AS text FROM ids
+           UNION ALL
+           SELECT concat('http://s', CAST(n % 7 AS VARCHAR), '.ir/shared.html'), 'Shared & Co' FROM ids
+           UNION ALL
+           SELECT 'http://hub.ir/h?a=2&b=1', concat('Hub ', CAST(n % 3 AS VARCHAR)) FROM ids),
+         c AS (SELECT dst_url, text, count(*) AS cnt FROM a GROUP BY dst_url, text),
+         r AS (SELECT dst_url, text, cnt,
+                 row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, text) AS rnk
+               FROM c)
+         SELECT dst_url, text, cnt, rnk FROM r WHERE rnk <= 3""",
+
+    // construction-knowledge oracle: each host class's template/key-set/
+    // signal columns are known analytically, and the verdict is the same
+    // all-integer arithmetic the operator runs
+    "trap_detect" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 6000),
+         u AS (SELECT n,
+           CASE WHEN n % 3 = 0 THEN 'cal.ir'
+                WHEN n % 3 = 1 THEN 'shop.ir'
+                WHEN n % 12 = 2 AND n < 800 THEN 'tiny.ir'
+                ELSE 'news.ir' END AS host,
+           CASE WHEN n % 3 = 0 THEN '/d/{n}/{n}'
+                WHEN n % 3 = 1 THEN '/list'
+                WHEN n % 12 = 2 AND n < 800 THEN '/p/{n}'
+                ELSE concat('/', chr(97 + CAST(n % 24 AS INT)),
+                  chr(97 + CAST((n // 24) % 24 AS INT)), '/story') END AS template,
+           CASE WHEN n % 3 = 1 THEN 'a,b,c,d,e,f,g' ELSE '' END AS query_keys,
+           CASE WHEN n % 3 = 1 THEN 1 ELSE 0 END AS flagged
+          FROM ids)
+         SELECT host,
+           count(*) AS n_urls,
+           count(DISTINCT template) AS n_templates,
+           count(DISTINCT query_keys) AS n_key_sets,
+           CAST(sum(flagged) AS BIGINT) AS signal_urls,
+           count(*) >= 50 * count(DISTINCT template) AS exploded,
+           count(*) >= 100 AND (count(*) >= 50 * count(DISTINCT template)
+             OR 4 * sum(flagged) >= count(*)) AS trap
+         FROM u GROUP BY host""",
 
     "w6_politeness_schedule" ->
       """SELECT event_type, event_id, slot, (slot - 1) * 1000 AS scheduled_delay_ms FROM

@@ -139,6 +139,76 @@ object Urls extends Serializable {
     h.toLowerCase(java.util.Locale.ROOT)
   }
 
+  /** Index of ':' ending a valid RFC 3986 scheme prefix (ALPHA
+    * *(ALPHA/DIGIT/+/-/.)), else -1. Covers both hierarchical ("http://…")
+    * and opaque ("mailto:…", "javascript:…") forms.
+    */
+  private def schemeColon(s: String): Int = {
+    if (s == null || s.isEmpty) return -1
+    val colon = s.indexOf(':')
+    if (colon <= 0) return -1
+    val c0 = s.charAt(0)
+    val alpha0 = (c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')
+    if (!alpha0) return -1
+    var i = 1
+    while (i < colon) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return -1
+      i += 1
+    }
+    colon
+  }
+
+  /** RFC 3986 §5.2 reference resolution — the piece a GENERAL crawler
+    * needs that the reference never did (its outlinks are site-native
+    * absolute hrefs, /root/reference/src/html_converter.py; Common-Crawl
+    * pages link relatively more often than not). Returns the resolved
+    * absolute URL, NOT canonicalized (callers canonicalize, which also
+    * resolves the dot-segments a merged relative path introduces), or ""
+    * when neither ref nor base yields an absolute URL (caller drops).
+    *
+    * Handled forms: absolute ref (any scheme, incl. opaque mailto:/
+    * javascript: — returned verbatim for the caller to filter),
+    * scheme-relative "//h/p", absolute-path "/p", relative path "p",
+    * query-only "?q", fragment-only "#f" (fragment always drops — the
+    * frontier keys pages, not in-page anchors).
+    */
+  def resolve(base: String, ref: String): String = {
+    val r = if (ref == null) "" else ref.trim
+    if (schemeColon(r) >= 0) return r // absolute (hierarchical or opaque)
+    val b = if (base == null) "" else base.trim
+    val schemeEnd = b.indexOf("://")
+    if (schemeEnd <= 0 || schemeColon(b) != schemeEnd) return ""
+    val scheme = b.substring(0, schemeEnd)
+    if (r.isEmpty) { val h = b.indexOf('#'); return if (h >= 0) b.substring(0, h) else b }
+    if (r.startsWith("//")) return scheme + ":" + r
+    val noFragB = { val h = b.indexOf('#'); if (h >= 0) b.substring(0, h) else b }
+    val rest = noFragB.substring(schemeEnd + 3)
+    val pathStart = {
+      // authority ends at the first of / ? (query can precede any path)
+      val slash = rest.indexOf('/'); val q = rest.indexOf('?')
+      if (slash < 0 && q < 0) rest.length
+      else if (slash < 0) q else if (q < 0) slash else math.min(slash, q)
+    }
+    val origin = scheme + "://" + rest.substring(0, pathStart)
+    val afterAuth = rest.substring(pathStart)
+    val qIdx = afterAuth.indexOf('?')
+    val basePath = if (qIdx >= 0) afterAuth.substring(0, qIdx) else afterAuth
+    if (r.startsWith("#")) origin + basePath +
+      (if (qIdx >= 0) afterAuth.substring(qIdx) else "")
+    else if (r.startsWith("?")) origin + basePath + r
+    else if (r.startsWith("/")) origin + r
+    else {
+      // merge: base path up to (incl.) its last '/', or "/" when the
+      // base has no path (RFC 3986 §5.2.3's merge with defined authority)
+      val lastSlash = basePath.lastIndexOf('/')
+      val dir = if (lastSlash < 0) "/" else basePath.substring(0, lastSlash + 1)
+      origin + dir + r
+    }
+  }
+
   /** Declarative (codegen'd, UDF-free) twin of [[host]] for column
     * pipelines that must agree with the frontier's `host` values (which
     * come from `Urls.host` via typed code, e.g.

@@ -93,6 +93,48 @@ class SeenSpec extends AnyFunSuite {
     }
   }
 
+  test("resolve: RFC 3986 §5.4 reference set (canonicalized where dots merge)") {
+    val base = "http://a/b/c/d;p?q"
+    assert(Urls.resolve(base, "g") == "http://a/b/c/g")
+    assert(Urls.resolve(base, "g?y") == "http://a/b/c/g?y")
+    assert(Urls.resolve(base, "/g") == "http://a/g")
+    assert(Urls.resolve(base, "//g") == "http://g")
+    assert(Urls.resolve(base, "?y") == "http://a/b/c/d;p?y")
+    assert(Urls.resolve(base, "http://x/y") == "http://x/y")
+    // dot segments are the canonicalizer's job — resolve merges, then
+    // canonicalize(resolve(...)) lands on the RFC result
+    assert(Urls.canonicalize(Urls.resolve(base, "./g")) == "http://a/b/c/g")
+    assert(Urls.canonicalize(Urls.resolve(base, "../g")) == "http://a/b/g")
+    assert(Urls.canonicalize(Urls.resolve(base, "../../g")) == "http://a/g")
+    // excess ".." clamps at the root (RFC: ignored)
+    assert(Urls.canonicalize(Urls.resolve(base, "../../../../g")) == "http://a/g")
+  }
+
+  test("resolve: crawl-specific divergences and edge cases") {
+    val base = "http://a/b/c/d?q#oldfrag"
+    // fragment-only keeps the base's path+query, drops ALL fragments
+    // (the frontier keys pages, not in-page anchors)
+    assert(Urls.resolve(base, "#s") == "http://a/b/c/d?q")
+    assert(Urls.resolve(base, "") == "http://a/b/c/d?q")
+    // opaque schemes return verbatim (AnchorText filters to http(s))
+    assert(Urls.resolve(base, "mailto:x@y.z") == "mailto:x@y.z")
+    assert(Urls.resolve(base, "javascript:void(0)") == "javascript:void(0)")
+    // scheme-relative inherits the base scheme
+    assert(Urls.resolve("https://h.ir/p", "//cdn.ir/x") == "https://cdn.ir/x")
+    // base without a path: merge point is "/"
+    assert(Urls.resolve("http://h.ir", "x") == "http://h.ir/x")
+    assert(Urls.resolve("http://h.ir?q=1", "x") == "http://h.ir/x")
+    // IPv6 authority survives the origin split
+    assert(Urls.resolve("http://[::1]:8080/a/b", "x") == "http://[::1]:8080/a/x")
+    // unus(e)able base + relative ref → "" (caller drops)
+    assert(Urls.resolve("not a url", "x") == "")
+    assert(Urls.resolve(null, "x") == "")
+    assert(Urls.resolve("page?a=http://h.ir", "x") == "") // scheme-in-query is not a scheme
+    // null/absolute ref against junk base still passes through
+    assert(Urls.resolve("junk", "http://x/y") == "http://x/y")
+    assert(Urls.resolve("http://a/b", null) == "http://a/b")
+  }
+
   test("host extraction") {
     assert(Urls.host("https://h3.example.ir/x?y=1") == "h3.example.ir")
     assert(Urls.host("https://user@H.IR:8443/p") == "h.ir")
