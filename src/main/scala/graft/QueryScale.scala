@@ -255,6 +255,47 @@ object QueryScale {
           }
         }
 
+        // anchor_op: corpus-sized anchor extraction + top-k aggregation
+        // over SYNTHETIC pages (SPARK_GRAFT_ANCHOR_PAGES, default 300k):
+        // ~800 B of markup per page with 8 extractable anchors — 2 hot
+        // per-host nav targets (so topAnchors' WindowGroupLimit sees
+        // genuinely hot dst keys), relative/"../"/scheme-relative/absolute
+        // forms (the resolver runs on every href), and javascript:/#
+        // noise. Pages checkpointed OUTSIDE the gate; timed region =
+        // DOM parse + resolve + canonicalize + count agg + rank cut.
+        if (isoOn("anchor_op")) {
+          val nPages = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_PAGES", "300000").toLong
+          val pagesA = spark.range(0L, nPages, 1L, cores).toDF("i")
+            .selectExpr(
+              "concat('http://h', CAST(i % 3000 AS STRING), '.ir/d', " +
+                "CAST(i AS STRING), '/page.html') AS url",
+              """concat(
+                '<html><head><title>t</title></head><body><div class="nav">',
+                '<a href="/">Home</a><a href="/about.html">About us</a>',
+                '<a href="../cat', CAST(i % 17 AS STRING),
+                  '/index.html">Category ', CAST(i % 17 AS STRING), '</a></div>',
+                '<p>', repeat('filler text with no links whatsoever ', 8), '</p>',
+                '<a href="http://x', CAST((i * 31) % 50000 AS STRING),
+                  '.com/p?id=', CAST(i AS STRING),
+                  '&amp;ref=nav">Cross link ', CAST(i % 11 AS STRING), '</a>',
+                '<p>', repeat('more body copy between anchors ', 6), '</p>',
+                '<a href="p', CAST(i % 97 AS STRING),
+                  '.html">Deep <b>page</b> ', CAST(i % 97 AS STRING), '</a>',
+                '<a href="javascript:void(0)">menu</a>',
+                '<a href="#top">Back to top</a>',
+                '<a href="//cdn.ir/asset', CAST(i % 5 AS STRING), '.js">asset</a>',
+                '</body></html>') AS html""")
+            .localCheckpoint(true)
+          def runAnchors(): Long = graft.frontier.AnchorText.topAnchors(
+            graft.frontier.AnchorText.anchors(pagesA).toDF(), k = 5).count()
+          runAnchors() // warm
+          out += "anchor_op" -> BenchGate.gated(s"op:anchor@$cores",
+            cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+            val t0 = System.nanoTime(); runAnchors()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+
         if (isoOn("bm25_probe_op")) {
         // bm25_probe_op: index prebuilt on disk; timed region = the probe
         val toks = split(col("text"), " ")
