@@ -178,6 +178,40 @@ object SparkEntry {
           col("n_key_sets"), col("signal_urls"), col("exploded"), col("trap"))
     }),
 
+    "sitemap_parse" -> ((s, dir) => {
+      // sitemap source (Sitemaps.parseBlobs): SQL-constructed XML blobs —
+      // every 5th is a sitemapindex (1 child row), the rest urlsets with
+      // an entity-escaped loc + lastmod + priority entry, a bare-loc
+      // entry, and a loc-less entry the parser must SKIP. The real
+      // HtmlDom-based parser runs; the oracle knows every row
+      // analytically
+      val blobs = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").cast("long").as("n"))
+        .selectExpr(
+          "concat('https://s', CAST(n % 9 AS STRING), '.ir/sitemap', " +
+            "CAST(n AS STRING), '.xml') AS url",
+          """CAST(CASE WHEN n % 5 = 0 THEN
+               concat('<?xml version="1.0"?><sitemapindex>',
+                 '<sitemap><loc>https://s', CAST(n % 9 AS STRING),
+                 '.ir/sitemap-child-', CAST(n AS STRING),
+                 '.xml.gz</loc></sitemap></sitemapindex>')
+             ELSE
+               concat('<?xml version="1.0" encoding="UTF-8"?>',
+                 '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+                 '<url><loc>https://s', CAST(n % 9 AS STRING), '.ir/p?a=',
+                 CAST(n AS STRING), '&amp;b=2</loc><lastmod>2026-0',
+                 CAST(1 + n % 9 AS STRING), '-15</lastmod><priority>0.',
+                 CAST(n % 10 AS STRING), '</priority></url>',
+                 '<url><loc>https://s', CAST(n % 9 AS STRING), '.ir/plain',
+                 CAST(n AS STRING), '</loc></url>',
+                 '<url><lastmod>skip-me</lastmod></url>',
+                 '</urlset>')
+             END AS BINARY) AS body""")
+      graft.sources.Sitemaps.parseBlobs(s, blobs).toDF()
+        .select(col("sitemap_url"), col("kind"), col("loc"),
+          col("lastmod"), col("changefreq"), col("priority"))
+    }),
+
     "w6_politeness_schedule" -> ((s, dir) => {
       // the scheduling kernel (W6) over a neutral table: per-host (event
       // type) rank by priority (value desc), budget 5, slot → delay
@@ -1252,6 +1286,36 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, text) AS rnk
                FROM c)
          SELECT dst_url, text, cnt, rnk FROM r WHERE rnk <= 3""",
+
+    // construction-knowledge oracle: index blobs yield one 'sitemap' row,
+    // urlset blobs two 'url' rows (the loc-less entry is skipped, the
+    // &amp; in loc decodes, priority "0.d" parses to the same nearest
+    // double as d/10.0)
+    "sitemap_parse" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 2000),
+         su AS (SELECT n, concat('https://s', CAST(n % 9 AS VARCHAR),
+                  '.ir/sitemap', CAST(n AS VARCHAR), '.xml') AS sitemap_url FROM ids),
+         e AS (
+           SELECT sitemap_url, 'sitemap' AS kind,
+             concat('https://s', CAST(n % 9 AS VARCHAR), '.ir/sitemap-child-',
+               CAST(n AS VARCHAR), '.xml.gz') AS loc,
+             CAST(NULL AS VARCHAR) AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+             CAST(NULL AS DOUBLE) AS priority
+           FROM su WHERE n % 5 = 0
+           UNION ALL
+           SELECT sitemap_url, 'url',
+             concat('https://s', CAST(n % 9 AS VARCHAR), '.ir/p?a=',
+               CAST(n AS VARCHAR), '&b=2'),
+             concat('2026-0', CAST(1 + n % 9 AS VARCHAR), '-15'),
+             CAST(NULL AS VARCHAR), CAST(n % 10 AS DOUBLE) / 10
+           FROM su WHERE n % 5 <> 0
+           UNION ALL
+           SELECT sitemap_url, 'url',
+             concat('https://s', CAST(n % 9 AS VARCHAR), '.ir/plain',
+               CAST(n AS VARCHAR)),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+           FROM su WHERE n % 5 <> 0)
+         SELECT sitemap_url, kind, loc, lastmod, changefreq, priority FROM e""",
 
     // construction-knowledge oracle: each host class's template/key-set/
     // signal columns are known analytically, and the verdict is the same

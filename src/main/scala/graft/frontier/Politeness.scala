@@ -83,11 +83,16 @@ final case class PolitenessConfig(
     // O(R²/threshold); the threshold trades that against part count
     compactSeenParts: Int = 0)
 
-/** Parsed robots rules for one host. */
+/** Parsed robots rules for one host. `sitemaps` carries the file's
+  * `Sitemap:` directives (group-INDEPENDENT per the robots spec — they
+  * apply regardless of user-agent section) for frontier seeding via
+  * [[graft.sources.Sitemaps]].
+  */
 final case class HostRules(
     crawlDelayMs: Option[Long],
     budget: Option[Int],
-    disallow: Seq[String])
+    disallow: Seq[String],
+    sitemaps: Seq[String] = Seq.empty)
 
 final case class RobotsRules(byHost: Map[String, HostRules]) extends Serializable {
   def delayMs(host: String, cfg: PolitenessConfig): Long =
@@ -118,6 +123,7 @@ object RobotsRules {
     var inStar = false
     var sawAnyGroup = false
     val disallow = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var delay: Option[Long] = None
     txt.split("\n").foreach { lineRaw =>
       val line = lineRaw.takeWhile(_ != '#').trim
@@ -129,6 +135,10 @@ object RobotsRules {
           case "user-agent" =>
             sawAnyGroup = true
             inStar = value == "*"
+          // group-independent per the spec (NOT gated on inStar); the
+          // value is a URL, so the '#' comment strip above is safe only
+          // because fragments are crawl-dropped anyway
+          case "sitemap" => if (value.nonEmpty) sitemaps += value
           case "disallow" if inStar => if (value.nonEmpty) disallow += value
           case "crawl-delay" if inStar =>
             try delay = Some((value.toDouble * 1000).toLong)
@@ -137,7 +147,7 @@ object RobotsRules {
         }
       }
     }
-    HostRules(delay, None, disallow.toSeq)
+    HostRules(delay, None, disallow.toSeq, sitemaps.toSeq)
   }
 
   def fromTexts(robots: Map[String, String]): RobotsRules =
