@@ -178,6 +178,32 @@ object SparkEntry {
           col("n_key_sets"), col("signal_urls"), col("exploded"), col("trap"))
     }),
 
+    "redirect_resolve" -> ((s, dir) => {
+      // redirect-chain resolution (Redirects.resolve, pointer doubling,
+      // rounds=3 → 8-hop budget) over a synthetic redirect graph: chain
+      // groups of ≤7 hops (sparse orderkeys fragment them — more length
+      // variety, identically on both sides) + planted 3-cycles. Oracled
+      // by a DuckDB recursive CTE walking the same ≤8 steps
+      val edges = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("n"))
+        .selectExpr(
+          """CASE WHEN n % 10 <= 6 THEN
+               concat('http://r.ir/g', CAST(n DIV 10 AS STRING), '/p',
+                 CAST(n % 10 AS STRING))
+             ELSE
+               concat('http://r.ir/cyc', CAST(n DIV 10 AS STRING), '/',
+                 CAST(n % 10 - 7 AS STRING))
+             END AS src""",
+          """CASE WHEN n % 10 <= 6 THEN
+               concat('http://r.ir/g', CAST(n DIV 10 AS STRING), '/p',
+                 CAST(n % 10 + 1 AS STRING))
+             ELSE
+               concat('http://r.ir/cyc', CAST(n DIV 10 AS STRING), '/',
+                 CAST((n % 10 - 6) % 3 AS STRING))
+             END AS dst""")
+      graft.frontier.Redirects.resolve(edges, rounds = 3, "src", "dst")
+    }),
+
     "sitemap_parse" -> ((s, dir) => {
       // sitemap source (Sitemaps.parseBlobs): SQL-constructed XML blobs —
       // every 5th is a sitemapindex (1 child row), the rest urlsets with
@@ -1286,6 +1312,32 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, text) AS rnk
                FROM c)
          SELECT dst_url, text, cnt, rnk FROM r WHERE rnk <= 3""",
+
+    // a recursive CTE walks every chain the same ≤ 2^rounds = 8 steps the
+    // pointer doubling bounds; the furthest state per url is the answer,
+    // and a cursor still inside the redirect map is unresolved (cycles
+    // saturate at exactly 8 hops in both formulations)
+    "redirect_resolve" ->
+      """WITH RECURSIVE ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 4000),
+         raw AS (SELECT
+           CASE WHEN n % 10 <= 6 THEN concat('http://r.ir/g', CAST(n // 10 AS VARCHAR), '/p', CAST(n % 10 AS VARCHAR))
+                ELSE concat('http://r.ir/cyc', CAST(n // 10 AS VARCHAR), '/', CAST(n % 10 - 7 AS VARCHAR)) END AS src,
+           CASE WHEN n % 10 <= 6 THEN concat('http://r.ir/g', CAST(n // 10 AS VARCHAR), '/p', CAST(n % 10 + 1 AS VARCHAR))
+                ELSE concat('http://r.ir/cyc', CAST(n // 10 AS VARCHAR), '/', CAST((n % 10 - 6) % 3 AS VARCHAR)) END AS dst
+           FROM ids),
+         e AS (SELECT src, min(dst) AS dst FROM raw GROUP BY src),
+         walk AS (
+           SELECT src AS url, dst AS cur, 1 AS hops FROM e
+           UNION ALL
+           SELECT w.url, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur
+           WHERE w.hops < 8),
+         fin AS (SELECT url, cur, hops FROM walk
+                 QUALIFY row_number() OVER (PARTITION BY url ORDER BY hops DESC) = 1)
+         SELECT f.url,
+           CASE WHEN t.src IS NULL THEN f.cur END AS final_url,
+           CAST(f.hops AS BIGINT) AS hops,
+           t.src IS NULL AS resolved
+         FROM fin f LEFT JOIN e t ON t.src = f.cur""",
 
     // construction-knowledge oracle: index blobs yield one 'sitemap' row,
     // urlset blobs two 'url' rows (the loc-less entry is skipped, the
