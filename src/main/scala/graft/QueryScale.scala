@@ -257,11 +257,12 @@ object QueryScale {
 
         // anchor_op: corpus-sized anchor extraction + top-k aggregation
         // over SYNTHETIC pages (SPARK_GRAFT_ANCHOR_PAGES, default 300k):
-        // ~800 B of markup per page with 8 extractable anchors — 2 hot
-        // per-host nav targets (so topAnchors' WindowGroupLimit sees
-        // genuinely hot dst keys), relative/"../"/scheme-relative/absolute
-        // forms (the resolver runs on every href), and javascript:/#
-        // noise. Pages checkpointed OUTSIDE the gate; timed region =
+        // ~800 B of markup per page, 8 <a> tags of which 7 yield rows —
+        // 2 hot per-host nav targets (so topAnchors' WindowGroupLimit
+        // sees genuinely hot dst keys), relative/"../"/scheme-relative/
+        // absolute forms (the resolver runs on every href), a fragment
+        // href kept as a self-link, and a javascript: href the extractor
+        // drops. Pages checkpointed OUTSIDE the gate; timed region =
         // DOM parse + resolve + canonicalize + count agg + rank cut.
         if (isoOn("anchor_op")) {
           val nPages = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_PAGES", "300000").toLong

@@ -74,10 +74,13 @@ object AnchorText {
 
   /** `\s+` → single space, trimmed — the same token boundary the
     * curate/tokenize stages use (NOTES_r4: two whitespace definitions in
-    * one pipeline was a real bug class).
+    * one pipeline was a real bug class). Pattern precompiled: this runs
+    * once per kept anchor in the corpus-scale kernel, and
+    * String.replaceAll recompiles per call.
     */
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
   private def collapseWs(s: String): String =
-    s.replaceAll("\\s+", " ").trim
+    Ws.matcher(s).replaceAll(" ").trim
 
   /** Extraction over a pages frame (url + html string-or-binary column) —
     * a typed kernel on the scan, one output row per anchor occurrence.

@@ -33,9 +33,13 @@ object TrapDetect {
   private def pathOf(url: Column): Column =
     regexp_extract(url, "://[^/?#]+(/[^?#]*)?", 1)
 
-  /** Query string after '?' (fragment excluded), "" when none. */
+  /** Query string after the first '?' BEFORE any '#' — a '?' inside a
+    * fragment is fragment text, not a query (pathOf is '#'-aware the same
+    * way; the two must agree on where the hierarchical part ends). ""
+    * when none.
+    */
   private def queryOf(url: Column): Column =
-    regexp_extract(url, "\\?([^#]*)", 1)
+    regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
 
   /** URL template: path with long hex runs (ids, hashes — ≥8 chars) →
     * "{hex}" then digit runs → "{n}". Two urls differing only in ids

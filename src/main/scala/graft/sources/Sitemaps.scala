@@ -55,10 +55,9 @@ object Sitemaps {
         // the root element itself after lenient parsing
         def findContainer(e: HtmlDom.Element): Option[HtmlDom.Element] =
           if (e.tag == "urlset" || e.tag == "sitemapindex") Some(e)
-          else e.children.collectFirst {
-            case c: HtmlDom.Element if findContainer(c).isDefined =>
-              findContainer(c).get
-          }
+          else e.children.iterator
+            .collect { case c: HtmlDom.Element => findContainer(c) }
+            .collectFirst { case Some(x) => x }
         findContainer(root) match {
           case None => Nil
           case Some(container) =>
@@ -113,23 +112,15 @@ object Sitemaps {
   def read(spark: SparkSession, pathGlob: String,
       maxPartitions: Int = 0): Dataset[SitemapEntry] = {
     import spark.implicits._
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(pathGlob)
-    val fs = p.getFileSystem(conf.value)
-    val matched = Option(fs.globStatus(p)).getOrElse(
-      throw new java.io.FileNotFoundException(s"sitemap path does not exist: $pathGlob"))
-    val files = matched.filter(_.isFile).map(_.getPath.toString)
-    val parts = if (maxPartitions > 0) math.min(maxPartitions, files.length)
-      else files.length
-    spark.createDataset(files.toSeq).repartition(math.max(parts, 1))
-      .flatMap { f =>
-        val path = new org.apache.hadoop.fs.Path(f)
-        val in = WarcSource.openMaybeGz(path.getFileSystem(conf.value).open(path))
-        val xml = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close()
-        parse(f, xml).iterator
-      }
+    val (files, conf) = WarcSource.fileUnits(spark, pathGlob, maxPartitions,
+      "sitemap")
+    files.flatMap { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      val in = WarcSource.openMaybeGz(path.getFileSystem(conf.value).open(path))
+      val xml = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      parse(f, xml).iterator
+    }
   }
 
   /** Frontier seeding: urlset entries → [[graft.model.FrontierEntry]]

@@ -183,20 +183,36 @@ object WarcSource {
     * with a clear error (Hadoop globStatus returns NULL there, not empty);
     * a glob matching nothing yields an empty dataset.
     */
-  def read(spark: SparkSession, pathGlob: String,
-      maxPartitions: Int = 0): Dataset[WarcRecord] = {
+  /** Shared file-surface scaffolding for file-framed sources (WARC,
+    * sitemaps): glob → a Dataset of file paths, one per partition by
+    * default (`maxPartitions` caps, never splits below a file), plus the
+    * serializable Hadoop conf the per-file open needs. A missing non-glob
+    * path fails loudly (globStatus returns NULL there, not empty); a glob
+    * matching nothing yields an empty dataset. ONE copy of the glob
+    * contract — per-source divergence here is silent (the review that
+    * motivated this found the listing logic pasted twice).
+    */
+  private[sources] def fileUnits(spark: SparkSession, pathGlob: String,
+      maxPartitions: Int, what: String): (Dataset[String],
+        org.apache.spark.util.SerializableConfiguration) = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = p.getFileSystem(conf.value)
     val matched = Option(fs.globStatus(p)).getOrElse(
-      throw new java.io.FileNotFoundException(s"WARC path does not exist: $pathGlob"))
+      throw new java.io.FileNotFoundException(s"$what path does not exist: $pathGlob"))
     val files = matched.filter(_.isFile).map(_.getPath.toString)
     val parts = if (maxPartitions > 0) math.min(maxPartitions, files.length)
       else files.length
-    spark.createDataset(files.toSeq).repartition(math.max(parts, 1))
-      .flatMap { f =>
+    (spark.createDataset(files.toSeq).repartition(math.max(parts, 1)), conf)
+  }
+
+  def read(spark: SparkSession, pathGlob: String,
+      maxPartitions: Int = 0): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val (files, conf) = fileUnits(spark, pathGlob, maxPartitions, "WARC")
+    files.flatMap { f =>
         val path = new org.apache.hadoop.fs.Path(f)
         val in = path.getFileSystem(conf.value).open(path)
         // parseStream closes the stream at natural EOF; an interrupted

@@ -26,14 +26,10 @@ object Urls extends Serializable {
     // a URL is absolute only when the text before "://" is a REAL scheme
     // (RFC 3986 ALPHA *(ALPHA/DIGIT/+/-/.)): a relative URL carrying an
     // absolute URL in its query ("page?a=http://h.ir") must take the
-    // pass-through branch, not parse "page?a=http" as a scheme
-    val schemeValid = schemeEnd > 0 && {
-      val sc = noFrag.substring(0, schemeEnd)
-      val c0 = sc.charAt(0)
-      ((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')) &&
-        sc.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-          (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')
-    }
+    // pass-through branch, not parse "page?a=http" as a scheme. ONE
+    // scheme grammar for keying and reference resolution: a valid scheme
+    // prefix puts its FIRST colon exactly at "://"
+    val schemeValid = schemeEnd > 0 && schemeColon(noFrag) == schemeEnd
     if (!schemeValid) return normPercent(noFrag) // not absolute; leave mostly as-is
     val scheme = noFrag.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
     val rest = noFrag.substring(schemeEnd + 3)

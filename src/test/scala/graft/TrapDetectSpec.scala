@@ -36,6 +36,16 @@ class TrapDetectSpec extends SparkTestBase {
     assert(rows.values.count(_._6) == 1) // exactly the long one
   }
 
+  test("a '?' inside a fragment is not a query") {
+    val rows = TrapDetect.urlSignals(Seq(
+      "http://h.ir/p#a?x=1&y=2&z=3&w=4&v=5&u=6&t=7", // all fragment text
+      "http://h.ir/p?x=1#frag?y=2&z=3"               // real query then fragment
+    ).toDF("url")).collect().map(r => r.getAs[String]("url") ->
+      ((r.getAs[String]("query_keys"), r.getAs[Boolean]("many_params")))).toMap
+    assert(rows("http://h.ir/p#a?x=1&y=2&z=3&w=4&v=5&u=6&t=7") == (("", false)))
+    assert(rows("http://h.ir/p?x=1#frag?y=2&z=3") == (("x", false)))
+  }
+
   test("urlSignals is a shuffle-free projection") {
     val plan = TrapDetect.urlSignals(Seq("http://h.ir/a/1").toDF("url"))
       .queryExecution.executedPlan.toString
