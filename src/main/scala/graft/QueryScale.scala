@@ -297,6 +297,45 @@ object QueryScale {
           }
         }
 
+        // redirect_op: pointer-doubling resolution over a REALISTIC
+        // redirect graph (SPARK_GRAFT_REDIRECT_EDGES, default 4M edges):
+        // 60% isolated 1-hop redirects, 20% 2-hop chains, 10% 4-hop
+        // chains, 10% members of 3-cycles — web redirect data is
+        // overwhelmingly 1-2 hops, which is exactly the distribution the
+        // done/active split exploits (the active side collapses after
+        // iteration 1; shuffle volume tracks the unresolved frontier).
+        // rounds=3 ⇒ ≤8-hop budget. Edge frame checkpointed outside the
+        // gate; timed region = dedupe + the joins + the terminal check.
+        if (isoOn("redirect_op")) {
+          val nEdges = sys.env.getOrElse("SPARK_GRAFT_REDIRECT_EDGES", "4000000").toLong
+          val edgesR = spark.range(0L, nEdges, 1L, cores).toDF("i")
+            .selectExpr(
+              """CASE
+                 WHEN i % 10 < 6 THEN concat('http://r.ir/s', CAST(i AS STRING))
+                 WHEN i % 10 < 8 THEN concat('http://r.ir/c', CAST(i DIV 10 AS STRING), '/', CAST(i % 2 AS STRING))
+                 WHEN i % 10 = 8 THEN concat('http://r.ir/q', CAST(i DIV 40 AS STRING), '/', CAST((i DIV 10) % 4 AS STRING))
+                 ELSE concat('http://r.ir/cyc', CAST(i DIV 30 AS STRING), '/', CAST((i DIV 10) % 3 AS STRING))
+                 END AS src""",
+              """CASE
+                 WHEN i % 10 < 6 THEN concat('http://r.ir/t', CAST(i AS STRING))
+                 WHEN i % 10 < 8 THEN concat('http://r.ir/c', CAST(i DIV 10 AS STRING), '/', CAST(i % 2 + 1 AS STRING))
+                 WHEN i % 10 = 8 THEN concat('http://r.ir/q', CAST(i DIV 40 AS STRING), '/', CAST((i DIV 10) % 4 + 1 AS STRING))
+                 ELSE concat('http://r.ir/cyc', CAST(i DIV 30 AS STRING), '/', CAST(((i DIV 10) + 1) % 3 AS STRING))
+                 END AS dst""")
+            .localCheckpoint(true)
+          // SPARK_GRAFT_REDIRECT_ROUNDS (diagnostic): vary the doubling
+          // depth to split dedupe/terminal cost from per-iteration cost
+          val rRounds = sys.env.getOrElse("SPARK_GRAFT_REDIRECT_ROUNDS", "3").toInt
+          def runRedirects(): Long = graft.frontier.Redirects.resolve(
+            edgesR, rounds = rRounds, "src", "dst").count()
+          runRedirects() // warm
+          out += "redirect_op" -> BenchGate.gated(s"op:redirect@$cores",
+            cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+            val t0 = System.nanoTime(); runRedirects()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+
         if (isoOn("bm25_probe_op")) {
         // bm25_probe_op: index prebuilt on disk; timed region = the probe
         val toks = split(col("text"), " ")

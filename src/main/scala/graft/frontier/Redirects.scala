@@ -10,15 +10,26 @@ import org.apache.spark.sql.functions._
   * every url's FINAL target: a chain crawled from two entry points must
   * collapse to one page).
   *
-  * Algorithm: POINTER DOUBLING (path halving), the classic parallel
-  * technique — iteration k advances every chain up to 2^k hops by joining
-  * the current mapping with itself (m' (u) = m(m(u))), so a `rounds = r`
-  * call bounds chains at 2^r hops in r shuffle joins instead of 2^r
-  * sequential self-joins. Each iteration localCheckpoints (the iterative-
-  * DataFrame lineage trap, same as LinkRank/clusterAssign). Chains still
-  * pointing at a redirecting url after the budget — true cycles included
-  * (a cycle never terminates, so its hop count saturates at exactly 2^r,
-  * deterministically) — come back `resolved = false` with a null final.
+  * Algorithm: POINTER DOUBLING (path halving) with a DONE/ACTIVE split.
+  * Iteration k advances every still-active chain up to 2^k hops by
+  * joining it against the full current mapping (m′(u) = m(m(u))), so
+  * `rounds = r` bounds chains at 2^r hops in r shuffle joins instead of
+  * 2^r sequential self-joins. A row whose jump lands on a terminal —
+  * either no mapping entry for its cursor, or an entry already resolved
+  * (done rows carry their FINAL target, so resolution propagates in one
+  * hop) — retires into a done set and never ships through a join again:
+  * on real redirect data (chains are overwhelmingly 1-2 hops) the active
+  * side collapses geometrically after the first iteration, which is what
+  * makes the op shuffle-volume-proportional to the UNRESOLVED frontier,
+  * not the map. The done side still serves as join TARGETS (frozen rows
+  * in the b-side union — no recompute; each part is checkpointed once).
+  * Each iteration's join materializes once (localCheckpoint) and feeds
+  * both the retire and continue filters — the two-reader lineage trap.
+  *
+  * Chains still pointing at a redirecting url after the budget — true
+  * cycles included (a cycle never terminates, so its hop count saturates
+  * at exactly 2^r, deterministically) — come back `resolved = false`
+  * with a null final.
   *
   * Determinism: a src observed with MULTIPLE locations (re-crawl saw a
   * changed redirect) collapses to min(location) so the resolution is a
@@ -33,32 +44,49 @@ object Redirects {
   def resolve(redirects: DataFrame, rounds: Int = 4,
       srcCol: String = "src_url", dstCol: String = "location"): DataFrame = {
     require(rounds >= 0 && rounds <= 20, s"rounds out of range: $rounds")
-    // deterministic collapse + drop null/self-noise is NOT dropped:
-    // self-loops are cycles and must resolve as such
+    // deterministic collapse; null src/dst are noise, but self-loops are
+    // NOT dropped — they are cycles and must resolve as such
     val edges = redirects
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .groupBy(col(srcCol).as("src"))
       .agg(min(col(dstCol)).as("dst"))
       .localCheckpoint(true)
 
-    var m = edges.select(col("src").as("url"), col("dst").as("cur"),
+    var active = edges.select(col("src").as("url"), col("dst").as("cur"),
       lit(1L).as("hops"))
+    // invariant: every done row's cur IS its terminal (base case: the
+    // cursor had no mapping entry; inductive: it copied a done row's cur)
+    val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to rounds) {
-      m = m.localCheckpoint(true)
-      val jumped = m.as("a").join(
-        m.select(col("url").as("b_src"), col("cur").as("b_cur"),
-          col("hops").as("b_hops")).as("b"),
-        col("a.cur") === col("b_src"), "left")
-      m = jumped.select(col("a.url").as("url"),
-        coalesce(col("b_cur"), col("a.cur")).as("cur"),
-        (col("a.hops") + coalesce(col("b_hops"), lit(0L))).as("hops"))
+      active = active.localCheckpoint(true)
+      val b = (doneParts.toSeq.map(_.withColumn("b_done", lit(true)))
+          :+ active.withColumn("b_done", lit(false)))
+        .reduce(_ unionByName _)
+        .select(col("url").as("b_src"), col("cur").as("b_cur"),
+          col("hops").as("b_hops"), col("b_done"))
+      val j = active.join(b, col("cur") === col("b_src"), "left")
+        .select(col("url"),
+          coalesce(col("b_cur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("b_hops"), lit(0L))).as("hops"),
+          // retired: the cursor was terminal (no entry) or resolves
+          // through an already-done row
+          (col("b_src").isNull || col("b_done")).as("retired"))
+        .localCheckpoint(true) // one materialization feeds both filters
+      doneParts += j.filter(col("retired")).drop("retired")
+      active = j.filter(!col("retired")).drop("retired")
     }
-    // terminal ⇔ the cursor is not itself a redirecting url
-    m.join(edges.select(col("src").as("t_src")), col("cur") === col("t_src"),
+    // rows still active after the budget: their cursor may or may not be
+    // terminal — one last membership test against the (active-sized,
+    // shrunken) remainder decides resolved/unresolved
+    val tail = active
+      .join(edges.select(col("src").as("t_src")), col("cur") === col("t_src"),
         "left")
       .select(col("url"),
         when(col("t_src").isNull, col("cur")).as("final_url"),
         col("hops"),
         col("t_src").isNull.as("resolved"))
+    val done = doneParts.map(_.select(col("url"), col("cur").as("final_url"),
+      col("hops"), lit(true).as("resolved")))
+    (done :+ tail).reduce(_ unionByName _)
   }
 }
