@@ -178,6 +178,31 @@ object SparkEntry {
           col("n_key_sets"), col("signal_urls"), col("exploded"), col("trap"))
     }),
 
+    "frontier_cap" -> ((s, dir) => {
+      // the priority-queue cut (FrontierRound.capByPriority): global
+      // top-500 deduped frontier entries by (priority, url_key) via the
+      // distributed range-partition prefix-sum — NOT a window or a
+      // driver-side take. Fixture plants ~2.7 discovery copies per key
+      // (dedup winner = min (priority, -attempt, discovered_round));
+      // output carries both sides with a kept flag so the oracle checks
+      // the cut AND the deferral exactly
+      import org.apache.spark.sql.functions.lit
+      val entries = t(s, dir, "orders").filter(col("o_orderkey") < 8000)
+        .select(col("o_orderkey").cast("long").as("n"))
+        .selectExpr(
+          "concat('k', CAST(n % 3000 AS STRING)) AS url_key",
+          "concat('http://h', CAST((n % 3000) % 7 AS STRING), '.ir/p', " +
+            "CAST(n % 3000 AS STRING)) AS url",
+          "concat('h', CAST((n % 3000) % 7 AS STRING), '.ir') AS host",
+          "CAST(n % 97 AS DOUBLE) AS priority",
+          "CAST(n % 4 AS INT) AS attempt",
+          "CAST(n % 5 AS INT) AS discovered_round")
+        .as[graft.model.FrontierEntry](org.apache.spark.sql.Encoders.product)
+      val (kept, cut) = graft.frontier.FrontierRound.capByPriority(s, entries, 500L)
+      kept.withColumn("kept", lit(true))
+        .union(cut.withColumn("kept", lit(false)))
+    }),
+
     "redirect_resolve" -> ((s, dir) => {
       // redirect-chain resolution (Redirects.resolve, pointer doubling,
       // rounds=3 → 8-hop budget) over a synthetic redirect graph: chain
@@ -1312,6 +1337,27 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, text) AS rnk
                FROM c)
          SELECT dst_url, text, cnt, rnk FROM r WHERE rnk <= 3""",
+
+    // dedup winner via the same (priority, attempt DESC, discovered_round)
+    // rule, then one global rank by (priority, url_key) — full ties are
+    // impossible by construction (a key repeats only every lcm(3000,97,4,5)
+    // = 291000 > 8000 rows), so the cut is engine-exact
+    "frontier_cap" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 8000),
+         raw AS (SELECT
+           concat('k', CAST(n % 3000 AS VARCHAR)) AS url_key,
+           concat('http://h', CAST((n % 3000) % 7 AS VARCHAR), '.ir/p', CAST(n % 3000 AS VARCHAR)) AS url,
+           concat('h', CAST((n % 3000) % 7 AS VARCHAR), '.ir') AS host,
+           CAST(n % 97 AS DOUBLE) AS priority,
+           CAST(n % 4 AS INT) AS attempt,
+           CAST(n % 5 AS INT) AS discovered_round
+           FROM ids),
+         d AS (SELECT * FROM raw
+               QUALIFY row_number() OVER (PARTITION BY url_key
+                 ORDER BY priority, attempt DESC, discovered_round) = 1),
+         r AS (SELECT *, row_number() OVER (ORDER BY priority, url_key) AS rk FROM d)
+         SELECT url_key, url, host, priority, attempt, discovered_round,
+           rk <= 500 AS kept FROM r""",
 
     // a recursive CTE walks every chain the same ≤ 2^rounds = 8 steps the
     // pointer doubling bounds; the furthest state per url is the answer,

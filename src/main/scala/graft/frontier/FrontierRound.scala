@@ -174,13 +174,28 @@ object FrontierRound {
             .apply($"host"))
       }
 
+    // global per-round capacity: the priority-queue cut. Skipped entirely
+    // when off (-1, the certified default paths) or when the caller's
+    // frontier bound PROVES the cut cannot bind — the drain hot loop pays
+    // nothing for the feature's existence.
+    val capN = cfg.maxUrlsPerRound
+    val capActive = capN >= 0L &&
+      !(frontierSizeBound >= 0L && frontierSizeBound <= capN)
+    val (inFrontier, capCut) =
+      if (!capActive) (allowed, spark.emptyDataset[FrontierEntry])
+      else capByPriority(spark, allowed, capN)
+    // the cap bounds stage-1's input even when the caller's bound didn't
+    val effBound =
+      if (capActive) capN
+      else frontierSizeBound
+
     // rn1 and slot never exceed the (deduped) frontier row count, so with a
     // uniform budget (no robots) at or above the caller's frontier-size
     // bound, both budget filters are vacuous and deferred is provably empty
-    val budgetsCannotBind = noRules && frontierSizeBound >= 0L &&
-      frontierSizeBound <= cfg.defaultBudget.toLong
+    val budgetsCannotBind = noRules && effBound >= 0L &&
+      effBound <= cfg.defaultBudget.toLong
 
-    val stage1Raw = allowed.toDF()
+    val stage1Raw = inFrontier.toDF()
       // one projection (salt appended in tuple order) instead of
       // withColumn + a post-sort select — two fewer analyzer passes on a
       // plan rebuilt every round
@@ -231,12 +246,79 @@ object FrontierRound {
     // derived from the rank columns directly (no anti-join / extra shuffle)
     val entryCols = Seq($"url_key", $"url", $"host", $"priority", $"attempt",
       $"discovered_round")
-    val deferred =
+    val budgetDeferred =
       if (budgetsCannotBind) spark.emptyDataset[FrontierEntry]
       else stage1.filter($"rn1" > budgetOf).select(entryCols: _*)
         .union(stage2.filter($"slot" > budgetOf).select(entryCols: _*))
         .as[FrontierEntry]
+    // capacity-cut rows are deferred work, not dropped — they re-enter the
+    // frontier and compete again next round
+    val deferred =
+      if (capActive) budgetDeferred.union(capCut) else budgetDeferred
     SchedulePlan(scheduled, deferred, stage1)
+  }
+
+  /** The priority-queue cut: EXACT global top-`n` deduped frontier entries
+    * by (priority, url_key), returned with the cut remainder — distributed,
+    * never a driver-side take (n is ~10^7 at the design point).
+    *
+    * Dedup first (identical winner rule to stage-1's fused dedup: min by
+    * (priority, -attempt, discovered_round) per key — and to the
+    * simulator's, CrawlSimulator.scala) so capacity counts URLS, not
+    * discovery copies. The cut is the distributed prefix-sum pattern
+    * (tokenize_pack): range-partition on the cut order, ONE bounded
+    * per-partition count job (≤ `buckets` rows to the driver), broadcast
+    * cumulative offsets, then each partition streams its rows against its
+    * own offset — no global window, no single-task rank. The
+    * range-partitioned sort is cached for exactly the two passes (count +
+    * flag) and released after the flag pass materializes.
+    */
+  private[graft] def capByPriority(
+      spark: SparkSession,
+      entries: Dataset[FrontierEntry],
+      n: Long): (Dataset[FrontierEntry], Dataset[FrontierEntry]) = {
+    import spark.implicits._
+    val deduped = entries.toDF()
+      .groupBy($"url_key")
+      .agg(min_by(
+        struct($"url", $"host", $"priority", $"attempt", $"discovered_round"),
+        struct($"priority", (-$"attempt").as("na"), $"discovered_round")).as("e"))
+      .select($"url_key", $"e.url", $"e.host", $"e.priority", $"e.attempt",
+        $"e.discovered_round")
+    if (n <= 0L) // capacity 0: everything defers (degenerate but well-defined)
+      return (spark.emptyDataset[FrontierEntry], deduped.as[FrontierEntry])
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val parted = deduped
+      .repartitionByRange(buckets, $"priority", $"url_key")
+      .sortWithinPartitions($"priority", $"url_key")
+      .cache()
+    val counts = parted.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](buckets + 1)
+    var pid = 0
+    while (pid < buckets) {
+      offsets(pid + 1) = offsets(pid) + counts.getOrElse(pid, 0L)
+      pid += 1
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    val flagged = parted
+      .withColumn("__pid", spark_partition_id())
+      .as[(String, String, String, Double, Int, Int, Int)]
+      .mapPartitions { it =>
+        var idx = 0L
+        it.map { case (k, u, h, p, a, d, pd) =>
+          idx += 1
+          (k, u, h, p, a, d, offB.value(pd) + idx <= n)
+        }
+      }
+      .toDF("url_key", "url", "host", "priority", "attempt",
+        "discovered_round", "__kept")
+      // ONE materialization feeds both filters (the two-reader lineage
+      // rule); also pins the range sampling so both sides see one layout
+      .localCheckpoint(true)
+    parted.unpersist()
+    (flagged.filter($"__kept").drop("__kept").as[FrontierEntry],
+      flagged.filter(!$"__kept").drop("__kept").as[FrontierEntry])
   }
 
   /** Seen-set reduction: bloom prefilter (spark-sketch builtin over the seen

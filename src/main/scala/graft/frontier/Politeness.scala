@@ -12,6 +12,14 @@ final case class PolitenessConfig(
     defaultBudget: Int = 10,
     defaultDelayMs: Long = 1500L,
     maxRetries: Int = 1, // one re-pass, like retry_failed_ids (handler.py:397-442)
+    // global per-round capacity (-1 = unbounded, the reference shape): at a
+    // 10^10-URL frontier a round cannot fetch budget×hosts urls — the
+    // scheduler takes the best `maxUrlsPerRound` DEDUPED entries by
+    // (priority, url_key) and defers the rest to later rounds. This is
+    // what makes the frontier an actual PRIORITY QUEUE (and what gives
+    // LinkRank.prioritize's host scores cross-host effect — without a
+    // global cut, priorities only ever compete within one host's budget).
+    maxUrlsPerRound: Long = -1L,
     saltBuckets: Int = 8,
     bloomFpp: Double = 0.01,
     useBloomPrefilter: Boolean = true,

@@ -58,10 +58,19 @@ object CrawlSimulator {
         }
         .toVector
 
+      // global per-round capacity (the priority-queue cut): best
+      // maxUrlsPerRound deduped entries by (priority, url_key); the rest
+      // defer to later rounds. Mirrors FrontierRound.capByPriority.
+      val (inRound, capCut) =
+        if (cfg.maxUrlsPerRound >= 0L && deduped.size > cfg.maxUrlsPerRound)
+          deduped.sortBy(e => (e.priority, e.urlKey))
+            .splitAt(cfg.maxUrlsPerRound.toInt)
+        else (deduped, Vector.empty[SimEntry])
+
       // per-host budget in (priority, url_key) order
       val scheduled = mutable.ArrayBuffer.empty[SimEntry]
       val deferred = mutable.ArrayBuffer.empty[SimEntry]
-      deduped.groupBy(_.host).toSeq.sortBy(_._1).foreach { case (host, es) =>
+      inRound.groupBy(_.host).toSeq.sortBy(_._1).foreach { case (host, es) =>
         val budget = robots.budget(host, cfg)
         val sorted = es.sortBy(e => (e.priority, e.urlKey))
         val (take, defer) = sorted.splitAt(budget)
@@ -71,6 +80,7 @@ object CrawlSimulator {
         }
         deferred ++= defer
       }
+      deferred ++= capCut
 
       val fresh = mutable.ArrayBuffer.empty[SimEntry]
       val retries = mutable.ArrayBuffer.empty[SimEntry]

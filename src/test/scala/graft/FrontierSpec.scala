@@ -52,6 +52,55 @@ class FrontierSpec extends SparkTestBase {
     assert(engRows == simRows)
   }
 
+  test("global round capacity: engine == simulator; capped work defers, never drops") {
+    val pol = PolitenessConfig(defaultBudget = 7, saltBuckets = 4,
+      maxUrlsPerRound = 5L)
+    val (sim, eng) = runBoth(pol)
+    val engRows = eng.schedule
+      .select(col("round"), col("host"), col("slot"), col("url"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val simRows = sim.schedule.map(f => (f.round, f.host, f.slot, f.url)).toSet
+    assert(engRows == simRows)
+    // the cut is a deferral: the capped crawl still reaches the full
+    // universe — its final seen set equals the UNCAPPED crawl's
+    val (simFull, _) = defaultRun
+    assert(sim.seen == simFull.seen)
+    val engSeen = eng.seenKeys.collect().map(_.getString(0)).toSet
+    assert(engSeen == sim.seen)
+    // and it genuinely bound: more rounds than the uncapped crawl
+    assert(sim.schedule.map(_.round).max > simFull.schedule.map(_.round).max)
+  }
+
+  test("capByPriority: exact distributed top-N, dedup winner rule, scrambled input") {
+    import spark.implicits._
+    val entries = (0 until 500).map { i =>
+      graft.model.FrontierEntry(f"k$i%03d", s"http://h${i % 7}.ir/$i",
+        s"h${i % 7}.ir", (i % 50).toDouble, 0, 0)
+    } :+ // duplicate key whose higher-attempt copy must win the dedup
+      graft.model.FrontierEntry("k000", "http://h0.ir/0", "h0.ir", 0.0, 2, 0)
+    val ds = spark.createDataset(entries).repartition(13)
+    val (kept, cut) = FrontierRound.capByPriority(spark, ds, 37L)
+    val keptRows = kept.collect()
+    val cutRows = cut.collect()
+    assert(keptRows.length == 37)
+    val dedup = entries.groupBy(_.url_key).map { case (_, es) =>
+      es.minBy(e => (e.priority, -e.attempt, e.discovered_round))
+    }.toSeq
+    val expect = dedup.sortBy(e => (e.priority, e.url_key)).take(37)
+      .map(_.url_key).toSet
+    assert(keptRows.map(_.url_key).toSet == expect)
+    // kept ∪ cut == the deduped input, exactly once each
+    val all = keptRows ++ cutRows
+    assert(all.map(_.url_key).toSet == dedup.map(_.url_key).toSet)
+    assert(all.length == dedup.size)
+    assert(all.find(_.url_key == "k000").get.attempt == 2)
+    // n beyond the frontier: nothing cut
+    val (k2, c2) = FrontierRound.capByPriority(spark, ds, 10000L)
+    assert(c2.isEmpty && k2.count() == dedup.size)
+  }
+
   test("final seen set equals simulator's") {
     val (sim, eng) = defaultRun
     val engSeen = eng.seenKeys.collect().map(_.getString(0)).toSet

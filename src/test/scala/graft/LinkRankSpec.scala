@@ -102,6 +102,35 @@ class LinkRankSpec extends SparkTestBase {
     assert(math.abs(got("c.com") - expected(3L)) < 1e-12)
   }
 
+  test("prioritize + capped schedule: the ranked hub crawls first") {
+    // the full chain link graph → hostRank → prioritize → priority-queue
+    // schedule: without a global capacity, host scores never compete
+    // (budgets are per-host); with maxUrlsPerRound they decide who
+    // fetches THIS round
+    import graft.frontier.{FrontierRound, PolitenessConfig, RobotsRules}
+    // hub receives every host's link and spreads its own mass over all
+    // of them (a single out-edge would funnel the hub's whole rank into
+    // one target, making THAT host the top — the classic sink shape)
+    val urlEdges = ((1 to 20).map(i => (s"http://s$i.ir/p", "http://hub.ir/home"))
+      ++ (1 to 20).map(i => ("http://hub.ir/home", s"http://s$i.ir/p")))
+      .toDF("src_url", "dst_url")
+    val ranks = LinkRank.hostRank(urlEdges, iters = 2)
+    val frontier = Seq(
+      ("k1", "http://hub.ir/a", "hub.ir", 0.0, 0, 0),
+      ("k2", "http://cold.ir/b", "cold.ir", 0.0, 0, 0),
+      ("k3", "http://s1.ir/c", "s1.ir", 0.0, 0, 0)
+    ).toDF("url_key", "url", "host", "priority", "attempt", "discovered_round")
+    val prioritized = LinkRank.prioritize(frontier, ranks)
+      .as[graft.model.FrontierEntry]
+    val plan = FrontierRound.schedule(spark, prioritized, RobotsRules.empty,
+      PolitenessConfig(maxUrlsPerRound = 1L))
+    val got = plan.scheduled.collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("host") == "hub.ir") // highest in-link mass
+    // the cut hosts defer — they re-compete next round, never drop
+    assert(plan.deferred.collect().map(_.host).toSet == Set("cold.ir", "s1.ir"))
+  }
+
   test("prioritize rewrites priority to -hostRank, keeping unknown hosts") {
     val frontier = Seq(
       ("k1", "http://a.com/1", "a.com", 5.0),
