@@ -336,6 +336,38 @@ object QueryScale {
           }
         }
 
+        // cap_op: the priority-queue cut at frontier scale
+        // (SPARK_GRAFT_CAP_ENTRIES, default 10M entries with ~20%
+        // duplicate-key discovery copies; cap = entries/10). Timed region
+        // = dedup + range-partition + count job + flag pass + both-side
+        // materialization — the full per-round cost a binding cap adds.
+        if (isoOn("cap_op")) {
+          val nEntries = sys.env.getOrElse("SPARK_GRAFT_CAP_ENTRIES", "10000000").toLong
+          val frontierC = spark.range(0L, nEntries, 1L, cores).toDF("i")
+            .selectExpr(
+              // i % (n*4/5) folds the top 20% of i onto existing keys —
+              // duplicate discovery copies with a different attempt
+              s"concat('k', CAST(i % ${nEntries * 4 / 5} AS STRING)) AS url_key",
+              s"concat('http://h', CAST(i % 100000 AS STRING), '.ir/p', CAST(i AS STRING)) AS url",
+              "concat('http://h', CAST(i % 100000 AS STRING), '.ir') AS host",
+              "CAST(xxhash64(i, 7) % 1000000 AS DOUBLE) AS priority",
+              "CAST(i % 3 AS INT) AS attempt",
+              "CAST(0 AS INT) AS discovered_round")
+            .localCheckpoint(true)
+          def runCap(): Long = {
+            val (kept, cut) = graft.frontier.FrontierRound.capByPriority(
+              spark, frontierC.as[graft.model.FrontierEntry](
+                org.apache.spark.sql.Encoders.product), nEntries / 10L)
+            kept.count() + cut.count()
+          }
+          runCap() // warm
+          out += "cap_op" -> BenchGate.gated(s"op:cap@$cores",
+            cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+            val t0 = System.nanoTime(); runCap()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+
         if (isoOn("bm25_probe_op")) {
         // bm25_probe_op: index prebuilt on disk; timed region = the probe
         val toks = split(col("text"), " ")
