@@ -278,6 +278,10 @@ object FrontierRound {
       entries: Dataset[FrontierEntry],
       n: Long): (Dataset[FrontierEntry], Dataset[FrontierEntry]) = {
     import spark.implicits._
+    // checkpointed so the range partitioner's boundary-SAMPLING pass and
+    // the shuffle itself both read the materialized frame — an
+    // unmaterialized child here runs the full-frontier aggregation TWICE
+    // per capped round (sampling job + real shuffle)
     val deduped = entries.toDF()
       .groupBy($"url_key")
       .agg(min_by(
@@ -285,14 +289,20 @@ object FrontierRound {
         struct($"priority", (-$"attempt").as("na"), $"discovered_round")).as("e"))
       .select($"url_key", $"e.url", $"e.host", $"e.priority", $"e.attempt",
         $"e.discovered_round")
+      .localCheckpoint(true)
     if (n <= 0L) // capacity 0: everything defers (degenerate but well-defined)
       return (spark.emptyDataset[FrontierEntry], deduped.as[FrontierEntry])
     val buckets = spark.sessionState.conf.numShufflePartitions
+    // the pid is STAMPED once and pinned with the frame (the
+    // packSequences prefix-sum precedent): the count job and the flag
+    // pass cannot disagree on spark_partition_id under recompute — an
+    // independent re-evaluation over a cache would rest on cache hits
     val parted = deduped
       .repartitionByRange(buckets, $"priority", $"url_key")
       .sortWithinPartitions($"priority", $"url_key")
-      .cache()
-    val counts = parted.groupBy(spark_partition_id().as("__pid")).count()
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy($"__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = new Array[Long](buckets + 1)
     var pid = 0
@@ -301,8 +311,10 @@ object FrontierRound {
       pid += 1
     }
     val offB = spark.sparkContext.broadcast(offsets)
+    // the flag map is a trivial per-row projection over the pinned frame —
+    // the kept/cut filters each re-run it against the checkpoint, which is
+    // cheaper than materializing a third frontier-sized frame
     val flagged = parted
-      .withColumn("__pid", spark_partition_id())
       .as[(String, String, String, Double, Int, Int, Int)]
       .mapPartitions { it =>
         var idx = 0L
@@ -313,10 +325,6 @@ object FrontierRound {
       }
       .toDF("url_key", "url", "host", "priority", "attempt",
         "discovered_round", "__kept")
-      // ONE materialization feeds both filters (the two-reader lineage
-      // rule); also pins the range sampling so both sides see one layout
-      .localCheckpoint(true)
-    parted.unpersist()
     (flagged.filter($"__kept").drop("__kept").as[FrontierEntry],
       flagged.filter(!$"__kept").drop("__kept").as[FrontierEntry])
   }
