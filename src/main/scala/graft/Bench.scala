@@ -160,7 +160,7 @@ object Bench {
       "search_bm25_index_append", "multimodal_image_meta",
       "multimodal_audio_meta", "multimodal_frames", "warc_parse",
       "graph_anchor_text", "trap_detect", "sitemap_parse", "redirect_resolve",
-      "frontier_cap")
+      "frontier_cap", "adaptive_budgets")
     val fullSuite = queryFilter.isDefined ||
       sys.env.contains("SPARK_GRAFT_FULL_SUITE")
     val selected = names.filter(n => queryFilter.forall(_.contains(n)))

@@ -178,6 +178,21 @@ object SparkEntry {
           col("n_key_sets"), col("signal_urls"), col("exploded"), col("trap"))
     }),
 
+    "adaptive_budgets" -> ((s, dir) => {
+      // politeness backoff (AdaptiveBudgets.fromResults): per-host error
+      // rates drawn deterministically so the quartile k spans 0..4 —
+      // host h's rows err when (rowIdx % 8) < (h % 9); clean hosts must
+      // emit NO override row. All-integer arithmetic, row-exact oracle
+      val results = t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey").cast("long").as("n"))
+        .selectExpr(
+          "concat('h', CAST(n % 40 AS STRING), '.ir') AS host",
+          "CASE WHEN (n DIV 40) % 8 < (n % 40) % 9 THEN 'missing' " +
+            "ELSE 'ok' END AS status")
+      graft.frontier.AdaptiveBudgets.fromResults(results,
+        base = 10, minBudget = 1)
+    }),
+
     "frontier_cap" -> ((s, dir) => {
       // the priority-queue cut (FrontierRound.capByPriority): global
       // top-500 deduped frontier entries by (priority, url_key) via the
@@ -1337,6 +1352,22 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, text) AS rnk
                FROM c)
          SELECT dst_url, text, cnt, rnk FROM r WHERE rnk <= 3""",
+
+    // the same integer quartile + shift arithmetic; clean hosts (budget
+    // not reduced) are absent from both sides
+    "adaptive_budgets" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 9000),
+         r AS (SELECT concat('h', CAST(n % 40 AS VARCHAR), '.ir') AS host,
+                 CASE WHEN (n // 40) % 8 < (n % 40) % 9 THEN 'missing'
+                      ELSE 'ok' END AS status
+               FROM ids),
+         a AS (SELECT host, count(*) AS n,
+                 CAST(sum(CASE WHEN status = 'ok' THEN 0 ELSE 1 END) AS BIGINT) AS errors
+               FROM r GROUP BY host),
+         b AS (SELECT host, n, errors,
+                 CAST(greatest(1, 10 >> CAST((4 * errors) // n AS INT)) AS INT) AS budget
+               FROM a)
+         SELECT host, n, errors, budget FROM b WHERE budget < 10""",
 
     // dedup winner via the same (priority, attempt DESC, discovered_round)
     // rule, then one global rank by (priority, url_key) — full ties are

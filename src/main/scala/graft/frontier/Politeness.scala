@@ -100,16 +100,38 @@ final case class HostRules(
     crawlDelayMs: Option[Long],
     budget: Option[Int],
     disallow: Seq[String],
-    sitemaps: Seq[String] = Seq.empty)
+    sitemaps: Seq[String] = Seq.empty,
+    allow: Seq[String] = Seq.empty)
 
 final case class RobotsRules(byHost: Map[String, HostRules]) extends Serializable {
   def delayMs(host: String, cfg: PolitenessConfig): Long =
     byHost.get(host).flatMap(_.crawlDelayMs).getOrElse(cfg.defaultDelayMs)
   def budget(host: String, cfg: PolitenessConfig): Int =
     byHost.get(host).flatMap(_.budget).getOrElse(cfg.defaultBudget)
+
+  /** RFC 9309 evaluation: among the rules matching the url's path, the
+    * MOST SPECIFIC (longest) wins; an Allow beats a Disallow of equal
+    * length. No matching rule ⇒ allowed. Rules support the standard `*`
+    * (any octets) and trailing `$` (end anchor) wildcards — plain
+    * prefixes behave exactly as before.
+    */
   def allowed(host: String, url: String): Boolean = {
     val path = RobotsRules.pathOf(url)
-    byHost.get(host).forall(r => !r.disallow.exists(p => p.nonEmpty && path.startsWith(p)))
+    byHost.get(host).forall { r =>
+      var d = -1
+      r.disallow.foreach { p =>
+        if (p.length > d && p.nonEmpty && RobotsRules.ruleMatches(p, path))
+          d = p.length
+      }
+      d < 0 || {
+        var a = -1
+        r.allow.foreach { p =>
+          if (p.length > a && p.nonEmpty && RobotsRules.ruleMatches(p, path))
+            a = p.length
+        }
+        a >= d
+      }
+    }
   }
 }
 
@@ -124,6 +146,35 @@ object RobotsRules {
     if (slash < 0) "/" else rest.substring(slash)
   }
 
+  /** One robots rule against one path: literal prefix match extended with
+    * RFC 9309's `*` (any octet sequence) and trailing `$` (end anchor).
+    * The classic greedy two-pointer glob — fixed head, leftmost-first
+    * middle segments, suffix handled under the anchor. Called per
+    * (frontier row × rule) in the schedule filter: no regex compilation,
+    * no allocation beyond the split.
+    */
+  private[frontier] def ruleMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    if (p.indexOf('*') < 0) {
+      return if (anchored) path == p else path.startsWith(p)
+    }
+    val parts = p.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var pos = parts(0).length
+    val lastIdx = parts.length - 1
+    var i = 1
+    while (i < lastIdx) {
+      val idx = path.indexOf(parts(i), pos)
+      if (idx < 0) return false
+      pos = idx + parts(i).length
+      i += 1
+    }
+    val last = parts(lastIdx)
+    if (anchored) path.length - last.length >= pos && path.endsWith(last)
+    else path.indexOf(last, pos) >= 0
+  }
+
   /** Minimal robots.txt parser: honors the `User-agent: *` group's
     * Disallow prefixes and Crawl-delay (seconds).
     */
@@ -131,6 +182,7 @@ object RobotsRules {
     var inStar = false
     var sawAnyGroup = false
     val disallow = scala.collection.mutable.ArrayBuffer.empty[String]
+    val allow = scala.collection.mutable.ArrayBuffer.empty[String]
     val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var delay: Option[Long] = None
     txt.split("\n").foreach { lineRaw =>
@@ -148,6 +200,7 @@ object RobotsRules {
           // because fragments are crawl-dropped anyway
           case "sitemap" => if (value.nonEmpty) sitemaps += value
           case "disallow" if inStar => if (value.nonEmpty) disallow += value
+          case "allow" if inStar => if (value.nonEmpty) allow += value
           case "crawl-delay" if inStar =>
             try delay = Some((value.toDouble * 1000).toLong)
             catch { case _: NumberFormatException => }
@@ -155,7 +208,7 @@ object RobotsRules {
         }
       }
     }
-    HostRules(delay, None, disallow.toSeq, sitemaps.toSeq)
+    HostRules(delay, None, disallow.toSeq, sitemaps.toSeq, allow.toSeq)
   }
 
   def fromTexts(robots: Map[String, String]): RobotsRules =
