@@ -125,6 +125,9 @@ object FrontierCrawl {
     // per-round) falls back to the explicit isEmpty test: correct, just
     // one extra small job.
     var frontierRows = -1L
+    // adaptive-backoff state: the rules actually applied each round (==
+    // `robots` unless cfg.adaptiveBackoff merges per-round overrides)
+    var robotsCur = robots
     while (round < maxRounds &&
         (if (frontierRows >= 0L) frontierRows > 0L else !frontier.isEmpty)) {
       // the previous round's observed frontier row count bounds this
@@ -132,8 +135,8 @@ object FrontierCrawl {
       // eager per-round count job whenever the bound fits the
       // broadcast-delta gate; -1 (round 0 / observation miss) keeps the
       // measured-count path
-      val out = FrontierRound.run(spark, pages, frontier, seen, round, robots,
-        cfg, seenCount, seenBloom, frontierSizeBound = frontierRows,
+      val out = FrontierRound.run(spark, pages, frontier, seen, round,
+        robotsCur, cfg, seenCount, seenBloom, frontierSizeBound = frontierRows,
         bloomRidesCheckpoint = store.isEmpty)
       // next round's cumulative bloom. Store path: delta build + merge runs
       // CONCURRENT with the commit wave (see RoundOutput.seenBloomAfter for
@@ -227,6 +230,18 @@ object FrontierCrawl {
       // momentarily (latching bounded wait via the shared helper)
       frontierRows =
         ObservedMetrics.longField(out.frontierObservation, "rows") { -1L }
+      // adaptive politeness backoff (opt-in): overrides from THIS round's
+      // statuses (the results projection reads the already-materialized
+      // checkpoint/commit — one cheap job), merged into the ORIGINAL
+      // robots so a recovering host regains its budget. Override rows are
+      // failing-host-bounded by construction (clean hosts emit nothing)
+      if (cfg.adaptiveBackoff) {
+        val ov = AdaptiveBudgets.fromResults(resultParts.last,
+            base = cfg.defaultBudget)
+          .collect()
+          .map(r => r.getAs[String]("host") -> r.getAs[Int]("budget")).toMap
+        robotsCur = AdaptiveBudgets.mergeInto(robots, ov)
+      }
       // bloom merge must land before the caches feeding it are released
       // (the delta build reads the round's `scheduled` cache)
       seenBloom = Await.result(fBloom, Duration.Inf)

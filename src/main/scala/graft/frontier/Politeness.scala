@@ -20,6 +20,12 @@ final case class PolitenessConfig(
     // LinkRank.prioritize's host scores cross-host effect — without a
     // global cut, priorities only ever compete within one host's budget).
     maxUrlsPerRound: Long = -1L,
+    // opt-in politeness backoff: next round's per-host budgets derive from
+    // THIS round's observed statuses (AdaptiveBudgets quartile halvings),
+    // merged into the ORIGINAL robots each round — a recovering host gets
+    // its budget back automatically, robots-explicit budgets stay
+    // authoritative. Mirrored exactly by CrawlSimulator (equivalence spec)
+    adaptiveBackoff: Boolean = false,
     saltBuckets: Int = 8,
     bloomFpp: Double = 0.01,
     useBloomPrefilter: Boolean = true,
@@ -101,7 +107,15 @@ final case class HostRules(
     budget: Option[Int],
     disallow: Seq[String],
     sitemaps: Seq[String] = Seq.empty,
-    allow: Seq[String] = Seq.empty)
+    allow: Seq[String] = Seq.empty) {
+  // rules pre-split ONCE per host (not per (frontier row × rule) inside
+  // the schedule's broadcast filter); @transient lazy — rebuilt per
+  // executor after broadcast deserialization, never shipped
+  @transient lazy val disallowCompiled: Array[RobotsRules.CompiledRule] =
+    disallow.iterator.filter(_.nonEmpty).map(RobotsRules.compile).toArray
+  @transient lazy val allowCompiled: Array[RobotsRules.CompiledRule] =
+    allow.iterator.filter(_.nonEmpty).map(RobotsRules.compile).toArray
+}
 
 final case class RobotsRules(byHost: Map[String, HostRules]) extends Serializable {
   def delayMs(host: String, cfg: PolitenessConfig): Long =
@@ -119,15 +133,15 @@ final case class RobotsRules(byHost: Map[String, HostRules]) extends Serializabl
     val path = RobotsRules.pathOf(url)
     byHost.get(host).forall { r =>
       var d = -1
-      r.disallow.foreach { p =>
-        if (p.length > d && p.nonEmpty && RobotsRules.ruleMatches(p, path))
-          d = p.length
+      r.disallowCompiled.foreach { c =>
+        if (c.specificity > d && RobotsRules.matches(c, path))
+          d = c.specificity
       }
       d < 0 || {
         var a = -1
-        r.allow.foreach { p =>
-          if (p.length > a && p.nonEmpty && RobotsRules.ruleMatches(p, path))
-            a = p.length
+        r.allowCompiled.foreach { c =>
+          if (c.specificity > a && RobotsRules.matches(c, path))
+            a = c.specificity
         }
         a >= d
       }
@@ -146,20 +160,31 @@ object RobotsRules {
     if (slash < 0) "/" else rest.substring(slash)
   }
 
-  /** One robots rule against one path: literal prefix match extended with
-    * RFC 9309's `*` (any octet sequence) and trailing `$` (end anchor).
-    * The classic greedy two-pointer glob — fixed head, leftmost-first
-    * middle segments, suffix handled under the anchor. Called per
-    * (frontier row × rule) in the schedule filter: no regex compilation,
-    * no allocation beyond the split.
+  /** One robots rule, pre-split: `specificity` = raw rule length (the RFC
+    * longest-match metric), `plain` set for wildcard-free rules, `parts`
+    * for `*`-split globs.
     */
-  private[frontier] def ruleMatches(pattern: String, path: String): Boolean = {
+  final case class CompiledRule(specificity: Int, anchored: Boolean,
+      plain: String, parts: Array[String])
+
+  def compile(pattern: String): CompiledRule = {
     val anchored = pattern.endsWith("$")
     val p = if (anchored) pattern.dropRight(1) else pattern
-    if (p.indexOf('*') < 0) {
-      return if (anchored) path == p else path.startsWith(p)
-    }
-    val parts = p.split("\\*", -1)
+    if (p.indexOf('*') < 0) CompiledRule(pattern.length, anchored, p, null)
+    else CompiledRule(pattern.length, anchored, null, p.split("\\*", -1))
+  }
+
+  /** One compiled rule against one path: literal prefix match extended
+    * with RFC 9309's `*` (any octet sequence) and trailing `$` (end
+    * anchor). The classic greedy two-pointer glob — fixed head,
+    * leftmost-first middle segments, suffix handled under the anchor.
+    * Called per (frontier row × rule) in the schedule filter: zero
+    * allocation (the split happened at compile).
+    */
+  def matches(r: CompiledRule, path: String): Boolean = {
+    if (r.parts == null)
+      return if (r.anchored) path == r.plain else path.startsWith(r.plain)
+    val parts = r.parts
     if (!path.startsWith(parts(0))) return false
     var pos = parts(0).length
     val lastIdx = parts.length - 1
@@ -171,16 +196,24 @@ object RobotsRules {
       i += 1
     }
     val last = parts(lastIdx)
-    if (anchored) path.length - last.length >= pos && path.endsWith(last)
+    if (r.anchored) path.length - last.length >= pos && path.endsWith(last)
     else path.indexOf(last, pos) >= 0
   }
 
-  /** Minimal robots.txt parser: honors the `User-agent: *` group's
-    * Disallow prefixes and Crawl-delay (seconds).
+  /** Convenience (specs, one-off checks): compile-then-match. */
+  private[frontier] def ruleMatches(pattern: String, path: String): Boolean =
+    matches(compile(pattern), path)
+
+  /** robots.txt parser for the `*` group: Allow/Disallow rules,
+    * Crawl-delay (seconds), and group-independent Sitemap lines.
+    * RFC 9309 §2.1 group semantics: CONSECUTIVE `User-agent:` lines open
+    * ONE group serving all of them — `User-agent: *` anywhere in the run
+    * puts the following rules in scope; any non-user-agent line ends the
+    * run, so a later `User-agent:` starts a fresh group.
     */
   def parseRobotsTxt(txt: String): HostRules = {
     var inStar = false
-    var sawAnyGroup = false
+    var uaRun = false // inside a run of consecutive User-agent lines
     val disallow = scala.collection.mutable.ArrayBuffer.empty[String]
     val allow = scala.collection.mutable.ArrayBuffer.empty[String]
     val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -191,10 +224,11 @@ object RobotsRules {
       if (colon > 0) {
         val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(colon + 1).trim
+        if (key != "user-agent") uaRun = false
         key match {
           case "user-agent" =>
-            sawAnyGroup = true
-            inStar = value == "*"
+            if (uaRun) inStar = inStar || value == "*"
+            else { inStar = value == "*"; uaRun = true }
           // group-independent per the spec (NOT gated on inStar); the
           // value is a URL, so the '#' comment strip above is safe only
           // because fragments are crawl-dropped anyway

@@ -46,11 +46,13 @@ object CrawlSimulator {
     val schedule = Vector.newBuilder[SimFetch]
     val extractedUrls = mutable.Set.empty[String]
     var round = 0
+    // adaptive-backoff state (mirrors FrontierCrawl.robotsCur)
+    var robotsCur = robots
 
     while (round < maxRounds && frontier.nonEmpty) {
       // robots filter then frontier dedup: keep best (priority, attempt
       // desc, discoveredRound) per key — same ordering as the engine window
-      val allowed = frontier.filter(e => robots.allowed(e.host, e.url))
+      val allowed = frontier.filter(e => robotsCur.allowed(e.host, e.url))
       val deduped = allowed
         .groupBy(_.urlKey)
         .map { case (_, es) =>
@@ -71,7 +73,7 @@ object CrawlSimulator {
       val scheduled = mutable.ArrayBuffer.empty[SimEntry]
       val deferred = mutable.ArrayBuffer.empty[SimEntry]
       inRound.groupBy(_.host).toSeq.sortBy(_._1).foreach { case (host, es) =>
-        val budget = robots.budget(host, cfg)
+        val budget = robotsCur.budget(host, cfg)
         val sorted = es.sortBy(e => (e.priority, e.urlKey))
         val (take, defer) = sorted.splitAt(budget)
         take.zipWithIndex.foreach { case (e, slot) =>
@@ -103,6 +105,20 @@ object CrawlSimulator {
       }
 
       seen ++= scheduledKeys
+      // adaptive politeness backoff (mirrors FrontierCrawl +
+      // AdaptiveBudgets.fromResults exactly: integer quartile halvings
+      // from this round's statuses, merged into the ORIGINAL robots)
+      if (cfg.adaptiveBackoff) {
+        val overrides = scheduled.toSeq.groupBy(_.host).flatMap {
+          case (h, es) =>
+            val n = es.size.toLong
+            val errors = es.count(e => statusOf(universe, e.url) != "ok").toLong
+            val k = ((4L * errors) / n).toInt
+            val b = math.max(1, cfg.defaultBudget >> k)
+            if (b < cfg.defaultBudget) Some(h -> b) else None
+        }
+        robotsCur = graft.frontier.AdaptiveBudgets.mergeInto(robots, overrides)
+      }
       frontier = (fresh ++ retries ++ deferred).toVector
       round += 1
     }

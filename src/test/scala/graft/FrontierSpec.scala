@@ -73,6 +73,35 @@ class FrontierSpec extends SparkTestBase {
     assert(sim.schedule.map(_.round).max > simFull.schedule.map(_.round).max)
   }
 
+  test("adaptive backoff: engine == simulator; failing hosts shed budget") {
+    // the DEFAULT fixture is all-ok; backoff needs failures to bind — use
+    // an error-dense universe (~30% error pages)
+    val cfgB = FixtureConfig(seed = 11L, hosts = 3, totalDetails = 60,
+      errorPagePerMille = 300)
+    val pagesB = FixtureGen.pages(spark, cfgB, partitions = 4).toDF()
+    val uniB = FixtureGen.universe(cfgB)
+    val pol = PolitenessConfig(defaultBudget = 8, saltBuckets = 4,
+      adaptiveBackoff = true)
+    val sim = CrawlSimulator.run(uniB, cfgB.seeds, RobotsRules.empty, pol, 50)
+    val eng = FrontierCrawl.run(spark, pagesB, cfgB.seeds, None,
+      RobotsRules.empty, pol, 50)
+    val engRows = eng.schedule
+      .select(col("round"), col("host"), col("slot"), col("url"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val simRows = sim.schedule.map(f => (f.round, f.host, f.slot, f.url)).toSet
+    assert(engRows == simRows)
+    val engSeen = eng.seenKeys.collect().map(_.getString(0)).toSet
+    assert(engSeen == sim.seen)
+    // and it genuinely BOUND: the same crawl with backoff off schedules
+    // differently (error-rate quartiles shrink budgets on this fixture)
+    val simOff = CrawlSimulator.run(uniB, cfgB.seeds, RobotsRules.empty,
+      pol.copy(adaptiveBackoff = false), 50)
+    assert(sim.schedule != simOff.schedule,
+      "backoff changed nothing on an error-dense fixture")
+  }
+
   test("capByPriority: exact distributed top-N, dedup winner rule, scrambled input") {
     import spark.implicits._
     val entries = (0 until 500).map { i =>

@@ -55,6 +55,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(r.allowed("h.ir", "http://h.ir/ok"))
   }
 
+  test("RFC 9309 §2.1: consecutive User-agent lines share one group") {
+    val hr = RobotsRules.parseRobotsTxt(
+      """User-agent: *
+        |User-agent: googlebot
+        |Disallow: /private
+        |
+        |User-agent: bingbot
+        |Disallow: /bing-only
+        |""".stripMargin)
+    // '*' is in the first group's UA run → its rules apply to us;
+    // bingbot's rules live in a fresh group and must NOT leak in
+    assert(hr.disallow == Seq("/private"))
+    // and the reverse order inside the run works too
+    val hr2 = RobotsRules.parseRobotsTxt(
+      "User-agent: googlebot\nUser-agent: *\nDisallow: /x\n")
+    assert(hr2.disallow == Seq("/x"))
+    // a rule line ENDS the run: a later User-agent starts a new group
+    val hr3 = RobotsRules.parseRobotsTxt(
+      "User-agent: *\nDisallow: /a\nUser-agent: googlebot\nDisallow: /g\n")
+    assert(hr3.disallow == Seq("/a"))
+  }
+
   test("parser collects Allow in the star group only") {
     val hr = RobotsRules.parseRobotsTxt(
       """User-agent: googlebot
