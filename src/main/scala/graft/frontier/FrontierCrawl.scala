@@ -126,8 +126,22 @@ object FrontierCrawl {
     // one extra small job.
     var frontierRows = -1L
     // adaptive-backoff state: the rules actually applied each round (==
-    // `robots` unless cfg.adaptiveBackoff merges per-round overrides)
+    // `robots` unless cfg.adaptiveBackoff merges per-round overrides).
+    // On RESUME the state is rebuilt from the last committed round's
+    // results — overrides derive from exactly one round, so the committed
+    // results table is the whole state; without this a killed+restarted
+    // crawl would schedule the failing host at full budget and diverge
+    // from the uninterrupted run (the resume-equivalence invariant)
     var robotsCur = robots
+    if (cfg.adaptiveBackoff && startRound > 0)
+      store.flatMap(_.latest()).foreach { snap =>
+        val ov = AdaptiveBudgets
+          .fromResults(store.get.read(snap, "results"),
+            base = cfg.defaultBudget)
+          .collect()
+          .map(r => r.getAs[String]("host") -> r.getAs[Int]("budget")).toMap
+        robotsCur = AdaptiveBudgets.mergeInto(robots, ov)
+      }
     while (round < maxRounds &&
         (if (frontierRows >= 0L) frontierRows > 0L else !frontier.isEmpty)) {
       // the previous round's observed frontier row count bounds this
@@ -235,7 +249,9 @@ object FrontierCrawl {
       // checkpoint/commit — one cheap job), merged into the ORIGINAL
       // robots so a recovering host regains its budget. Override rows are
       // failing-host-bounded by construction (clean hosts emit nothing)
-      if (cfg.adaptiveBackoff) {
+      // skipped when the loop is about to exit (drained frontier or final
+      // round) — the overrides would be computed and thrown away
+      if (cfg.adaptiveBackoff && frontierRows != 0L && round + 1 < maxRounds) {
         val ov = AdaptiveBudgets.fromResults(resultParts.last,
             base = cfg.defaultBudget)
           .collect()

@@ -224,7 +224,13 @@ object RobotsRules {
       if (colon > 0) {
         val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(colon + 1).trim
-        if (key != "user-agent") uaRun = false
+        // only recognized GROUP RULES end a User-agent run (RFC 9309
+        // §2.2.4: other records — Sitemap, unknown keys — "MUST NOT
+        // interfere" with group parsing; the Google reference parser
+        // ignores them entirely). Crawl-delay counts as a rule HERE
+        // because this parser honors it per-group.
+        if (key == "disallow" || key == "allow" || key == "crawl-delay")
+          uaRun = false
         key match {
           case "user-agent" =>
             if (uaRun) inStar = inStar || value == "*"

@@ -69,16 +69,19 @@ object CrawlSimulator {
             .splitAt(cfg.maxUrlsPerRound.toInt)
         else (deduped, Vector.empty[SimEntry])
 
-      // per-host budget in (priority, url_key) order
-      val scheduled = mutable.ArrayBuffer.empty[SimEntry]
+      // per-host budget in (priority, url_key) order. Status is computed
+      // ONCE per scheduled entry here and reused by the schedule record,
+      // the outcome pass, and the backoff aggregation below
+      val scheduled = mutable.ArrayBuffer.empty[(SimEntry, String)]
       val deferred = mutable.ArrayBuffer.empty[SimEntry]
       inRound.groupBy(_.host).toSeq.sortBy(_._1).foreach { case (host, es) =>
         val budget = robotsCur.budget(host, cfg)
         val sorted = es.sortBy(e => (e.priority, e.urlKey))
         val (take, defer) = sorted.splitAt(budget)
         take.zipWithIndex.foreach { case (e, slot) =>
-          scheduled += e.copy() // slot recorded below
-          schedule += SimFetch(round, host, slot + 1, e.url, statusOf(universe, e.url))
+          val status = statusOf(universe, e.url)
+          scheduled += ((e, status))
+          schedule += SimFetch(round, host, slot + 1, e.url, status)
         }
         deferred ++= defer
       }
@@ -86,10 +89,10 @@ object CrawlSimulator {
 
       val fresh = mutable.ArrayBuffer.empty[SimEntry]
       val retries = mutable.ArrayBuffer.empty[SimEntry]
-      val scheduledKeys = scheduled.map(_.urlKey).toSet
+      val scheduledKeys = scheduled.map(_._1.urlKey).toSet
 
-      scheduled.foreach { e =>
-        statusOf(universe, e.url) match {
+      scheduled.foreach { case (e, status) =>
+        status match {
           case "ok" =>
             extractedUrls += e.url
             Outlinks.extract(e.url, universe(e.url)).foreach { case (link, prio) =>
@@ -109,10 +112,10 @@ object CrawlSimulator {
       // AdaptiveBudgets.fromResults exactly: integer quartile halvings
       // from this round's statuses, merged into the ORIGINAL robots)
       if (cfg.adaptiveBackoff) {
-        val overrides = scheduled.toSeq.groupBy(_.host).flatMap {
+        val overrides = scheduled.toSeq.groupBy(_._1.host).flatMap {
           case (h, es) =>
             val n = es.size.toLong
-            val errors = es.count(e => statusOf(universe, e.url) != "ok").toLong
+            val errors = es.count(_._2 != "ok").toLong
             val k = ((4L * errors) / n).toInt
             val b = math.max(1, cfg.defaultBudget >> k)
             if (b < cfg.defaultBudget) Some(h -> b) else None

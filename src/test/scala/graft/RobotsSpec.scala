@@ -75,6 +75,17 @@ class RobotsSpec extends AnyFunSuite {
     val hr3 = RobotsRules.parseRobotsTxt(
       "User-agent: *\nDisallow: /a\nUser-agent: googlebot\nDisallow: /g\n")
     assert(hr3.disallow == Seq("/a"))
+    // OTHER records (Sitemap, unknown keys) MUST NOT interfere with
+    // group parsing (§2.2.4): a UA run survives them
+    val hr4 = RobotsRules.parseRobotsTxt(
+      """User-agent: *
+        |Sitemap: https://h.ir/s.xml
+        |Host: h.ir
+        |User-agent: googlebot
+        |Disallow: /private
+        |""".stripMargin)
+    assert(hr4.disallow == Seq("/private"))
+    assert(hr4.sitemaps == Seq("https://h.ir/s.xml"))
   }
 
   test("parser collects Allow in the star group only") {
