@@ -61,7 +61,12 @@ object Bench {
       // keeps the broadcast default; the seen side grows per round — a
       // shuffle-hash anti-join avoids R driver-side broadcast builds
       seenJoinHint = Some("shuffle_hash"),
-      bloomBuildParallelism = partitions)
+      bloomBuildParallelism = partitions,
+      // SPARK_GRAFT_DRAIN_CAP (diagnostic): run the drain as a PRIORITY
+      // QUEUE with a binding per-round capacity — prices the cut
+      // end-to-end against the open-budget drain on the same web
+      maxUrlsPerRound = sys.env.get("SPARK_GRAFT_DRAIN_CAP")
+        .map(_.toLong).getOrElse(-1L))
     val t0 = System.nanoTime()
     val result = FrontierCrawl.run(spark, pages, cfg.seeds, None,
       RobotsRules.empty, pol, maxRounds = 50)
