@@ -151,6 +151,94 @@ object SparkEntry {
         graft.frontier.AnchorText.anchors(pages).toDF(), k = 3)
     }),
 
+    "graph_anchor_incremental" -> ((s, dir) => {
+      // incremental anchor-signal maintenance (GraphIndex): the SAME pages
+      // as graph_anchor_text arrive as two crawl deltas; each delta is
+      // extracted + aggregated alone (O(delta)) and appended to the
+      // persisted counted-key table; the indexed top-k must equal the
+      // batch recompute — same oracle as graph_anchor_text
+      val pages = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey").cast("long").as("n"))
+        .selectExpr(
+          "n",
+          "concat('http://s', CAST(n % 7 AS STRING), '.ir/d/page', " +
+            "CAST(n AS STRING), '.html') AS url",
+          "concat('<html><body><a href=\"/t', CAST(n % 50 AS STRING), " +
+            "'\">Target ', CAST(n % 50 AS STRING), '</a>', " +
+            "'<a href=\"../shared.html\">Shared &amp; Co</a>', " +
+            "'<a HREF=\"HTTP://Hub.IR:80/h?b=1&amp;a=2#z\">Hub ', " +
+            "CAST(n % 3 AS STRING), '</a>', " +
+            "'<a href=\"javascript:void(0)\">x</a><a>y</a>" +
+            "</body></html>') AS html")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_anchor_inc"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true) // append ⇒ re-runnable only from clean
+      graft.frontier.GraphIndex.anchorIndexInit(
+        graft.frontier.AnchorText.anchors(pages.filter(col("n") % 2 === 0)).toDF(),
+        path, buckets = 8)
+      graft.frontier.GraphIndex.anchorIndexAppend(
+        graft.frontier.AnchorText.anchors(pages.filter(col("n") % 2 === 1)).toDF(),
+        path)
+      graft.frontier.GraphIndex.topAnchorsIndexed(s, path, k = 3)
+    }),
+
+    "graph_anchor_probe" -> ((s, dir) => {
+      // the retrieval-field READ path: top anchors for KNOWN targets via
+      // the ab-bucket partition-pruned point probe (never a table scan) —
+      // oracle = the batch aggregation filtered to the probed targets
+      val pages = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey").cast("long").as("n"))
+        .selectExpr(
+          "concat('http://s', CAST(n % 7 AS STRING), '.ir/d/page', " +
+            "CAST(n AS STRING), '.html') AS url",
+          "concat('<html><body><a href=\"/t', CAST(n % 50 AS STRING), " +
+            "'\">Target ', CAST(n % 50 AS STRING), '</a>', " +
+            "'<a href=\"../shared.html\">Shared &amp; Co</a>', " +
+            "'<a HREF=\"HTTP://Hub.IR:80/h?b=1&amp;a=2#z\">Hub ', " +
+            "CAST(n % 3 AS STRING), '</a>', " +
+            "'<a href=\"javascript:void(0)\">x</a><a>y</a>" +
+            "</body></html>') AS html")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_anchor_probe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.frontier.GraphIndex.anchorIndexInit(
+        graft.frontier.AnchorText.anchors(pages).toDF(), path, buckets = 16)
+      graft.frontier.GraphIndex.anchorsFor(s, path,
+        Seq("http://hub.ir/h?a=2&b=1", "http://s3.ir/t10", "http://s0.ir/shared.html"),
+        k = 3)
+    }),
+
+    "graph_rank_incremental" -> ((s, dir) => {
+      // incremental link-graph maintenance: the graph_pagerank fixture
+      // re-expressed as URL-level edges arriving in two crawl deltas; the
+      // host-edge index maintains the graph O(delta) per append, and
+      // hostRankIndexed ranks the MERGED graph — oracled by the same
+      // unrolled 3-iteration SQL over host strings (self-loops drop, the
+      // hostRank convention)
+      val edges = t(s, dir, "orders").filter(col("o_orderkey") < 6000)
+        .select(col("o_orderkey").cast("long").as("k"))
+        .select(col("k"),
+          concat(lit("http://n"), pmod(col("k"), lit(500)).cast("string"),
+            lit(".ir/p"), col("k").cast("string")).as("src_url"),
+          concat(lit("http://n"),
+            pmod(conv(substring(md5(concat(col("k").cast("string"),
+              lit("-pr"))), 1, 8), 16, 10).cast("long"), lit(700))
+              .cast("string"),
+            lit(".ir/q")).as("dst_url"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hostedge_inc"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.frontier.GraphIndex.hostEdgeIndexInit(
+        edges.filter(col("k") % 2 === 0), path, buckets = 8)
+      graft.frontier.GraphIndex.hostEdgeIndexAppend(
+        edges.filter(col("k") % 2 === 1), path)
+      graft.frontier.GraphIndex.hostRankIndexed(s, path, iters = 3)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+    }),
+
     "trap_detect" -> ((s, dir) => {
       // crawl-trap host verdicts (TrapDetect.trapHosts) over a synthetic
       // url space: cal.ir explodes by template (every url → /d/{n}/{n}),
@@ -1352,6 +1440,82 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, text) AS rnk
                FROM c)
          SELECT dst_url, text, cnt, rnk FROM r WHERE rnk <= 3""",
+
+    // incremental == batch: counts merge additively across the two
+    // deltas, so the oracle is the batch aggregation over ALL pages —
+    // identical SQL to graph_anchor_text
+    "graph_anchor_incremental" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 3000),
+         a AS (
+           SELECT concat('http://s', CAST(n % 7 AS VARCHAR), '.ir/t', CAST(n % 50 AS VARCHAR)) AS dst_url,
+                  concat('Target ', CAST(n % 50 AS VARCHAR)) AS text FROM ids
+           UNION ALL
+           SELECT concat('http://s', CAST(n % 7 AS VARCHAR), '.ir/shared.html'), 'Shared & Co' FROM ids
+           UNION ALL
+           SELECT 'http://hub.ir/h?a=2&b=1', concat('Hub ', CAST(n % 3 AS VARCHAR)) FROM ids),
+         c AS (SELECT dst_url, text, count(*) AS cnt FROM a GROUP BY dst_url, text),
+         r AS (SELECT dst_url, text, cnt,
+                 row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, text) AS rnk
+               FROM c)
+         SELECT dst_url, text, cnt, rnk FROM r WHERE rnk <= 3""",
+
+    // the probe must return exactly the batch top-k RESTRICTED to the
+    // probed targets (partition pruning changes what is read, never what
+    // is returned)
+    "graph_anchor_probe" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 3000),
+         a AS (
+           SELECT concat('http://s', CAST(n % 7 AS VARCHAR), '.ir/t', CAST(n % 50 AS VARCHAR)) AS dst_url,
+                  concat('Target ', CAST(n % 50 AS VARCHAR)) AS text FROM ids
+           UNION ALL
+           SELECT concat('http://s', CAST(n % 7 AS VARCHAR), '.ir/shared.html'), 'Shared & Co' FROM ids
+           UNION ALL
+           SELECT 'http://hub.ir/h?a=2&b=1', concat('Hub ', CAST(n % 3 AS VARCHAR)) FROM ids),
+         c AS (SELECT dst_url, text, count(*) AS cnt FROM a GROUP BY dst_url, text),
+         r AS (SELECT dst_url, text, cnt,
+                 row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, text) AS rnk
+               FROM c)
+         SELECT dst_url, text, cnt, rnk FROM r
+         WHERE rnk <= 3 AND dst_url IN
+           ('http://hub.ir/h?a=2&b=1', 'http://s3.ir/t10', 'http://s0.ir/shared.html')""",
+
+    // graph_pagerank's unrolled 3-iteration SQL over HOST strings: url
+    // edges collapse to host pairs, self-loops drop (the hostRank
+    // convention), and the two-delta split is invisible — distinct host
+    // pairs merge to the full graph
+    "graph_rank_incremental" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders WHERE o_orderkey < 6000),
+         e0 AS (SELECT DISTINCT
+                 concat('n', CAST(k % 500 AS VARCHAR), '.ir') AS src,
+                 concat('n', CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '-pr'), 1, 8) AS BIGINT) % 700 AS VARCHAR), '.ir') AS dst
+               FROM ids),
+         e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+         d1 AS (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+                FROM r0 r LEFT JOIN od USING (node) WHERE od.odeg IS NULL),
+         c1 AS (SELECT e.dst AS node, sum(r.rank / od.odeg) AS inflow
+                FROM r0 r JOIN od USING (node) JOIN e ON e.src = r.node GROUP BY e.dst),
+         r1 AS (SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d1.dm / nn.n) AS rank
+                FROM nodes nd LEFT JOIN c1 c USING (node), nn, d1),
+         d2 AS (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+                FROM r1 r LEFT JOIN od USING (node) WHERE od.odeg IS NULL),
+         c2 AS (SELECT e.dst AS node, sum(r.rank / od.odeg) AS inflow
+                FROM r1 r JOIN od USING (node) JOIN e ON e.src = r.node GROUP BY e.dst),
+         r2 AS (SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d2.dm / nn.n) AS rank
+                FROM nodes nd LEFT JOIN c2 c USING (node), nn, d2),
+         d3 AS (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+                FROM r2 r LEFT JOIN od USING (node) WHERE od.odeg IS NULL),
+         c3 AS (SELECT e.dst AS node, sum(r.rank / od.odeg) AS inflow
+                FROM r2 r JOIN od USING (node) JOIN e ON e.src = r.node GROUP BY e.dst),
+         r3 AS (SELECT nd.node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (coalesce(c.inflow, CAST(0 AS DOUBLE)) + d3.dm / nn.n) AS rank
+                FROM nodes nd LEFT JOIN c3 c USING (node), nn, d3)
+         SELECT node AS host, round(rank, 6) AS rank FROM r3""",
 
     // the same integer quartile + shift arithmetic; clean hosts (budget
     // not reduced) are absent from both sides

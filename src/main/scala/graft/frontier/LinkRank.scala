@@ -59,7 +59,41 @@ object LinkRank {
       // false returns the LAST iteration as a lazy plan (its inputs are
       // still checkpointed) — for callers composing the ranks into a
       // larger query that materializes once, and for plan audits
-      truncateFinal: Boolean = true): DataFrame = {
+      truncateFinal: Boolean = true): DataFrame =
+    pageRankCore(edges, iters, damping, srcCol, dstCol, truncateFinal, None)
+
+  /** WARM-START power iterations: seed rank_0 from a previous run's
+    * (node, rank) instead of uniform — the incremental-rank path for a
+    * maintained graph ([[GraphIndex.hostRankIndexed]]): after a daily
+    * delta perturbs the graph, yesterday's ranks are already near the new
+    * fixed point, so a couple of iterations recover the accuracy a cold
+    * start needs many for (spec-pinned: closer to the deep-iteration
+    * reference than a cold start at equal iters, and a fixed point stays
+    * fixed). Seeding: known nodes take their previous rank, NEW nodes take
+    * 1/N, and the vector renormalizes to unit mass (one bounded node-sized
+    * scalar job) — the fixed point itself is init-independent, so this
+    * only moves the starting distance. `init` must be unique per node
+    * (any pageRank output is); null ranks read as missing.
+    */
+  def pageRankWarm(
+      edges: DataFrame,
+      init: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      truncateFinal: Boolean = true): DataFrame =
+    pageRankCore(edges, iters, damping, srcCol, dstCol, truncateFinal,
+      Some(init))
+
+  private def pageRankCore(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double,
+      srcCol: String,
+      dstCol: String,
+      truncateFinal: Boolean,
+      init: Option[DataFrame]): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val spark = edges.sparkSession
 
@@ -106,10 +140,24 @@ object LinkRank {
           sum(when(col("out_deg").isNull, col("rank"))).as("dm")), Some(o))
       }
 
-    // rank_0 = 1/N, with out_deg joined on once (left: dangling keep null)
-    val (r0, o0) = withDm(
-      nodes.select(col("node"), lit(1.0 / nD).as("rank"))
-        .join(outDeg, Seq("node"), "left"),
+    // rank_0 = 1/N (cold) or the normalized warm seed, with out_deg joined
+    // on once (left: dangling keep null)
+    val seeded = init match {
+      case None => nodes.select(col("node"), lit(1.0 / nD).as("rank"))
+      case Some(prev) =>
+        val p = prev.select(col("node"), col("rank").cast("double").as("__r0"))
+        val raw = nodes.join(p, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__r0"), lit(1.0 / nD)).as("rank"))
+        // renormalize to unit mass — one bounded node-sized scalar job
+        // (the same cost class as the nodes.count() above); a degenerate
+        // seed (all zero/NaN) fails loudly rather than ranking garbage
+        val s = raw.agg(sum(col("rank"))).head.getDouble(0)
+        require(!s.isNaN && !s.isInfinite && s > 0.0,
+          s"pageRankWarm: seed mass must be positive and finite, got $s")
+        raw.select(col("node"), (col("rank") / lit(s)).as("rank"))
+    }
+    val (r0, o0) = withDm(seeded.join(outDeg, Seq("node"), "left"),
       wantDm = iters >= 1)
     // materialize EVERY iteration (see the object Scaladoc: three
     // downstream readers per iteration make a lazy chain recompute
