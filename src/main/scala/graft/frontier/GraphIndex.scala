@@ -37,68 +37,39 @@ import org.apache.spark.sql.functions._
 object GraphIndex {
 
   // ==================== generic counted-key generation table =============
+  // Liveness/id allocation is the repo-wide newest-generation rule,
+  // shared with the streaming curation store: graft.store.Generations.
+  // Writer contract: SINGLE WRITER per index path (the bm25IndexCompact
+  // contract) — concurrent appenders that race to the same delta id now
+  // fail loudly at the rename instead of silently replacing each other.
 
-  private val CompactPrefix = "compact_"
   private val DeltaPrefix = "delta_id="
 
   private def fsOf(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  /** Highest compaction generation under `aggDir` (-1 if none). */
-  private def maxCompactGen(fs: org.apache.hadoop.fs.FileSystem,
-      aggDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(aggDir)
-    if (!fs.exists(p)) -1L
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(CompactPrefix))
-      .map(_.stripPrefix(CompactPrefix).toLong)
-      .foldLeft(-1L)(math.max)
-  }
-
-  /** Live part dirs: newest compact generation + every later delta. */
-  private def livePaths(fs: org.apache.hadoop.fs.FileSystem,
-      aggDir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(aggDir)
-    if (!fs.exists(p)) return Seq.empty
-    val gen = maxCompactGen(fs, aggDir)
-    val names = fs.listStatus(p).toSeq.map(_.getPath)
-    val compacted = names.filter(_.getName == s"$CompactPrefix$gen")
-    val deltas = names
-      .filter(_.getName.startsWith(DeltaPrefix))
-      .filter(_.getName.stripPrefix(DeltaPrefix).toLong > gen)
-    (compacted ++ deltas).map(_.toString)
-  }
-
-  /** Next delta id: above every on-disk delta AND the compact generation —
-    * a crashed append's surviving `_tmp` dir can never collide because
-    * temp dirs rename to their FINAL id atomically, and a crashed
-    * compaction's partial `_tmp_compact_*` is ignored by liveness.
-    */
-  private def nextDeltaId(fs: org.apache.hadoop.fs.FileSystem,
-      aggDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(aggDir)
-    val maxDelta =
-      if (!fs.exists(p)) -1L
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith(DeltaPrefix))
-        .map(_.stripPrefix(DeltaPrefix).toLong)
-        .foldLeft(-1L)(math.max)
-    math.max(maxDelta, maxCompactGen(fs, aggDir)) + 1L
-  }
-
   /** Write one aggregated frame as part dir `name` under `aggDir`,
-    * partitioned by `bucketCol`, via temp + atomic rename.
+    * partitioned by `bucketCol`, via temp + atomic rename. An EMPTY frame
+    * is written unpartitioned (same columns — `bucketCol` becomes a plain
+    * data column of the one schema-bearing empty file): a partitioned
+    * write of zero rows leaves a data-less dir that poisons every later
+    * read with UNABLE_TO_INFER_SCHEMA. The rename target must not exist —
+    * a collision means a competing writer or a caller bug, and replacing
+    * the committed dir would be silent data loss.
     */
   private def writePart(spark: SparkSession, df: DataFrame, aggDir: String,
-      name: String, bucketCol: String): Unit = {
+      name: String, bucketCol: String, isEmpty: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, aggDir)
     val tmp = new Path(s"$aggDir/_tmp_$name")
     fs.delete(tmp, true)
-    df.write.partitionBy(bucketCol).parquet(tmp.toString)
+    if (isEmpty) df.coalesce(1).write.parquet(tmp.toString)
+    else df.write.partitionBy(bucketCol).parquet(tmp.toString)
     val dst = new Path(s"$aggDir/$name")
-    fs.delete(dst, true)
+    require(!fs.exists(dst),
+      s"index part $dst already exists — concurrent writer or stale retry; " +
+        "refusing to replace committed data")
     require(fs.rename(tmp, dst), s"index part rename failed for $dst")
   }
 
@@ -122,22 +93,42 @@ object GraphIndex {
     spark.read.parquet(s"$path/meta").head.getAs[Int]("buckets")
   }
 
-  /** Aggregate + append one delta of (key…, already-counted or raw) rows.
-    * `counted` rows carry a `cnt` to sum; raw rows count occurrences.
+  /** Aggregate + append one delta of raw occurrence rows. `fresh` RESETS
+    * the index: any existing generations are deleted before the new meta
+    * lands — re-initializing over live data with a different fan would
+    * otherwise leave old-fan rows silently invisible to the bucket probe
+    * (the exact parameter-mismatch class the meta exists to kill).
+    * An EMPTY aggregated delta appends nothing (the table is unchanged by
+    * definition); an empty FRESH init writes one schema-bearing empty part
+    * so readers see an empty index, not a crash.
     */
   private def appendCore(delta: DataFrame, path: String, keyCols: Seq[String],
       bucketCol: String, bucketOf: org.apache.spark.sql.Column,
       fresh: Boolean, buckets: Int): Unit = {
     val spark = delta.sparkSession
-    if (fresh) writeMeta(spark, path, buckets)
+    if (fresh) {
+      fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+      writeMeta(spark, path, buckets)
+    }
     val fan = if (fresh) buckets else readBuckets(spark, path, "indexAppend")
     val agg = delta
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-      .withColumn(bucketCol, pmod(bucketOf, lit(fan.toLong)))
-    val aggDir = s"$path/agg"
-    val id = nextDeltaId(fsOf(spark, aggDir), aggDir)
-    writePart(spark, agg, aggDir, s"$DeltaPrefix$id", bucketCol)
+      // partition readback infers int from the dir names; the empty-part
+      // branch stores the column as DATA, so write it as int there too or
+      // the union's widening cast would sit above the scan and block the
+      // probe's PartitionFilters pushdown
+      .withColumn(bucketCol, pmod(bucketOf, lit(fan.toLong)).cast("int"))
+      .cache()
+    try {
+      val empty = agg.isEmpty
+      if (!empty || fresh) {
+        val aggDir = s"$path/agg"
+        val id = graft.store.Generations.nextDeltaId(
+          fsOf(spark, aggDir), aggDir, DeltaPrefix)
+        writePart(spark, agg, aggDir, s"$DeltaPrefix$id", bucketCol, empty)
+      }
+    } finally agg.unpersist()
   }
 
   /** Union of the live part dirs, each read under ITS OWN root: a single
@@ -148,7 +139,8 @@ object GraphIndex {
     */
   private def readLive(spark: SparkSession, path: String): DataFrame = {
     val aggDir = s"$path/agg"
-    val live = livePaths(fsOf(spark, aggDir), aggDir)
+    val live = graft.store.Generations.livePaths(
+      fsOf(spark, aggDir), aggDir, DeltaPrefix)
     require(live.nonEmpty, s"no live index partitions under $path")
     live.map(spark.read.parquet(_)).reduce(_ unionAll _)
   }
@@ -172,23 +164,36 @@ object GraphIndex {
   private def compactCore(spark: SparkSession, path: String,
       keyCols: Seq[String], bucketCol: String): Unit = {
     import org.apache.hadoop.fs.Path
+    import graft.store.Generations
     val aggDir = s"$path/agg"
     val fs = fsOf(spark, aggDir)
-    val live = livePaths(fs, aggDir)
-    if (live.isEmpty) return
-    val gen = nextDeltaId(fs, aggDir) - 1L
+    val live = Generations.livePaths(fs, aggDir, DeltaPrefix)
+    val prevGen = Generations.maxCompactGen(fs, aggDir)
+    val gen = Generations.nextDeltaId(fs, aggDir, DeltaPrefix) - 1L
+    def sweepStale(): Unit =
+      fs.listStatus(new Path(aggDir)).foreach { st =>
+        val n = st.getPath.getName
+        val keep = s"${Generations.CompactPrefix}${math.max(gen, prevGen)}"
+        val stale =
+          (n.startsWith(DeltaPrefix) &&
+            n.stripPrefix(DeltaPrefix).toLong <= gen) ||
+          (n.startsWith(Generations.CompactPrefix) && n != keep)
+        if (stale) fs.delete(st.getPath, true)
+      }
+    // nothing newer than the standing compact generation: folding would
+    // rewrite compact_N onto ITSELF (gen == prevGen), whose delete+rename
+    // crash window could unlink the only live generation. Just finish any
+    // pending sweep (a prior compaction may have crashed post-rename).
+    if (live.isEmpty || gen == prevGen) { sweepStale(); return }
     val folded = live.map(spark.read.parquet(_)).reduce(_ unionAll _)
       .groupBy((keyCols :+ bucketCol).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
-    writePart(spark, folded, aggDir, s"$CompactPrefix$gen", bucketCol)
-    fs.listStatus(new Path(aggDir)).foreach { st =>
-      val n = st.getPath.getName
-      val stale =
-        (n.startsWith(DeltaPrefix) &&
-          n.stripPrefix(DeltaPrefix).toLong <= gen) ||
-        (n.startsWith(CompactPrefix) && n != s"$CompactPrefix$gen")
-      if (stale) fs.delete(st.getPath, true)
-    }
+      .cache()
+    try {
+      writePart(spark, folded, aggDir,
+        s"${Generations.CompactPrefix}$gen", bucketCol, folded.isEmpty)
+      sweepStale()
+    } finally folded.unpersist()
   }
 
   // ==================== anchor-signal index ===============================
@@ -197,6 +202,9 @@ object GraphIndex {
     * ((src_url, dst_url, text) rows, [[AnchorText.anchors]]' shape).
     * Empty texts (icon links) drop here — [[AnchorText.topAnchors]]
     * semantics — so the stored aggregate is exactly the signal table.
+    * RESETS any existing index at `path` (the bm25IndexBuild overwrite
+    * semantics): mixing generations bucketed under different fans would
+    * silently corrupt the probe.
     */
   def anchorIndexInit(anchors: DataFrame, path: String,
       buckets: Int = 64): Unit = {
@@ -269,9 +277,9 @@ object GraphIndex {
   // ==================== host link-graph index =============================
 
   /** Create the host-edge index from a first batch of url-level edges.
-    * Hosts derive exactly as [[LinkRank.hostRank]] does (Urls.host
-    * semantics, self-loops and unparseable hosts drop), so the maintained
-    * graph feeds the same rank.
+    * Hosts derive via [[LinkRank.hostEdgesOf]] — the same code hostRank
+    * runs, so the maintained graph feeds the same rank by construction.
+    * RESETS any existing index at `path` (see [[anchorIndexInit]]).
     */
   def hostEdgeIndexInit(urlEdges: DataFrame, path: String,
       buckets: Int = 64, srcCol: String = "src_url",
@@ -318,11 +326,6 @@ object GraphIndex {
   }
 
   private def hostPairs(urlEdges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val hostOf = (c: String) => graft.url.Urls.hostColumn(col(c))
-    urlEdges
-      .select(hostOf(srcCol).as("src"), hostOf(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst") &&
-        col("src") =!= lit("") && col("dst") =!= lit(""))
-  }
+      dstCol: String): DataFrame =
+    LinkRank.hostEdgesOf(urlEdges, srcCol, dstCol)
 }

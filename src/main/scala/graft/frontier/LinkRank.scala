@@ -146,9 +146,13 @@ object LinkRank {
       case None => nodes.select(col("node"), lit(1.0 / nD).as("rank"))
       case Some(prev) =>
         val p = prev.select(col("node"), col("rank").cast("double").as("__r0"))
+        // node-sized; truncated HERE so the caller's (arbitrary, lazy)
+        // seed plan and this join run ONCE — the mass scalar below and
+        // the r0 checkpoint both read the truncated frame
         val raw = nodes.join(p, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("__r0"), lit(1.0 / nD)).as("rank"))
+          .localCheckpoint(true)
         // renormalize to unit mass — one bounded node-sized scalar job
         // (the same cost class as the nodes.count() above); a degenerate
         // seed (all zero/NaN) fails loudly rather than ranking garbage
@@ -226,21 +230,30 @@ object LinkRank {
       damping: Double = 0.85,
       srcCol: String = "src_url",
       dstCol: String = "dst_url"): DataFrame = {
-    // MUST be Urls.host semantics (via its declarative twin — codegen'd,
-    // no UDF): the frontier's host column is Urls.host of the canonical
-    // url (FrontierRound.scala:113), and prioritize joins on it — a
-    // case/port/userinfo-keeping derivation here would silently never
-    // match ("Example.com:8443" vs "example.com") and split one host's
-    // rank mass across several graph nodes. Unparseable urls ("" host)
-    // drop: they are not crawlable hosts and "" would aggregate them all
-    // into one bogus mega-node.
+    pageRank(hostEdgesOf(urlEdges, srcCol, dstCol), iters, damping).select(
+      col("node").as("host"), col("rank"))
+  }
+
+  /** Collapse url-level edges to HOST edges — THE host-graph derivation,
+    * shared by [[hostRank]] and [[GraphIndex.hostEdgeIndexInit]] so the
+    * maintained graph and the batch graph cannot drift.
+    *
+    * MUST be Urls.host semantics (via its declarative twin — codegen'd,
+    * no UDF): the frontier's host column is Urls.host of the canonical
+    * url (FrontierRound.scala:113), and prioritize joins on it — a
+    * case/port/userinfo-keeping derivation here would silently never
+    * match ("Example.com:8443" vs "example.com") and split one host's
+    * rank mass across several graph nodes. Unparseable urls ("" host)
+    * drop: they are not crawlable hosts and "" would aggregate them all
+    * into one bogus mega-node. Self-loops (intra-host links) drop.
+    */
+  def hostEdgesOf(urlEdges: DataFrame, srcCol: String = "src_url",
+      dstCol: String = "dst_url"): DataFrame = {
     val hostOf = (c: String) => graft.url.Urls.hostColumn(col(c))
-    val hostEdges = urlEdges
+    urlEdges
       .select(hostOf(srcCol).as("src"), hostOf(dstCol).as("dst"))
       .filter(col("src") =!= col("dst") &&
         col("src") =!= lit("") && col("dst") =!= lit(""))
-    pageRank(hostEdges, iters, damping).select(
-      col("node").as("host"), col("rank"))
   }
 
   /** Re-prioritize a frontier by host rank: priority becomes the host's

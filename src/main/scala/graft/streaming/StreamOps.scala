@@ -151,41 +151,19 @@ object StreamOps {
     * Readers must go through [[readCuratedSurvivors]] (newest-generation
     * rule), not a raw directory read.
     */
-  private val CompactPrefix = "compact_"
-
-  /** Highest compaction generation present under `path` (-1 if none). */
-  private def maxCompactGen(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) -1L
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(CompactPrefix))
-      .map(_.stripPrefix(CompactPrefix).toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  private val CompactPrefix = graft.store.Generations.CompactPrefix
 
   /** The LIVE part directories of one store sub-table: the newest
     * `compact_C` dir (if any) plus every `batch_id=M` with M > C. Stale
     * batch dirs (M ≤ C — already folded, or rewritten by a post-compaction
     * replay) and superseded compact generations are IGNORED by readers and
     * swept opportunistically — the same ignore-then-GC discipline as the
-    * crawl store's seen-part compaction (FrontierCrawl).
+    * crawl store's seen-part compaction (FrontierCrawl). One shared copy
+    * of the rule: [[graft.store.Generations]].
     */
   private def livePaths(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      excludeBatchId: Long = Long.MinValue): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) return Seq.empty
-    val gen = maxCompactGen(fs, path)
-    val names = fs.listStatus(p).toSeq.map(_.getPath)
-    val compacted = names.filter(_.getName == s"$CompactPrefix$gen")
-    val batches = names
-      .filter(_.getName.startsWith("batch_id="))
-      .filter { q =>
-        val id = q.getName.stripPrefix("batch_id=").toLong
-        id > gen && id != excludeBatchId
-      }
-    (compacted ++ batches).map(_.toString)
-  }
+      excludeBatchId: Long = Long.MinValue): Seq[String] =
+    graft.store.Generations.livePaths(fs, path, "batch_id=", excludeBatchId)
 
   /** Read the curated store's current survivor set (the streaming twin of
     * `Curation.curate`'s return value) — compaction-aware: a plain

@@ -114,8 +114,74 @@ class GraphIndexSpec extends SparkTestBase {
       .filter(r => targets.contains(r._1))
     assert(topSet(probe) == expected)
     val planStr = probe.queryExecution.executedPlan.toString
-    assert(planStr.contains("PartitionFilters: [") && planStr.contains("ab"),
-      s"no ab partition filter in:\n${planStr.take(800)}")
+    // a NON-EMPTY PartitionFilters payload referencing the ab attribute —
+    // bare contains("PartitionFilters: [") is satisfied by the empty list
+    // every unpruned scan prints, and bare contains("ab") by the partition
+    // schema, so the old form passed even with pruning broken
+    assert("""PartitionFilters: \[[^\]]*ab#\d+""".r
+        .findFirstIn(planStr).isDefined,
+      s"no ab predicate inside PartitionFilters in:\n${planStr.take(1500)}")
+  }
+
+  test("empty deltas: an all-icon-link append is a no-op (no data-less " +
+      "dir poisons later reads); an empty fresh init reads as empty") {
+    val path = tmp("graft-anchor-empty")
+    val icons = anchorRows.map { case (s, d, _) => (s, d, "") }
+    // empty FRESH init: readers see an empty index, not a crash
+    GraphIndex.anchorIndexInit(anchorsDf(icons.take(20)), path, buckets = 4)
+    assert(GraphIndex.anchorStats(spark, path).isEmpty)
+    assert(GraphIndex.topAnchorsIndexed(spark, path, k = 2).isEmpty)
+    // real rows append fine on top of the empty generation
+    GraphIndex.anchorIndexAppend(anchorsDf(anchorRows.take(100)), path)
+    assert(statsSet(GraphIndex.anchorStats(spark, path)) ==
+      batchStats(anchorRows.take(100)))
+    // an EMPTY append is a no-op: no new dir, every reader still green
+    val dirsBefore = new java.io.File(s"$path/agg").listFiles()
+      .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    GraphIndex.anchorIndexAppend(anchorsDf(icons.take(30)), path)
+    val dirsAfter = new java.io.File(s"$path/agg").listFiles()
+      .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    assert(dirsAfter == dirsBefore, s"empty append wrote: $dirsAfter")
+    assert(statsSet(GraphIndex.anchorStats(spark, path)) ==
+      batchStats(anchorRows.take(100)))
+    // compaction over a mix that includes the empty generation works and
+    // the probe still prunes + answers through it
+    GraphIndex.anchorIndexCompact(spark, path)
+    assert(statsSet(GraphIndex.anchorStats(spark, path)) ==
+      batchStats(anchorRows.take(100)))
+  }
+
+  test("re-init RESETS the index: a new bucket fan never coexists with " +
+      "old-fan generations (the silent-miss corruption class)") {
+    val path = tmp("graft-anchor-reinit")
+    GraphIndex.anchorIndexInit(anchorsDf(anchorRows), path, buckets = 8)
+    // re-bootstrap with a DIFFERENT fan over the same path
+    val half = anchorRows.take(200)
+    GraphIndex.anchorIndexInit(anchorsDf(half), path, buckets = 16)
+    // merged view is ONLY the re-init batch (old generations gone) …
+    assert(statsSet(GraphIndex.anchorStats(spark, path)) == batchStats(half))
+    // … and the pruned point probe finds rows bucketed under the NEW fan
+    val targets = Seq("http://t.ir/d3")
+    val probe = topSet(GraphIndex.anchorsFor(spark, path, targets, k = 3))
+    val expected = topSet(GraphIndex.topAnchorsIndexed(spark, path, k = 3))
+      .filter(r => targets.contains(r._1))
+    assert(probe == expected && probe.nonEmpty)
+  }
+
+  test("compaction with nothing newer than the standing generation is a " +
+      "no-op that never rewrites compact_N onto itself") {
+    val path = tmp("graft-anchor-recompact")
+    GraphIndex.anchorIndexInit(anchorsDf(anchorRows), path, buckets = 4)
+    GraphIndex.anchorIndexCompact(spark, path)
+    val before = statsSet(GraphIndex.anchorStats(spark, path))
+    val dir = new java.io.File(s"$path/agg")
+    val mtimes = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // immediate re-compaction: no fold, no delete+rename crash window on
+    // the only live generation — the dir set and the data are untouched
+    GraphIndex.anchorIndexCompact(spark, path)
+    val after = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == mtimes, s"re-compaction touched dirs: $after vs $mtimes")
+    assert(statsSet(GraphIndex.anchorStats(spark, path)) == before)
   }
 
   test("append to a missing index fails loudly; probes on an empty path " +
