@@ -165,7 +165,14 @@ object Bench {
       "search_bm25_index_append", "multimodal_image_meta",
       "multimodal_audio_meta", "multimodal_frames", "warc_parse",
       "graph_anchor_text", "trap_detect", "sitemap_parse", "redirect_resolve",
-      "frontier_cap", "adaptive_budgets")
+      "frontier_cap", "adaptive_budgets",
+      // the incremental-index rows build + compact persisted GraphIndex
+      // tables per run — commit latency, same class as bm25_index_append
+      "graph_anchor_incremental", "graph_anchor_probe",
+      "graph_rank_incremental",
+      // exif/mp3 decode fixed-size hand-muxed fixtures
+      "multimodal_exif_orientation", "multimodal_mp3_meta",
+      "multimodal_video_meta")
     val fullSuite = queryFilter.isDefined ||
       sys.env.contains("SPARK_GRAFT_FULL_SUITE")
     val selected = names.filter(n => queryFilter.forall(_.contains(n)))
