@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.Extractor
-import graft.ops.{Ann, CharLm, Curation, Decontaminate, Dedup, Multimodal, Search, TextStats, Tokenize}
+import graft.ops.{Ann, CharLm, Classify, Curation, Decontaminate, Dedup, Multimodal, Search, TextStats, Tokenize}
 import graft.sources.WarcSource
 import graft.text.JalaliDate
 import graft.url.Urls
@@ -1273,6 +1273,19 @@ object SparkEntry {
       val bench = d.filter(pmod(col("doc_id"), lit(10)) === 0).select(col("text"))
       val bg = Decontaminate.benchmarkGrams(bench, "text", n = 5)
       Decontaminate.contaminationStats(d, bg, "doc_id", "text", n = 5)
+    }),
+
+    // supervised quality/domain classifier (the FineWeb-Edu/DCLM pattern:
+    // a small model trained on labeled seed docs scores the full corpus):
+    // multinomial NB trained on the even-doc_id half labeled by `source`,
+    // then EVERY doc classified — per-doc argmax label + 6dp-rounded
+    // log-score; the oracle recomputes train, smoothing, per-(doc,label)
+    // scores, and the (score DESC, label DESC) argmax in DuckDB
+    "text_classify_nb" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Classify.trainNb(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "source")
+      Classify.classifyNb(d, model, "doc_id", "text")
     })
   )
 
@@ -2523,6 +2536,46 @@ object SparkEntry {
            coalesce(h.n_grams, 0) AS n_grams,
            coalesce(h.n_contaminated, 0) AS n_contaminated,
            coalesce(h.n_contaminated, 0) > 0 AS contaminated
-         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+
+    // multinomial NB retrained from scratch: shared-vocab add-1 smoothing,
+    // token-free docs score exactly their prior, argmax ties break to the
+    // lexicographically larger label (mirrors Spark's max(struct(score,
+    // label))); score rounded to 6dp on both sides before the argmax
+    "text_classify_nb" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> len(x) > 0)) AS token
+           FROM documents),
+         train AS (
+           SELECT t.doc_id, d.source AS label, t.token
+           FROM toks t JOIN documents d USING (doc_id) WHERE d.doc_id % 2 = 0),
+         counts AS (SELECT label, token, count(*) AS c FROM train GROUP BY 1, 2),
+         v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM counts),
+         totals AS (SELECT label, CAST(sum(c) AS DOUBLE) AS tc FROM counts GROUP BY 1),
+         lik AS (SELECT label, token,
+                   ln((CAST(c AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tc + v.v)) AS loglik
+                 FROM counts JOIN totals USING (label), v),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                FROM documents WHERE doc_id % 2 = 0),
+         priors AS (SELECT p.label, ln(p.dn / nd.n) AS logprior,
+                      ln(CAST(1.0 AS DOUBLE) / (totals.tc + v.v)) AS unseen_loglik
+                    FROM (SELECT source AS label, CAST(count(*) AS DOUBLE) AS dn
+                          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1) p
+                    JOIN totals USING (label), v, nd),
+         persco AS (
+           SELECT t.doc_id, p.label,
+             sum(coalesce(l.loglik, p.unseen_loglik)) AS tsum
+           FROM toks t CROSS JOIN priors p
+           LEFT JOIN lik l ON l.label = p.label AND l.token = t.token
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT d.doc_id, p.label,
+             round(p.logprior + coalesce(ps.tsum, CAST(0.0 AS DOUBLE)), 6) AS score
+           FROM documents d CROSS JOIN priors p
+           LEFT JOIN persco ps ON ps.doc_id = d.doc_id AND ps.label = p.label)
+         SELECT doc_id, label AS predicted, score FROM scored
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, label DESC) = 1"""
   )
 }
