@@ -211,6 +211,42 @@ object QueryScale {
           }
         }
 
+        // classify_score_op: NB classifier SCORING at corpus size — the
+        // repeated path at scale (the model trains once on labeled seeds;
+        // the full corpus is scored every ingest). Corpus =
+        // SPARK_GRAFT_CLASSIFY_DOCS docs (default 400k) × 40 tokens drawn
+        // from a 2000-word per-label vocab (model = 2 labels × ≤4000
+        // tokens, always broadcastable); model trained on a 20k-doc seed
+        // slice and CHECKPOINTED outside the gate; timed region =
+        // scoreNb → per-doc argmax over the whole corpus.
+        if (isoOn("classify_score_op")) {
+          val nDocs = sys.env.getOrElse("SPARK_GRAFT_CLASSIFY_DOCS", "400000").toLong
+          val docsC = spark.range(0L, nDocs, 1L, cores).toDF("doc_id")
+            .select(col("doc_id"),
+              when(pmod(col("doc_id"), lit(2L)) === 0L, lit("good"))
+                .otherwise(lit("bad")).as("label"))
+            .select(col("doc_id"), col("label"), array_join(
+              transform(sequence(lit(0), lit(39)), j => {
+                val r = abs(xxhash64(col("doc_id"), j))
+                substring(md5(concat(col("label"),
+                  pmod(r, lit(2000L)).cast("string"))), 1, 6)
+              }), " ").as("text"))
+            .localCheckpoint(true)
+          val m0 = graft.ops.Classify.trainNb(
+            docsC.filter(col("doc_id") < 20000L), "text", "label")
+          val model = graft.ops.Classify.NbModel(
+            m0.likelihoods.localCheckpoint(true),
+            m0.priors.localCheckpoint(true))
+          def runClassify(): Long = graft.ops.Classify.classifyNb(
+            docsC, model, "doc_id", "text").count()
+          runClassify() // warm
+          out += "classify_score_op" -> BenchGate.gated(s"op:classify_score@$cores",
+            cores, maxAttempts = 4, cooldownMs = 8000L, probeMinOf = 1) {
+            val t0 = System.nanoTime(); runClassify()
+            (System.nanoTime() - t0) / 1e9
+          }
+        }
+
         // pagerank_op: corpus-sized LinkRank over a skewed synthetic web
         // graph (SPARK_GRAFT_PR_EDGES edges, default 4M, over edges/10
         // linking hosts; dst drawn with a Zipf-ish double-pmod skew so hub
