@@ -1275,6 +1275,25 @@ object SparkEntry {
       Decontaminate.contaminationStats(d, bg, "doc_id", "text", n = 5)
     }),
 
+    // freshness-driven recrawl scheduling (Recrawl): history constructed
+    // so url u_k changes its content hash every (1 + k%7) rounds with
+    // planted null-hash failed fetches; change-rate MLE + staleness at
+    // round 40, all ln/exp math 6dp-rounded at source so the schedule is
+    // row-exact in DuckDB
+    "recrawl_schedule" -> ((s, dir) => {
+      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey").cast("long").as("n"))
+      val hist = ids.selectExpr(
+        "concat('u', CAST(n % 300 AS STRING)) AS url_key",
+        "n DIV 300 AS round",
+        "CASE WHEN n % 41 = 0 THEN NULL ELSE md5(concat('u', " +
+          "CAST(n % 300 AS STRING), '-', CAST((n DIV 300) DIV " +
+          "(1 + (n % 300) % 7) AS STRING))) END AS content_hash")
+      graft.frontier.Recrawl.recrawlPriority(
+        graft.frontier.Recrawl.changeStats(hist),
+        currentRound = 40L, defaultRate = 0.1)
+    }),
+
     // supervised quality/domain classifier (the FineWeb-Edu/DCLM pattern:
     // a small model trained on labeled seed docs scores the full corpus):
     // multinomial NB trained on the even-doc_id half labeled by `source`,
@@ -2537,6 +2556,40 @@ object SparkEntry {
            coalesce(h.n_contaminated, 0) AS n_contaminated,
            coalesce(h.n_contaminated, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+
+    // the same Cho–Garcia-Molina estimator: lag pairing (hash-ordered for
+    // total determinism on duplicate rounds), smoothed -ln MLE, Poisson
+    // staleness; null-hash rows dropped, single-obs urls take the 0.1
+    // default rate; every double rounded 6dp before comparison
+    "recrawl_schedule" ->
+      """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 9000),
+         h AS (SELECT concat('u', CAST(n % 300 AS VARCHAR)) AS url_key,
+                 n // 300 AS round,
+                 CASE WHEN n % 41 = 0 THEN NULL
+                      ELSE md5(concat('u', CAST(n % 300 AS VARCHAR), '-',
+                        CAST((n // 300) // (1 + (n % 300) % 7) AS VARCHAR))) END AS content_hash
+               FROM ids),
+         p AS (SELECT url_key, round, content_hash,
+                 lag(content_hash) OVER (PARTITION BY url_key
+                   ORDER BY round, content_hash) AS prev
+               FROM h WHERE content_hash IS NOT NULL),
+         s AS (SELECT url_key, count(*) AS n_obs,
+                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> content_hash
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                 min(round) AS first_round, max(round) AS last_round
+               FROM p GROUP BY 1),
+         r AS (SELECT *, CASE WHEN n_obs >= 2 AND last_round > first_round THEN
+                 round(-ln((CAST(n_obs - 1 AS DOUBLE) - n_changes + CAST(0.5 AS DOUBLE))
+                     / (CAST(n_obs - 1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   / (CAST(last_round - first_round AS DOUBLE)
+                     / CAST(n_obs - 1 AS DOUBLE)), 6)
+                 END AS change_rate FROM s)
+         SELECT url_key, n_obs, n_changes, first_round, last_round, change_rate,
+           round(CAST(1.0 AS DOUBLE) - exp(-coalesce(change_rate, CAST(0.1 AS DOUBLE))
+             * CAST(greatest(40 - last_round, 0) AS DOUBLE)), 6) AS p_stale,
+           -round(CAST(1.0 AS DOUBLE) - exp(-coalesce(change_rate, CAST(0.1 AS DOUBLE))
+             * CAST(greatest(40 - last_round, 0) AS DOUBLE)), 6) AS priority
+         FROM r""",
 
     // multinomial NB retrained from scratch: shared-vocab add-1 smoothing,
     // token-free docs score exactly their prior, argmax ties break to the

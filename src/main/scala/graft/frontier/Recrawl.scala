@@ -1,0 +1,84 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Freshness-driven recrawl scheduling — the temporal axis of the
+  * crawl-intelligence wave (anchors/rank say WHAT to fetch, politeness
+  * says HOW FAST, traps say WHAT TO AVOID; this says WHEN TO COME BACK).
+  * The reference crawls once and stops; a standing web-scale crawl
+  * re-visits, and re-visiting uniformly wastes its fetch budget on pages
+  * that never change while letting hubs go stale.
+  *
+  * Estimator: the Cho & Garcia-Molina Poisson change-rate MLE for
+  * incomplete observation ("Estimating Frequency of Change", ACM TOIT
+  * 2003): with n adjacent observation intervals, X of which showed a
+  * changed content hash, and mean interval Δ rounds,
+  * λ̂ = −ln((n − X + 0.5) / (n + 0.5)) / Δ — the +0.5 smoothing keeps the
+  * estimator finite at X = n (a page that changed every single time we
+  * looked). Staleness at the current round is then the Poisson
+  * no-change complement p = 1 − exp(−λ̂ · age).
+  *
+  * Scale shape: ONE url_key-hash exchange for the adjacency window (at
+  * rest the history table is bucketed by url_key, making even that
+  * exchange free — the Curation.writeDedupBaseBucketed pattern), and the
+  * per-url aggregation REUSES the window's partitioning — zero further
+  * exchanges (plan-asserted in RecrawlSpec). Everything downstream is
+  * url-count-sized, never history-sized. All arithmetic is deterministic
+  * integer counts + ln/exp rounded to 6 dp at the source, so the whole
+  * schedule reproduces row-exactly in any SQL engine.
+  */
+object Recrawl {
+
+  /** Per-url change statistics from crawl history rows
+    * (urlCol, roundCol, hashCol): observation count, adjacent-pair change
+    * count, first/last observed round, and the smoothed change rate
+    * λ̂ (rounded 6 dp; null when fewer than 2 observations or all
+    * observations share one round — no interval evidence either way).
+    * Rows with a null content hash (failed fetches) carry no content
+    * evidence and are dropped before pairing. Duplicate (url, round)
+    * rows order by hash so the lag pairing is total.
+    */
+  def changeStats(history: DataFrame, urlCol: String = "url_key",
+      roundCol: String = "round", hashCol: String = "content_hash"): DataFrame = {
+    val w = Window.partitionBy(col(urlCol)).orderBy(col("__r"), col("__h"))
+    val paired = history
+      .filter(col(hashCol).isNotNull)
+      .select(col(urlCol), col(roundCol).cast("long").as("__r"), col(hashCol).as("__h"))
+      .withColumn("__prev", lag(col("__h"), 1).over(w))
+    paired
+      .groupBy(col(urlCol))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(when(col("__prev").isNotNull && col("__prev") =!= col("__h"), 1L)
+          .otherwise(0L)).as("n_changes"),
+        min(col("__r")).as("first_round"),
+        max(col("__r")).as("last_round"))
+      .withColumn("change_rate", {
+        val n = (col("n_obs") - 1L).cast("double")
+        val x = col("n_changes").cast("double")
+        val gap = (col("last_round") - col("first_round")).cast("double") / n
+        round(when(col("n_obs") >= 2L && col("last_round") > col("first_round"),
+          -log((n - x + lit(0.5)) / (n + lit(0.5))) / gap), 6)
+      })
+  }
+
+  /** Staleness + recrawl priority at `currentRound`: urls without a rate
+    * estimate (single observation) take `defaultRate`; p_stale =
+    * 1 − exp(−λ̂ · age) rounded 6 dp, and `priority` is its negation —
+    * the frontier's lower-is-better convention (seed pages are 0.0), so
+    * the stalest page schedules first. Join the output back to the
+    * frontier on url_key (both sides url-keyed; bucket them at rest for
+    * a co-located join — this table is crawl-sized, NEVER broadcast it).
+    */
+  def recrawlPriority(stats: DataFrame, currentRound: Long,
+      defaultRate: Double = 0.1): DataFrame = {
+    require(defaultRate >= 0.0, s"defaultRate must be >= 0, got $defaultRate")
+    val rate = coalesce(col("change_rate"), lit(defaultRate))
+    val age = greatest(lit(currentRound) - col("last_round"), lit(0L)).cast("double")
+    stats
+      .withColumn("p_stale", round(lit(1.0) - exp(-rate * age), 6))
+      .withColumn("priority", -col("p_stale"))
+  }
+}
