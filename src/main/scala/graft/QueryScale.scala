@@ -137,19 +137,15 @@ object QueryScale {
           }
         }
 
-        // bpe_train_op: the batched-exact BPE trainer end-to-end (one
-        // corpus word-frequency pass + O(merges/batch) merge iterations)
-        // over the documents table — the scale row for the one operator
-        // whose r4 design didn't survive its production parameter
-        if (isoOn("bpe_train_op")) {
-          // the sf tables' documents text has only ~31 distinct words — a
-          // degenerate BPE input (pair table tiny, tie/interaction-dense).
-          // Construct a Zipfian corpus with a production-SHAPED word
-          // distribution instead (tens of thousands of distinct hex-charset
-          // words), built + checkpointed OUTSIDE the gate like
-          // curate_delta_op's forest corpus.
+        // the shared Zipfian BPE corpus (the sf tables' documents text has
+        // only ~31 distinct words — a degenerate BPE input): tens of
+        // thousands of distinct hex-charset words with a skewed frequency
+        // distribution, built + checkpointed OUTSIDE the gates; one
+        // definition for both trainer rows so an A/B always compares the
+        // same input
+        def bpeCorpus(): DataFrame = {
           val distinctWords = 30000L
-          val docsB = spark.range(0L, 100000L, 1L, cores)
+          spark.range(0L, 100000L, 1L, cores)
             .toDF("doc_id")
             .select(col("doc_id"), array_join(
               transform(sequence(lit(0), lit(11)), j => {
@@ -159,6 +155,14 @@ object QueryScale {
                   .substr(lit(1), (lit(3) + pmod(idx, lit(6L))).cast("int"))
               }), " ").as("text"))
             .localCheckpoint(true)
+        }
+
+        // bpe_train_op: the batched-exact BPE trainer end-to-end (one
+        // corpus word-frequency pass + O(merges/batch) merge iterations)
+        // — the scale row for the one operator whose r4 design didn't
+        // survive its production parameter
+        if (isoOn("bpe_train_op")) {
+          val docsB = bpeCorpus()
           // SPARK_GRAFT_BPE_SEQ=1 times the classic one-merge-per-job loop
           // instead (maxBatch=1) — the A/B that evidences the batching win
           val mb = if (sys.env.contains("SPARK_GRAFT_BPE_SEQ")) 1 else 64
@@ -183,17 +187,7 @@ object QueryScale {
         // collect, then driver CPU). The at-32k-merges scale exhibit: time
         // this at SPARK_GRAFT_BPE_MERGES=4096+ against bpe_train_op.
         if (isoOn("bpe_train_local_op")) {
-          val distinctWords = 30000L
-          val docsB = spark.range(0L, 100000L, 1L, cores)
-            .toDF("doc_id")
-            .select(col("doc_id"), array_join(
-              transform(sequence(lit(0), lit(11)), j => {
-                val r = abs(xxhash64(col("doc_id"), j))
-                val idx = pmod(r, lit(1L) + pmod(r, lit(distinctWords)))
-                md5(idx.cast("string"))
-                  .substr(lit(1), (lit(3) + pmod(idx, lit(6L))).cast("int"))
-              }), " ").as("text"))
-            .localCheckpoint(true)
+          val docsB = bpeCorpus()
           val nm = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "512").toInt
           def runLocal(): Int = {
             val m = graft.ops.Tokenize.bpeTrainLocal(docsB, "text",

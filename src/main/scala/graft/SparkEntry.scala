@@ -2557,10 +2557,10 @@ object SparkEntry {
            coalesce(h.n_contaminated, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
 
-    // the same Cho–Garcia-Molina estimator: lag pairing (hash-ordered for
-    // total determinism on duplicate rounds), smoothed -ln MLE, Poisson
-    // staleness; null-hash rows dropped, single-obs urls take the 0.1
-    // default rate; every double rounded 6dp before comparison
+    // the same Cho–Garcia-Molina estimator: per-(url, round) dedup to the
+    // min non-null hash, IGNORE NULLS pairing so failed rounds don't break
+    // the chain, smoothed -ln MLE, Poisson staleness (never-observed urls
+    // pin at 1.0); every double rounded 6dp before comparison
     "recrawl_schedule" ->
       """WITH ids AS (SELECT CAST(o_orderkey AS BIGINT) AS n FROM orders WHERE o_orderkey < 9000),
          h AS (SELECT concat('u', CAST(n % 300 AS VARCHAR)) AS url_key,
@@ -2569,14 +2569,20 @@ object SparkEntry {
                       ELSE md5(concat('u', CAST(n % 300 AS VARCHAR), '-',
                         CAST((n // 300) // (1 + (n % 300) % 7) AS VARCHAR))) END AS content_hash
                FROM ids),
+         d AS (SELECT url_key, round, content_hash FROM h
+               QUALIFY row_number() OVER (PARTITION BY url_key, round
+                 ORDER BY content_hash ASC NULLS LAST) = 1),
          p AS (SELECT url_key, round, content_hash,
-                 lag(content_hash) OVER (PARTITION BY url_key
-                   ORDER BY round, content_hash) AS prev
-               FROM h WHERE content_hash IS NOT NULL),
-         s AS (SELECT url_key, count(*) AS n_obs,
-                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> content_hash
-                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
-                 min(round) AS first_round, max(round) AS last_round
+                 last_value(content_hash IGNORE NULLS) OVER (PARTITION BY url_key
+                   ORDER BY round ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS prev
+               FROM d),
+         s AS (SELECT url_key, count(content_hash) AS n_obs,
+                 CAST(sum(CASE WHEN content_hash IS NOT NULL AND prev IS NOT NULL
+                   AND prev <> content_hash THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                 min(CASE WHEN content_hash IS NOT NULL THEN round END) AS first_round,
+                 max(CASE WHEN content_hash IS NOT NULL THEN round END) AS last_round,
+                 max(round) AS last_attempt_round
                FROM p GROUP BY 1),
          r AS (SELECT *, CASE WHEN n_obs >= 2 AND last_round > first_round THEN
                  round(-ln((CAST(n_obs - 1 AS DOUBLE) - n_changes + CAST(0.5 AS DOUBLE))
@@ -2584,11 +2590,14 @@ object SparkEntry {
                    / (CAST(last_round - first_round AS DOUBLE)
                      / CAST(n_obs - 1 AS DOUBLE)), 6)
                  END AS change_rate FROM s)
-         SELECT url_key, n_obs, n_changes, first_round, last_round, change_rate,
-           round(CAST(1.0 AS DOUBLE) - exp(-coalesce(change_rate, CAST(0.1 AS DOUBLE))
-             * CAST(greatest(40 - last_round, 0) AS DOUBLE)), 6) AS p_stale,
-           -round(CAST(1.0 AS DOUBLE) - exp(-coalesce(change_rate, CAST(0.1 AS DOUBLE))
-             * CAST(greatest(40 - last_round, 0) AS DOUBLE)), 6) AS priority
+         SELECT url_key, n_obs, n_changes, first_round, last_round,
+           last_attempt_round, change_rate,
+           CASE WHEN n_obs = 0 THEN CAST(1.0 AS DOUBLE)
+             ELSE round(CAST(1.0 AS DOUBLE) - exp(-coalesce(change_rate, CAST(0.1 AS DOUBLE))
+               * CAST(greatest(40 - last_round, 0) AS DOUBLE)), 6) END AS p_stale,
+           -(CASE WHEN n_obs = 0 THEN CAST(1.0 AS DOUBLE)
+             ELSE round(CAST(1.0 AS DOUBLE) - exp(-coalesce(change_rate, CAST(0.1 AS DOUBLE))
+               * CAST(greatest(40 - last_round, 0) AS DOUBLE)), 6) END) AS priority
          FROM r""",
 
     // multinomial NB retrained from scratch: shared-vocab add-1 smoothing,

@@ -32,29 +32,41 @@ import org.apache.spark.sql.functions._
 object Recrawl {
 
   /** Per-url change statistics from crawl history rows
-    * (urlCol, roundCol, hashCol): observation count, adjacent-pair change
-    * count, first/last observed round, and the smoothed change rate
-    * λ̂ (rounded 6 dp; null when fewer than 2 observations or all
-    * observations share one round — no interval evidence either way).
-    * Rows with a null content hash (failed fetches) carry no content
-    * evidence and are dropped before pairing. Duplicate (url, round)
-    * rows order by hash so the lag pairing is total.
+    * (urlCol, roundCol, hashCol): n_obs = rounds with a successful fetch
+    * (null hash = failed fetch — no content evidence, but the ATTEMPT is
+    * kept: `last_attempt_round` covers it and an all-failures url still
+    * emits a row, so the scheduler can see it), n_changes = changes
+    * between consecutive OBSERVED hashes (failed rounds in between don't
+    * break the chain), first/last observed round, and the smoothed change
+    * rate λ̂ (6 dp; null without ≥2 observed rounds spanning > 0 rounds).
+    *
+    * Rounds are deduplicated first — one representative per (url, round),
+    * the minimum non-null hash (nulls sort last, so a round counts as
+    * failed only if EVERY row failed). Without this a same-round
+    * duplicate pair would register a change across a zero-length
+    * interval and inflate the MLE. The dedup, the pairing window, and
+    * the aggregation all share the url partitioning: one exchange total.
     */
   def changeStats(history: DataFrame, urlCol: String = "url_key",
       roundCol: String = "round", hashCol: String = "content_hash"): DataFrame = {
-    val w = Window.partitionBy(col(urlCol)).orderBy(col("__r"), col("__h"))
-    val paired = history
-      .filter(col(hashCol).isNotNull)
+    val ord = Seq(col("__r").asc, col("__h").asc_nulls_last)
+    val w = Window.partitionBy(col(urlCol)).orderBy(ord: _*)
+    val dedup = history
       .select(col(urlCol), col(roundCol).cast("long").as("__r"), col(hashCol).as("__h"))
-      .withColumn("__prev", lag(col("__h"), 1).over(w))
+      .withColumn("__pr", lag(col("__r"), 1).over(w))
+      .filter(col("__pr").isNull || col("__pr") =!= col("__r"))
+    val paired = dedup.withColumn("__prev",
+      last(col("__h"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
     paired
       .groupBy(col(urlCol))
       .agg(
-        count(lit(1)).as("n_obs"),
-        sum(when(col("__prev").isNotNull && col("__prev") =!= col("__h"), 1L)
-          .otherwise(0L)).as("n_changes"),
-        min(col("__r")).as("first_round"),
-        max(col("__r")).as("last_round"))
+        count(col("__h")).as("n_obs"),
+        sum(when(col("__h").isNotNull && col("__prev").isNotNull &&
+          col("__prev") =!= col("__h"), 1L).otherwise(0L)).as("n_changes"),
+        min(when(col("__h").isNotNull, col("__r"))).as("first_round"),
+        max(when(col("__h").isNotNull, col("__r"))).as("last_round"),
+        max(col("__r")).as("last_attempt_round"))
       .withColumn("change_rate", {
         val n = (col("n_obs") - 1L).cast("double")
         val x = col("n_changes").cast("double")
@@ -65,12 +77,14 @@ object Recrawl {
   }
 
   /** Staleness + recrawl priority at `currentRound`: urls without a rate
-    * estimate (single observation) take `defaultRate`; p_stale =
-    * 1 − exp(−λ̂ · age) rounded 6 dp, and `priority` is its negation —
-    * the frontier's lower-is-better convention (seed pages are 0.0), so
-    * the stalest page schedules first. Join the output back to the
-    * frontier on url_key (both sides url-keyed; bucket them at rest for
-    * a co-located join — this table is crawl-sized, NEVER broadcast it).
+    * estimate (single observed round) take `defaultRate`; never-observed
+    * urls (every fetch failed) are maximally stale — p_stale 1.0, there
+    * is no content knowledge at all; otherwise p_stale =
+    * 1 − exp(−λ̂ · age) rounded 6 dp. `priority` is the negation — the
+    * frontier's lower-is-better convention (seed pages are 0.0), so the
+    * stalest page schedules first. Join the output back to the frontier
+    * on url_key (both sides url-keyed; bucket them at rest for a
+    * co-located join — this table is crawl-sized, NEVER broadcast it).
     */
   def recrawlPriority(stats: DataFrame, currentRound: Long,
       defaultRate: Double = 0.1): DataFrame = {
@@ -78,7 +92,8 @@ object Recrawl {
     val rate = coalesce(col("change_rate"), lit(defaultRate))
     val age = greatest(lit(currentRound) - col("last_round"), lit(0L)).cast("double")
     stats
-      .withColumn("p_stale", round(lit(1.0) - exp(-rate * age), 6))
+      .withColumn("p_stale", when(col("n_obs") === 0L, lit(1.0))
+        .otherwise(round(lit(1.0) - exp(-rate * age), 6)))
       .withColumn("priority", -col("p_stale"))
   }
 }

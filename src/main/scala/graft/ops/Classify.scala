@@ -34,8 +34,7 @@ object Classify {
     */
   final case class NbModel(likelihoods: DataFrame, priors: DataFrame)
 
-  private def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  private def tokens(text: Column): Column = TextStats.wsTokensLower(text)
 
   /** Train multinomial NB with add-`alpha` smoothing over a shared vocab:
     * loglik(t|L) = ln((c(L,t) + α) / (Σ_t c(L,t) + α·V)),
@@ -60,15 +59,20 @@ object Classify {
       .select(col("label"), col("token"),
         log((col("c").cast("double") + lit(alpha)) /
           (col("__tc") + lit(alpha) * col("__v"))).as("loglik"))
+    // LEFT join: a label whose training docs are all token-free has no
+    // counts/totals rows but must still exist in the model (its token mass
+    // is pure smoothing — unseen_loglik = ln(1/V), the uniform floor);
+    // an inner join here silently made such a label unpredictable
     val priors = labeled
       .groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).cast("double").as("__dn"))
-      .join(totals, Seq("label"))
+      .join(totals, Seq("label"), "left")
       .crossJoin(vocab) // 1 row
       .crossJoin(nDocs) // 1 row
       .select(col("label"),
         log(col("__dn") / col("__n")).as("logprior"),
-        log(lit(alpha) / (col("__tc") + lit(alpha) * col("__v"))).as("unseen_loglik"))
+        log(lit(alpha) / (coalesce(col("__tc"), lit(0.0)) +
+          lit(alpha) * col("__v"))).as("unseen_loglik"))
     NbModel(lik, priors)
   }
 

@@ -65,9 +65,18 @@ object TextStats {
     * ۰-۹ included), stopword-ish ratio (English function words as a crude
     * proxy).
     */
+  /** The pipeline-unified lowercased whitespace tokenizer (`\s+` split,
+    * empties dropped) — ONE definition shared by quality features and the
+    * NB classifier so model scores can never drift from the tokens the
+    * rest of the pipeline counts. Oracle mirror:
+    * `list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)`.
+    */
+  def wsTokensLower(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
   def qualityFeatures(text: Column): Column = {
     val n = greatest(length(text), lit(1)).cast("double")
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val toks = wsTokensLower(text)
     val nToks = greatest(size(toks), lit(1)).cast("double")
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     val stopN = size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("double")

@@ -108,6 +108,24 @@ class ClassifySpec extends SparkTestBase {
     assert(pred.getString(1) == "b")
   }
 
+  test("a label whose training docs are all token-free survives into the model") {
+    // review-wave regression: priors inner-joined totals, so the 'empty'
+    // label vanished and could never be predicted
+    val lbl = Seq((0L, "", "empty"), (1L, "x y", "full")).toDF("doc_id", "text", "label")
+    val model = Classify.trainNb(lbl, "text", "label")
+    val priors = model.priors.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    assert(priors.keySet == Set("empty", "full"))
+    // empty label's token mass is pure smoothing: unseen = ln(1/V), V = 2
+    assert(math.abs(priors("empty")._2 - math.log(1.0 / 2.0)) < 1e-12)
+    // a token-free doc can be predicted 'empty'... here priors tie (1/2
+    // each) so the tie-break picks 'full'; an unseen-token doc prefers
+    // 'empty' (its floor ln(1/2) beats full's ln(1/(2+2)))
+    val pred = Classify.classifyNb(Seq((9L, "zzz")).toDF("doc_id", "text"),
+      model, "doc_id", "text").head()
+    assert(pred.getString(1) == "empty")
+  }
+
   test("filterByClass keeps exactly the predicted-label survivors") {
     val model = Classify.trainNb(labeled.toDF("doc_id", "text", "label"), "text", "label")
     val kept = Classify.filterByClass(toScore.toDF("doc_id", "text"), model,

@@ -12,14 +12,19 @@ class RecrawlSpec extends SparkTestBase {
 
   // handmade history: u0 changes every observation, u1 never, u2 half the
   // time with a gap pattern, u3 single observation, u4 has a null-hash
-  // (failed fetch) row that must be ignored, u5 all same round
+  // (failed fetch) round that must not break the chain, u5 two rows in one
+  // round (dedup to one observation), u6 every fetch failed, u7 the
+  // review-wave case: a same-round duplicate pair must NOT register a
+  // zero-interval change
   private val history = Seq(
     ("u0", 0L, "a"), ("u0", 2L, "b"), ("u0", 4L, "c"), ("u0", 6L, "d"),
     ("u1", 0L, "x"), ("u1", 3L, "x"), ("u1", 9L, "x"),
     ("u2", 0L, "p"), ("u2", 1L, "p"), ("u2", 5L, "q"), ("u2", 8L, "q"),
     ("u3", 4L, "z"),
     ("u4", 0L, "m"), ("u4", 2L, null), ("u4", 7L, "n"),
-    ("u5", 3L, "s"), ("u5", 3L, "t")
+    ("u5", 3L, "s"), ("u5", 3L, "t"),
+    ("u6", 1L, null), ("u6", 4L, null),
+    ("u7", 5L, "a"), ("u7", 5L, "b"), ("u7", 9L, "a")
   ).toDF("url_key", "round", "content_hash")
 
   private def refRate(n: Int, x: Int, gapSum: Long): Option[Double] =
@@ -29,33 +34,46 @@ class RecrawlSpec extends SparkTestBase {
 
   test("changeStats matches the scalar estimator on every shape") {
     val got = Recrawl.changeStats(history).collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map(r => r.getAs[String]("url_key") -> r).toMap
+    def rate(u: String): Double = got(u).getAs[Double]("change_rate")
+    def nullRate(u: String): Boolean = got(u).isNullAt(got(u).fieldIndex("change_rate"))
     // u0: 4 obs, 3 intervals, 3 changes, span 6
-    assert(got("u0").getLong(1) == 4 && got("u0").getLong(2) == 3)
-    assert(math.abs(got("u0").getDouble(5) - refRate(3, 3, 6).get) < 1e-9)
-    // u1: never changes — rate = -ln((3+0.5)/(3.5))=0? n=2,x=0: -ln(2.5/2.5)=0
-    assert(got("u1").getLong(2) == 0 && got("u1").getDouble(5) == 0.0)
-    // u2: 4 obs, changes at 1->5 only (p,p,q,q) => x=1, span 8
-    assert(got("u2").getLong(2) == 1)
-    assert(math.abs(got("u2").getDouble(5) - refRate(3, 1, 8).get) < 1e-9)
+    assert(got("u0").getAs[Long]("n_obs") == 4 && got("u0").getAs[Long]("n_changes") == 3)
+    assert(math.abs(rate("u0") - refRate(3, 3, 6).get) < 1e-9)
+    // u1: never changes — n=2, x=0: -ln(2.5/2.5) = 0
+    assert(got("u1").getAs[Long]("n_changes") == 0 && rate("u1") == 0.0)
+    // u2: 4 obs, one change (p,p,q,q), span 8
+    assert(got("u2").getAs[Long]("n_changes") == 1)
+    assert(math.abs(rate("u2") - refRate(3, 1, 8).get) < 1e-9)
     // u3: single obs — null rate
-    assert(got("u3").getLong(1) == 1 && got("u3").isNullAt(5))
-    // u4: null-hash row dropped — 2 obs (rounds 0,7), 1 change
-    assert(got("u4").getLong(1) == 2 && got("u4").getLong(2) == 1 &&
-      got("u4").getLong(3) == 0 && got("u4").getLong(4) == 7)
-    assert(math.abs(got("u4").getDouble(5) - refRate(1, 1, 7).get) < 1e-9)
-    // u5: two obs in one round — no interval evidence, null rate; the
-    // duplicate-round pairing is still total (ordered by hash: s then t)
-    assert(got("u5").getLong(1) == 2 && got("u5").getLong(2) == 1 &&
-      got("u5").isNullAt(5))
+    assert(got("u3").getAs[Long]("n_obs") == 1 && nullRate("u3"))
+    // u4: failed round 2 doesn't break the m→n chain — 2 obs, 1 change,
+    // observed span 0..7, last attempt 7
+    assert(got("u4").getAs[Long]("n_obs") == 2 && got("u4").getAs[Long]("n_changes") == 1 &&
+      got("u4").getAs[Long]("first_round") == 0 && got("u4").getAs[Long]("last_round") == 7 &&
+      got("u4").getAs[Long]("last_attempt_round") == 7)
+    assert(math.abs(rate("u4") - refRate(1, 1, 7).get) < 1e-9)
+    // u5: two rows in ONE round dedup to the min-hash representative —
+    // a single observation, no change, null rate
+    assert(got("u5").getAs[Long]("n_obs") == 1 && got("u5").getAs[Long]("n_changes") == 0 &&
+      nullRate("u5"))
+    // u6: every fetch failed — the url still emits a row (n_obs 0, null
+    // observed rounds, last attempt kept) so the scheduler can see it
+    assert(got("u6").getAs[Long]("n_obs") == 0 && got("u6").getAs[Long]("n_changes") == 0)
+    assert(got("u6").isNullAt(got("u6").fieldIndex("last_round")))
+    assert(got("u6").getAs[Long]("last_attempt_round") == 4)
+    // u7: the same-round duplicate (5,'a')/(5,'b') dedups to 'a'; the only
+    // real interval 5→9 shows NO change (a→a) — rate 0, not inflated
+    assert(got("u7").getAs[Long]("n_obs") == 2 && got("u7").getAs[Long]("n_changes") == 0)
+    assert(rate("u7") == 0.0)
   }
 
-  test("recrawlPriority: staleness orders urls correctly; default rate for unknowns") {
+  test("recrawlPriority: staleness orders urls correctly; defaults for unknowns") {
     val pri = Recrawl.recrawlPriority(Recrawl.changeStats(history),
       currentRound = 10L, defaultRate = 0.05)
-      .collect().map(r => r.getString(0) ->
+      .collect().map(r => r.getAs[String]("url_key") ->
         (r.getAs[Double]("p_stale"), r.getAs[Double]("priority"))).toMap
-    // never-changing u1 has rate 0 => p_stale 0 (age 1 doesn't matter)
+    // never-changing u1 has rate 0 => p_stale 0
     assert(pri("u1")._1 == 0.0)
     // always-changing u0 (age 4) is very stale and schedules before u2
     assert(pri("u0")._1 > pri("u2")._1)
@@ -65,9 +83,11 @@ class RecrawlSpec extends SparkTestBase {
     val want = BigDecimal(1.0 - math.exp(-0.05 * 6))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(pri("u3")._1 - want) < 1e-9)
+    // never-observed u6 is maximally stale — schedules first of all
+    assert(pri("u6")._1 == 1.0 && pri("u6")._2 == -1.0)
   }
 
-  test("changeStats is a single-exchange plan (agg reuses the window partitioning)") {
+  test("changeStats is a single-exchange plan (dedup, pairing, agg share the url partitioning)") {
     val plan = Recrawl.changeStats(history).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, plan)
