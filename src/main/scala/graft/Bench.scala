@@ -172,7 +172,9 @@ object Bench {
       "graph_rank_incremental",
       // exif/mp3 decode fixed-size hand-muxed fixtures
       "multimodal_exif_orientation", "multimodal_mp3_meta",
-      "multimodal_video_meta")
+      "multimodal_video_meta",
+      // real disk write + re-ingest: commit/IO latency, the warc_parse class
+      "warc_roundtrip")
     val fullSuite = queryFilter.isDefined ||
       sys.env.contains("SPARK_GRAFT_FULL_SUITE")
     val selected = names.filter(n => queryFilter.forall(_.contains(n)))

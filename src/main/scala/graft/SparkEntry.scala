@@ -1275,6 +1275,25 @@ object SparkEntry {
       Decontaminate.contaminationStats(d, bg, "doc_id", "text", n = 5)
     }),
 
+    // the WARC round trip: documents framed by the distributed WRITER into
+    // real sharded .warc.gz files on disk, re-ingested by the file reader
+    // — export and ingest must agree byte-for-byte on framing and UTF-8
+    // lengths; the oracle emits the expected fields analytically and never
+    // frames, so a bug on either side hash-mismatches
+    "warc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        lit("text/plain").as("ctype"),
+        encode(col("text"), "UTF-8").as("body"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_warc_rt"
+      graft.sources.WarcSource.write(src.repartition(8, col("uri")), out)
+      graft.sources.WarcSource.read(s, out + "/part-*.warc.gz")
+        .select(col("target_uri"), col("content_length"),
+          decode(col("body"), "UTF-8").as("body_text"))
+    }),
+
     // freshness-driven recrawl scheduling (Recrawl): history constructed
     // so url u_k changes its content hash every (1 + k%7) rounds with
     // planted null-hash failed fetches; change-rate MLE + staleness at
@@ -2556,6 +2575,13 @@ object SparkEntry {
            coalesce(h.n_contaminated, 0) AS n_contaminated,
            coalesce(h.n_contaminated, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+
+    // expected fields derived analytically — never framed (see warc_parse)
+    "warc_roundtrip" ->
+      """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           text AS body_text
+         FROM documents""",
 
     // the same Cho–Garcia-Molina estimator: per-(url, round) dedup to the
     // min non-null hash, IGNORE NULLS pairing so failed rounds don't break

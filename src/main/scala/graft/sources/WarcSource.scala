@@ -222,6 +222,60 @@ object WarcSource {
       }
   }
 
+  /** Distributed WARC export — the inverse of [[read]], completing the
+    * round trip (a crawl archived back out in the container it arrived
+    * in): each NON-EMPTY partition of `df` becomes one
+    * `part-NNNNN.warc[.gz]` shard under `dir`, records framed exactly as
+    * [[frameRecord]] (Content-Length = body byte length). File =
+    * partition unit, mirroring the reader's file = split unit, so an
+    * exported crawl re-ingests at the same parallelism; size shards by
+    * repartitioning upstream (Common Crawl convention: ~1 GB gz shards).
+    * Expects columns (uri, date, ctype, body:binary); per-shard record
+    * order is the partition's iteration order — sortWithinPartitions
+    * upstream for byte-deterministic shards.
+    *
+    * Overwrite semantics: `dir` is cleared on the driver first. Tasks
+    * write through the Hadoop FileSystem API (file://, HDFS, S3A) to a
+    * task-attempt-unique temp name, renamed into place on success — a
+    * speculative twin that loses the rename race deletes its temp, so
+    * retries never interleave bytes within a shard.
+    */
+  def write(df: DataFrame, dir: String, rtype: String = "response",
+      gzip: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(conf.value)
+    if (dfs.exists(dirPath)) dfs.delete(dirPath, true)
+    dfs.mkdirs(dirPath)
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    df.select(col("uri").cast("string"), col("date").cast("string"),
+        col("ctype").cast("string"), col("body"))
+      .as[(String, String, String, Array[Byte])]
+      .foreachPartition { (it: Iterator[(String, String, String, Array[Byte])]) =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val fin = new org.apache.hadoop.fs.Path(dir,
+            f"part-${tc.partitionId()}%05d$ext")
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s".part-${tc.partitionId()}-${tc.taskAttemptId()}.tmp")
+          val fs = fin.getFileSystem(conf.value)
+          val raw = fs.create(tmp, true)
+          val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+          try {
+            it.foreach { case (uri, date, ctype, body) =>
+              out.write(frameRecord(rtype, uri, date, ctype,
+                if (body == null) Array.emptyByteArray else body))
+            }
+          } finally out.close()
+          if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+          ()
+        }
+      }
+  }
+
   /** Test/fixture helper: frame records INTO WARC bytes (the inverse of
     * [[parseStream]], used by specs to round-trip through real gzip and by
     * local fixture writers). Bodies are byte arrays so Content-Length is

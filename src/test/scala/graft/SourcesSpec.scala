@@ -183,4 +183,45 @@ class SourcesSpec extends SparkTestBase {
     }
     assert(fnf.getMessage.contains("nope"), fnf.getMessage)
   }
+
+  test("WARC writer: distributed export round-trips through read; empty partitions skip; overwrite clears stale shards") {
+    import graft.sources.WarcSource
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hello world"),
+      (1L, "متن فارسی با ایموجی 🙂"), // byte length != char count
+      (2L, ""), // empty body: Content-Length 0 round-trips
+      (3L, "third doc body")
+    ).toDF("doc_id", "text")
+    val src = docs.select(
+      concat(lit("https://e.org/"), $"doc_id").as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("text/plain").as("ctype"),
+      encode($"text", "UTF-8").as("body"))
+    val want = docs.collect().map { r =>
+      (s"https://e.org/${r.getLong(0)}",
+        r.getString(1).getBytes("UTF-8").length.toLong, r.getString(1))
+    }.toSet
+    for (gz <- Seq(true, false)) {
+      val out = Files.createTempDirectory("graft-warcw").toString + "/shards"
+      // 8 partitions over 4 rows: at least 4 empty partitions write nothing
+      WarcSource.write(src.repartition(8), out, gzip = gz)
+      val glob = out + (if (gz) "/part-*.warc.gz" else "/part-*.warc")
+      val back = WarcSource.read(spark, glob).collect()
+        .map(r => (r.target_uri, r.content_length,
+          new String(r.body, "UTF-8"))).toSet
+      assert(back == want, s"gz=$gz")
+      // no temp droppings survive a clean write
+      val leftovers = new java.io.File(out).listFiles()
+        .map(_.getName).filter(_.endsWith(".tmp"))
+      assert(leftovers.isEmpty, leftovers.mkString(","))
+      // overwrite: a second write with ONE partition clears the old shards
+      // (Hadoop's local FS writes hidden .crc sidecars — data files only)
+      WarcSource.write(src.repartition(1), out, gzip = gz)
+      val files = new java.io.File(out).listFiles().map(_.getName).toSeq
+        .filterNot(_.startsWith("."))
+      assert(files.size == 1, files.mkString(","))
+      assert(WarcSource.read(spark, glob).count() == 4)
+    }
+  }
 }
