@@ -126,6 +126,24 @@ class ClassifySpec extends SparkTestBase {
     assert(pred.getString(1) == "empty")
   }
 
+  test("scoring plan: model sides broadcast; only score-agg/argmax exchanges") {
+    // the repeated at-scale path scores against a MATERIALIZED model
+    // (trained once, persisted/checkpointed) — pin the model frames so the
+    // assertion sees the scoring plan, not training's model-sized exchanges
+    val m0 = Classify.trainNb(labeled.toDF("doc_id", "text", "label"), "text", "label")
+    val model = Classify.NbModel(
+      m0.likelihoods.localCheckpoint(true), m0.priors.localCheckpoint(true))
+    val plan = Classify.classifyNb(toScore.toDF("doc_id", "text"), model,
+      "doc_id", "text").queryExecution.executedPlan.toString
+    // priors fan-out (one row per label) and likelihood lookup both broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // corpus text never shuffles: the only hash exchanges are the
+    // (doc, label) score aggregation and the per-doc argmax
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, plan)
+  }
+
   test("filterByClass keeps exactly the predicted-label survivors") {
     val model = Classify.trainNb(labeled.toDF("doc_id", "text", "label"), "text", "label")
     val kept = Classify.filterByClass(toScore.toDF("doc_id", "text"), model,
