@@ -96,4 +96,47 @@ object Recrawl {
         .otherwise(round(lit(1.0) - exp(-rate * age), 6)))
       .withColumn("priority", -col("p_stale"))
   }
+
+  /** History rows from one crawl GENERATION's extracted output — a pure
+    * projection of the per-round tables the store already commits:
+    * url_key via sha2 (bit-identical to `Urls.sha256Hex`; extracted urls
+    * are the scheduled urls, already canonical when they entered the
+    * frontier), content_hash = md5 over the extracted text fields
+    * (null-safe concat — a field going null IS a content change).
+    * `generation` is the observation timestamp in whatever unit the
+    * caller recrawls at (crawl-generation number, day index, …).
+    */
+  def historyFromExtracted(extracted: DataFrame, generation: Long): DataFrame =
+    extracted.select(
+      sha2(col("url"), 256).as("url_key"),
+      col("url"),
+      lit(generation).as("round"),
+      md5(concat_ws("",
+        coalesce(col("question"), lit("")),
+        coalesce(col("answer"), lit("")),
+        coalesce(col("content"), lit("")))).as("content_hash"))
+
+  /** Seed the NEXT crawl generation from accumulated history (the union
+    * of [[historyFromExtracted]] outputs across generations): change
+    * stats → staleness priority → FrontierEntry rows, so a standing
+    * crawl's re-fetch order is freshness-driven and the priority-queue
+    * cap (`PolitenessConfig.maxUrlsPerRound`) spends each round's budget
+    * on the stalest pages first. attempt/discovered_round restart at 0 —
+    * a generation is a fresh crawl whose seen set starts empty.
+    */
+  def reseedFrontier(spark: org.apache.spark.sql.SparkSession,
+      history: DataFrame, currentRound: Long,
+      defaultRate: Double = 0.1): org.apache.spark.sql.Dataset[graft.model.FrontierEntry] = {
+    import spark.implicits._
+    val pri = recrawlPriority(changeStats(history), currentRound, defaultRate)
+    // one url spelling per key (spellings are equal for canonical keys;
+    // max is a deterministic representative either way)
+    val urls = history.groupBy(col("url_key")).agg(max(col("url")).as("url"))
+    pri.join(urls, Seq("url_key"))
+      .select(col("url_key"), col("url"), col("priority"))
+      .as[(String, String, Double)]
+      .map { case (k, u, p) =>
+        graft.model.FrontierEntry(k, u, graft.url.Urls.host(u), p, 0, 0)
+      }
+  }
 }

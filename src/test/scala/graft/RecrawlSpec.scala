@@ -87,6 +87,33 @@ class RecrawlSpec extends SparkTestBase {
     assert(pri("u6")._1 == 1.0 && pri("u6")._2 == -1.0)
   }
 
+  test("generation loop: changed pages out-prioritize stable ones through the real capped schedule") {
+    import graft.frontier.FrontierRound
+    import graft.model.Extracted
+    // two crawl generations over 20 urls; urls 0-4 changed content
+    // between them (everything else byte-identical)
+    def gen(g: Long, changed: Set[Long]) = spark.createDataset(
+      (0L until 20L).map { i =>
+        val v = if (changed.contains(i) && g > 0) s"v$g" else "v0"
+        Extracted(s"http://h${i % 3}.ir/p$i", s"f$i", s"q$i-$v", s"a$i", s"c$i",
+          "", "", "", "")
+      }).toDF()
+    val history = graft.frontier.Recrawl.historyFromExtracted(gen(0, Set.empty), 0L)
+      .union(graft.frontier.Recrawl.historyFromExtracted(gen(1, (0L until 5L).toSet), 10L))
+    val frontier = graft.frontier.Recrawl.reseedFrontier(spark, history,
+      currentRound = 20L)
+    assert(frontier.count() == 20)
+    // the priority-queue cut at capacity 5 must spend the whole budget on
+    // exactly the changed pages (rate > 0 vs 0; equal ages)
+    val (kept, cut) = FrontierRound.capByPriority(spark, frontier, 5L)
+    val keptUrls = kept.collect().map(_.url).toSet
+    assert(keptUrls == (0L until 5L).map(i => s"http://h${i % 3}.ir/p$i").toSet, keptUrls)
+    assert(cut.count() == 15)
+    // url_key parity with the engine's scalar keying
+    val k = frontier.filter($"url" === "http://h0.ir/p0").head().url_key
+    assert(k == graft.url.Urls.sha256Hex("http://h0.ir/p0"))
+  }
+
   test("changeStats is a single-exchange plan (dedup, pairing, agg share the url partitioning)") {
     val plan = Recrawl.changeStats(history).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
