@@ -1287,7 +1287,11 @@ object SparkEntry {
         lit("2026-01-01T00:00:00Z").as("date"),
         lit("text/plain").as("ctype"),
         encode(col("text"), "UTF-8").as("body"))
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_warc_rt"
+      // run-unique dir: a concurrent harness run must not clobber this
+      // run's shards mid-read (the fixed-path k4 pattern is fine for csv,
+      // where spark reads eagerly under one action; here read() streams)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_warc_rt_" +
+        java.util.UUID.randomUUID().toString
       graft.sources.WarcSource.write(src.repartition(8, col("uri")), out)
       graft.sources.WarcSource.read(s, out + "/part-*.warc.gz")
         .select(col("target_uri"), col("content_length"),

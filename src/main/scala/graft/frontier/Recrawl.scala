@@ -48,25 +48,33 @@ object Recrawl {
     * the aggregation all share the url partitioning: one exchange total.
     */
   def changeStats(history: DataFrame, urlCol: String = "url_key",
-      roundCol: String = "round", hashCol: String = "content_hash"): DataFrame = {
+      roundCol: String = "round", hashCol: String = "content_hash",
+      // when set, the named column (equal across a key's rows — e.g. the
+      // url spelling behind a sha2 key) rides the SAME aggregation out as
+      // `url`, so reseedFrontier needs no second history scan + join
+      carryUrlCol: Option[String] = None): DataFrame = {
     val ord = Seq(col("__r").asc, col("__h").asc_nulls_last)
     val w = Window.partitionBy(col(urlCol)).orderBy(ord: _*)
+    val baseCols = Seq(col(urlCol), col(roundCol).cast("long").as("__r"),
+      col(hashCol).as("__h")) ++ carryUrlCol.map(c => col(c).as("__u"))
     val dedup = history
-      .select(col(urlCol), col(roundCol).cast("long").as("__r"), col(hashCol).as("__h"))
+      .select(baseCols: _*)
       .withColumn("__pr", lag(col("__r"), 1).over(w))
       .filter(col("__pr").isNull || col("__pr") =!= col("__r"))
     val paired = dedup.withColumn("__prev",
       last(col("__h"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val aggs = Seq(
+      count(col("__h")).as("n_obs"),
+      sum(when(col("__h").isNotNull && col("__prev").isNotNull &&
+        col("__prev") =!= col("__h"), 1L).otherwise(0L)).as("n_changes"),
+      min(when(col("__h").isNotNull, col("__r"))).as("first_round"),
+      max(when(col("__h").isNotNull, col("__r"))).as("last_round"),
+      max(col("__r")).as("last_attempt_round")) ++
+      carryUrlCol.map(_ => max(col("__u")).as("url"))
     paired
       .groupBy(col(urlCol))
-      .agg(
-        count(col("__h")).as("n_obs"),
-        sum(when(col("__h").isNotNull && col("__prev").isNotNull &&
-          col("__prev") =!= col("__h"), 1L).otherwise(0L)).as("n_changes"),
-        min(when(col("__h").isNotNull, col("__r"))).as("first_round"),
-        max(when(col("__h").isNotNull, col("__r"))).as("last_round"),
-        max(col("__r")).as("last_attempt_round"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("change_rate", {
         val n = (col("n_obs") - 1L).cast("double")
         val x = col("n_changes").cast("double")
@@ -101,8 +109,11 @@ object Recrawl {
     * projection of the per-round tables the store already commits:
     * url_key via sha2 (bit-identical to `Urls.sha256Hex`; extracted urls
     * are the scheduled urls, already canonical when they entered the
-    * frontier), content_hash = md5 over the extracted text fields
-    * (null-safe concat — a field going null IS a content change).
+    * frontier), content_hash = md5 over the JSON encoding of the field
+    * struct — field boundaries are QUOTED (a boundary shift like
+    * ("abc","def") → ("abcd","ef") changes the hash where a bare concat
+    * would not) and a field going null differs from going empty (to_json
+    * omits null fields, keeps empty strings).
     * `generation` is the observation timestamp in whatever unit the
     * caller recrawls at (crawl-generation number, day index, …).
     */
@@ -111,10 +122,8 @@ object Recrawl {
       sha2(col("url"), 256).as("url_key"),
       col("url"),
       lit(generation).as("round"),
-      md5(concat_ws("",
-        coalesce(col("question"), lit("")),
-        coalesce(col("answer"), lit("")),
-        coalesce(col("content"), lit("")))).as("content_hash"))
+      md5(to_json(struct(col("question"), col("answer"), col("content"))))
+        .as("content_hash"))
 
   /** Seed the NEXT crawl generation from accumulated history (the union
     * of [[historyFromExtracted]] outputs across generations): change
@@ -128,11 +137,11 @@ object Recrawl {
       history: DataFrame, currentRound: Long,
       defaultRate: Double = 0.1): org.apache.spark.sql.Dataset[graft.model.FrontierEntry] = {
     import spark.implicits._
-    val pri = recrawlPriority(changeStats(history), currentRound, defaultRate)
-    // one url spelling per key (spellings are equal for canonical keys;
-    // max is a deterministic representative either way)
-    val urls = history.groupBy(col("url_key")).agg(max(col("url")).as("url"))
-    pri.join(urls, Seq("url_key"))
+    // the url spelling rides the stats aggregation itself (carryUrlCol) —
+    // ONE history scan, no second aggregation or url-count-sized join
+    val pri = recrawlPriority(
+      changeStats(history, carryUrlCol = Some("url")), currentRound, defaultRate)
+    pri
       .select(col("url_key"), col("url"), col("priority"))
       .as[(String, String, Double)]
       .map { case (k, u, p) =>

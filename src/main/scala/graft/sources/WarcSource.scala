@@ -237,8 +237,14 @@ object WarcSource {
     * Overwrite semantics: `dir` is cleared on the driver first. Tasks
     * write through the Hadoop FileSystem API (file://, HDFS, S3A) to a
     * task-attempt-unique temp name, renamed into place on success — a
-    * speculative twin that loses the rename race deletes its temp, so
-    * retries never interleave bytes within a shard.
+    * speculative twin that loses the rename race to an already-committed
+    * shard deletes its temp; a rename that fails with NO winner in place
+    * throws (silently dropping the partition's only copy is the one
+    * unacceptable outcome), and a task failing mid-write deletes its temp
+    * before rethrowing so retries don't accumulate orphans. The driver
+    * publishes a `_SUCCESS` marker only after every partition committed —
+    * a consumer that checks it can never re-ingest an aborted partial
+    * export as a complete one.
     */
   def write(df: DataFrame, dir: String, rtype: String = "response",
       gzip: Boolean = true): Unit = {
@@ -262,18 +268,33 @@ object WarcSource {
           val tmp = new org.apache.hadoop.fs.Path(dir,
             s".part-${tc.partitionId()}-${tc.taskAttemptId()}.tmp")
           val fs = fin.getFileSystem(conf.value)
-          val raw = fs.create(tmp, true)
-          val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
           try {
-            it.foreach { case (uri, date, ctype, body) =>
-              out.write(frameRecord(rtype, uri, date, ctype,
-                if (body == null) Array.emptyByteArray else body))
+            val raw = fs.create(tmp, true)
+            val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+            try {
+              it.foreach { case (uri, date, ctype, body) =>
+                out.write(frameRecord(rtype, uri, date, ctype,
+                  if (body == null) Array.emptyByteArray else body))
+              }
+            } finally out.close()
+            if (!fs.rename(tmp, fin)) {
+              // rename refused: fine ONLY if a committed twin already
+              // holds the final name — then our temp is redundant bytes
+              if (fs.exists(fin)) fs.delete(tmp, false)
+              else throw new java.io.IOException(
+                s"WARC shard commit failed: rename $tmp -> $fin refused " +
+                  "with no committed shard in place")
             }
-          } finally out.close()
-          if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+          } catch {
+            case e: Throwable =>
+              try fs.delete(tmp, false) catch { case _: Throwable => () }
+              throw e
+          }
           ()
         }
       }
+    // job-level commit marker: present iff every partition committed
+    dfs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
   }
 
   /** Test/fixture helper: frame records INTO WARC bytes (the inverse of

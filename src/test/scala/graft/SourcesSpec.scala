@@ -211,15 +211,16 @@ class SourcesSpec extends SparkTestBase {
         .map(r => (r.target_uri, r.content_length,
           new String(r.body, "UTF-8"))).toSet
       assert(back == want, s"gz=$gz")
-      // no temp droppings survive a clean write
-      val leftovers = new java.io.File(out).listFiles()
-        .map(_.getName).filter(_.endsWith(".tmp"))
-      assert(leftovers.isEmpty, leftovers.mkString(","))
+      // no temp droppings survive a clean write; the job-level _SUCCESS
+      // marker is present (published only after every partition committed)
+      val names0 = new java.io.File(out).listFiles().map(_.getName).toSeq
+      assert(names0.count(_.endsWith(".tmp")) == 0, names0.mkString(","))
+      assert(names0.contains("_SUCCESS"), names0.mkString(","))
       // overwrite: a second write with ONE partition clears the old shards
       // (Hadoop's local FS writes hidden .crc sidecars — data files only)
       WarcSource.write(src.repartition(1), out, gzip = gz)
       val files = new java.io.File(out).listFiles().map(_.getName).toSeq
-        .filterNot(_.startsWith("."))
+        .filter(_.startsWith("part-"))
       assert(files.size == 1, files.mkString(","))
       assert(WarcSource.read(spark, glob).count() == 4)
     }
