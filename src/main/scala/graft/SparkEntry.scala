@@ -19,6 +19,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // one-shot JVM shutdown-hook cleanup for gate-row scratch dirs (the
+  // warc round trip writes real files; read() streams them lazily, so
+  // in-query deletion is impossible — reclaim at exit instead)
+  private val exitCleanup = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupOnExit(dir: String): Unit =
+    if (exitCleanup.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }))
+      ()
+    }
+
   /** One byte as two uppercase hex chars — shared by the payload-building
     * multimodal gate queries. */
   private def hexByte(v: Column): Column = lpad(hex(v.cast("long")), 2, "0")
@@ -1287,11 +1302,14 @@ object SparkEntry {
         lit("2026-01-01T00:00:00Z").as("date"),
         lit("text/plain").as("ctype"),
         encode(col("text"), "UTF-8").as("body"))
-      // run-unique dir: a concurrent harness run must not clobber this
-      // run's shards mid-read (the fixed-path k4 pattern is fine for csv,
-      // where spark reads eagerly under one action; here read() streams)
+      // PROCESS-unique dir: a concurrent harness run must not clobber
+      // this run's shards mid-read (read() streams lazily, unlike the
+      // eager k4 csv pattern), while repeated invocations in one JVM
+      // self-overwrite and a shutdown hook reclaims the disk — no
+      // per-invocation directory leak into tmpdir
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_warc_rt_" +
-        java.util.UUID.randomUUID().toString
+        ProcessHandle.current().pid()
+      cleanupOnExit(out)
       graft.sources.WarcSource.write(src.repartition(8, col("uri")), out)
       graft.sources.WarcSource.read(s, out + "/part-*.warc.gz")
         .select(col("target_uri"), col("content_length"),

@@ -116,6 +116,12 @@ object Recrawl {
     * omits null fields, keeps empty strings).
     * `generation` is the observation timestamp in whatever unit the
     * caller recrawls at (crawl-generation number, day index, …).
+    *
+    * CONTRACT: the hash format is part of the persisted-history contract
+    * — changing it registers one spurious "change" per url at the format
+    * boundary (inflating every change-rate estimate by one event).
+    * If the format must evolve on a standing history, rehash the old
+    * generations from their extracted tables rather than mixing formats.
     */
   def historyFromExtracted(extracted: DataFrame, generation: Long): DataFrame =
     extracted.select(

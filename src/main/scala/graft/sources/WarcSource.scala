@@ -241,7 +241,10 @@ object WarcSource {
     * shard deletes its temp; a rename that fails with NO winner in place
     * throws (silently dropping the partition's only copy is the one
     * unacceptable outcome), and a task failing mid-write deletes its temp
-    * before rethrowing so retries don't accumulate orphans. The driver
+    * before rethrowing — BEST-EFFORT (an interrupted task's delete can
+    * itself fail): temps are dot-prefixed so `part-*` consumers never see
+    * them, and the next overwrite's dir wipe clears any stragglers. The
+    * driver
     * publishes a `_SUCCESS` marker only after every partition committed —
     * a consumer that checks it can never re-ingest an aborted partial
     * export as a complete one.

@@ -225,4 +225,30 @@ class SourcesSpec extends SparkTestBase {
       assert(WarcSource.read(spark, glob).count() == 4)
     }
   }
+
+  test("WARC writer failure path: a mid-write task failure propagates, cleans its temp, and publishes no _SUCCESS") {
+    import graft.sources.WarcSource
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-warcw-fail").toString + "/shards"
+    // body column poisoned by a UDF that throws on one row: the write job
+    // must FAIL (not return a partial export that looks complete)
+    val boom = udf { (i: Long) =>
+      if (i == 3L) throw new RuntimeException("poisoned row")
+      s"body $i".getBytes("UTF-8")
+    }
+    val src = spark.range(0L, 8L, 1L, 4).toDF("i").select(
+      concat(lit("https://e.org/"), $"i").as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      lit("text/plain").as("ctype"),
+      boom($"i").as("body"))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcSource.write(src, out)
+    }
+    assert(e.getMessage != null)
+    val names = Option(new java.io.File(out).listFiles())
+      .map(_.map(_.getName).toSeq).getOrElse(Nil)
+    // no job-level commit marker, no temp droppings from the failed task
+    assert(!names.contains("_SUCCESS"), names.mkString(","))
+    assert(names.count(_.endsWith(".tmp")) == 0, names.mkString(","))
+  }
 }
