@@ -38,6 +38,17 @@ object SparkEntry {
     * multimodal gate queries. */
   private def hexByte(v: Column): Column = lpad(hex(v.cast("long")), 2, "0")
 
+  /** Spread a narrow scan across the session's parallelism before a
+    * CPU-bound typed map: a small gate fixture reads as ONE file split, so
+    * the per-row scalar work (sha256, Jalali arithmetic) otherwise runs on
+    * a single core (guide §2.5, input parallelism). Never shrinks an
+    * already-parallel input.
+    */
+  private def scalarMapInput(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = math.max(df.rdd.getNumPartitions, s.sparkContext.defaultParallelism)
+    df.repartition(target)
+  }
+
   /** documents table doubled with offset ids — guarantees exact duplicates
     * for the dedup operators (same construction in the oracle SQL).
     */
@@ -474,12 +485,19 @@ object SparkEntry {
       // epoch days (offset 719528, validated exhaustively over years
       // 1300-1500), so the oracle SQL transliterates the arithmetic and
       // finishes with DATE '1970-01-01' + (days - 719528)
-      t(s, dir, "orders").select(col("o_orderkey")).as[Long]
+      // repartitioned to the session's parallelism: the CPU-bound per-row
+      // map otherwise runs on the scan's task count (ONE task for the
+      // single small parquet file — profiled as the whole query's wall)
+      scalarMapInput(s, t(s, dir, "orders").select(col("o_orderkey"))).as[Long]
         .map { k =>
           val y = 1390 + (k % 15).toInt
           val m = 1 + (k % 12).toInt
           val d = 1 + (k % 28).toInt
-          val (sh, gr) = JalaliDate.processDate(f"$y%04d/$m%02d/$d%02d")
+          // y is 4-digit, m/d zero-padded to 2 — the former f"%04d/%02d/%02d"
+          // without a java.util.Formatter per row
+          val mm = if (m < 10) "0" + m else m.toString
+          val dd = if (d < 10) "0" + d else d.toString
+          val (sh, gr) = JalaliDate.processDate(s"$y/$mm/$dd")
           (k, sh, gr)
         }.toDF("o_orderkey", "shamsi", "gregorian")
     }),
@@ -488,7 +506,9 @@ object SparkEntry {
       import s.implicits._
       // oracle: the synthetic raw URL is deterministic, so DuckDB can
       // string-construct the expected canonical form + sha256 key directly
-      t(s, dir, "orders").select(col("o_orderkey")).as[Long]
+      // repartitioned like jalali_convert: sha256 + canonicalize per row is
+      // CPU-bound work that must not run on the scan's single file task
+      scalarMapInput(s, t(s, dir, "orders").select(col("o_orderkey"))).as[Long]
         .map { k =>
           val u = s"HTTPS://H${k % 8}.Example.IR:443/a/./b/../Detail?z=$k&IdeaId=$k#frag"
           (k, Urls.canonicalize(u), Urls.urlKey(u))

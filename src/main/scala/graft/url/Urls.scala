@@ -228,12 +228,24 @@ object Urls extends Serializable {
   /** Frontier key: sha2-256 hex of the canonical URL (north_rule). */
   def urlKey(url: String): String = sha256Hex(canonicalize(url))
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
     val md = MessageDigest.getInstance("SHA-256")
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    // manual hex loop: an f"%02x" interpolator here costs a
+    // java.util.Formatter instantiation PER BYTE — 32 per key, measured as
+    // the dominant term of this function on the crawl hot path (every
+    // outlink of every fetched page flows through urlKey)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      out(i * 2) = HexChars(v >>> 4)
+      out(i * 2 + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** IdeaId extraction from a detail URL — the inverse of the reference's
