@@ -38,15 +38,18 @@ object SparkEntry {
     * multimodal gate queries. */
   private def hexByte(v: Column): Column = lpad(hex(v.cast("long")), 2, "0")
 
-  /** Spread a narrow scan across the session's parallelism before a
-    * CPU-bound typed map: a small gate fixture reads as ONE file split, so
-    * the per-row scalar work (sha256, Jalali arithmetic) otherwise runs on
-    * a single core (guide §2.5, input parallelism). Never shrinks an
-    * already-parallel input.
+  /** Spread a narrow scan across the session's parallelism before
+    * CPU-bound per-row work: a small gate fixture reads as ONE file split
+    * (128 MB default split size), so map-side work — sha256/Jalali scalar
+    * maps, shingling, char-ngram explosion, k-means assignment, the
+    * constructed-corpus md5 forest — otherwise runs on a single core until
+    * the first exchange (guide §2.5/§6, input parallelism). A no-op (no
+    * exchange inserted) whenever the input is already at least as parallel
+    * as the session, so at real corpus scale this never adds a shuffle.
     */
   private def scalarMapInput(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = math.max(df.rdd.getNumPartitions, s.sparkContext.defaultParallelism)
-    df.repartition(target)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
   /** documents table doubled with offset ids — guarantees exact duplicates
@@ -534,13 +537,13 @@ object SparkEntry {
       // all find (identical text ⇒ identical signature ⇒ banding collision,
       // jaccard exactly 1). OpsSpec separately verifies near-dup recall
       // against the exact ngram-jaccard ground truth.
-      Dedup.minhashLshPairs(doubledDocs(s, dir), "text", "doc_id",
+      Dedup.minhashLshPairs(scalarMapInput(s, doubledDocs(s, dir)), "text", "doc_id",
         numHashes = 64, bands = 16, jaccardThreshold = 0.8)
         .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)),
 
     "dedup_simhash" -> ((s, dir) =>
       // oracled the same way: planted exact duplicates collide at hamming 0
-      Dedup.simhashPairs(doubledDocs(s, dir), "text", "doc_id", maxHamming = 2)
+      Dedup.simhashPairs(scalarMapInput(s, doubledDocs(s, dir)), "text", "doc_id", maxHamming = 2)
         .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)),
 
     "dedup_incremental_lsh" -> ((s, dir) => {
@@ -551,8 +554,13 @@ object SparkEntry {
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val delta = base.withColumn("doc_id", col("doc_id") + 100000L)
       val index = Dedup.lshBandIndex(base, "text", "doc_id", numHashes = 64, bands = 16)
+      // knownDeltaDocs: the fixture's delta is one copy of the documents
+      // table (≤ 100k rows at any SF the driver runs) — the caller-supplied
+      // bound removes the gate's per-call delta count job; gate-only, the
+      // pair output is identical on either join route
       Dedup.minhashLshPairsIncremental(base, index, delta, "text", "doc_id",
-        numHashes = 64, bands = 16, jaccardThreshold = 0.8)
+        numHashes = 64, bands = 16, jaccardThreshold = 0.8,
+        knownDeltaDocs = Some(100000L))
         .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)
     }),
 
@@ -578,8 +586,9 @@ object SparkEntry {
       // (text ⊕ text: word-3-shingle jaccard exactly 38/40 = 0.95 — LSH
       // collision certain at 16 bands — killed by the cluster collapse).
       // Survivors = the originals, recomputed stage-by-stage in SQL.
-      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
-        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val ids = scalarMapInput(s, t(s, dir, "orders")
+        .filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("doc_id")))
       val text = array_join(transform(sequence(lit(0), lit(39)),
         j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
           j.cast("string"))), 1, 8)), " ")
@@ -607,8 +616,9 @@ object SparkEntry {
       // dup_3gram_frac = 1 - 40/78 ≈ 0.487 > 0.4), one-token spam (+6e7,
       // top_word_frac = 1.0 > 0.9), duplicated-line docs (+7e7,
       // dup_line_frac = 0.5 > 0.4). Survivors = the originals.
-      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
-        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val ids = scalarMapInput(s, t(s, dir, "orders")
+        .filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("doc_id")))
       val text = array_join(transform(sequence(lit(0), lit(39)),
         j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
           j.cast("string"))), 1, 8)), " ")
@@ -639,8 +649,9 @@ object SparkEntry {
       // (+3e7, '-f-' token seed — unique, survive). The corpus itself is
       // never re-curated: only its dedupBase + band index are consumed.
       // Survivors = the fresh docs, reconstructed stage-exactly in SQL.
-      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
-        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val ids = scalarMapInput(s, t(s, dir, "orders")
+        .filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("doc_id")))
       val text = array_join(transform(sequence(lit(0), lit(39)),
         j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
           j.cast("string"))), 1, 8)), " ")
@@ -675,8 +686,9 @@ object SparkEntry {
       // probe) ∪ fresh '-f-' docs (+3e7, survive); batch 2 = exact copies
       // of batch 1's fresh (+4e7, die against the appended base) ∪ fresh
       // '-g-' docs (+5e7, survive).
-      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
-        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val ids = scalarMapInput(s, t(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").cast("long").as("doc_id")))
       def forest(seed: String) = array_join(transform(sequence(lit(0), lit(39)),
         j => substring(md5(concat(col("doc_id").cast("string"), lit(seed),
           j.cast("string"))), 1, 8)), " ")
@@ -806,8 +818,9 @@ object SparkEntry {
       // vocab → encode → pack into 64-id sequences. The oracle recomputes
       // curation analytically (the adjudicated pipeline_curate planting)
       // and the dedup/tokenize/pack stages via the generic SQL chains.
-      val ids = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
-        .select(col("o_orderkey").cast("long").as("doc_id"))
+      val ids = scalarMapInput(s, t(s, dir, "orders")
+        .filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").cast("long").as("doc_id")))
       val gen = array_join(transform(sequence(lit(0), lit(39)),
         j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
           j.cast("string"))), 1, 8)), " ")
@@ -844,7 +857,7 @@ object SparkEntry {
       // exact-substring dedup: every repeated 8-word span removed at its
       // non-first occurrences; planted exact-copy docs are fully covered
       // and vanish, genuinely shared long spans are excised in place
-      Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", k = 8)),
+      Dedup.spanDedup(scalarMapInput(s, t(s, dir, "documents")), "text", "doc_id", k = 8)),
 
     "ann_lsh_pairs" -> ((s, dir) =>
       // fully oracled since the hyperplane derivation moved to the
@@ -1250,7 +1263,7 @@ object SparkEntry {
     // even-id half, score every doc (odd docs exercise the unseen-gram
     // floor path)
     "text_lm_score" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = scalarMapInput(s, t(s, dir, "documents"))
       val model = CharLm.train(d.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
       CharLm.score(d, model, "doc_id", "text")
     }),
@@ -1304,7 +1317,7 @@ object SparkEntry {
     // hit only via genuine shared 5-grams (n lowered from the published 13
     // because the synthetic docs are ~50 words)
     "decontaminate_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = scalarMapInput(s, t(s, dir, "documents"))
       val bench = d.filter(pmod(col("doc_id"), lit(10)) === 0).select(col("text"))
       val bg = Decontaminate.benchmarkGrams(bench, "text", n = 5)
       Decontaminate.contaminationStats(d, bg, "doc_id", "text", n = 5)

@@ -105,8 +105,18 @@ object LinkRank {
     // left to its stats Spark BROADCASTS the edge cache instead (measured:
     // a 92 MiB single-threaded driver broadcast PER ITERATION at 4M edges
     // — the web graph shipped through the driver iters times).
+    //
+    // ONE exchange, not two: dedup and src-partitioning fuse by
+    // aggregating the (map-side-combined) distinct dst set per src and
+    // exploding it back — explode preserves the agg's hashpartitioning(src),
+    // where `.distinct().repartition(src)` shuffled the edge table twice
+    // (once on (src, dst), once on src). Per-src dst sets are bounded by a
+    // page/host's out-degree (the production unit is the HOST graph,
+    // hostEdgesOf) — ≤ distinct linked hosts, not corpus-sized.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).sortWithinPartitions("src")
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("__ds"))
+      .select(col("src"), explode(col("__ds")).as("dst"))
+      .sortWithinPartitions("src")
       .cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()

@@ -78,9 +78,22 @@ object Ann {
     // persist the train slice: it feeds the init orderBy + `iters` partial-sum
     // passes — without persistence that is (iters+1) full corpus scans at
     // trainModulus=1. The slice is sampled precisely so it fits (disk-backed
-    // when it doesn't).
-    val train = (if (trainModulus > 1)
-      all.filter(pmod(xxhash64($"id"), lit(trainModulus)) === 0) else all)
+    // when it doesn't). Spread it to the session's parallelism first when the
+    // source reads as fewer splits (a small table or an aggressive
+    // trainModulus): every per-iteration assignment pass is a CPU-bound
+    // mapPartitions over this frame, and a single-split slice pins all
+    // `iters` passes to one core. No-op (no exchange) when the slice is
+    // already at least session-parallel.
+    val sliced = if (trainModulus > 1)
+      all.filter(pmod(xxhash64($"id"), lit(trainModulus)) === 0) else all
+    val target = spark.sparkContext.defaultParallelism
+    // only worth an exchange when the slice is at least split-sized —
+    // for a small slice the repartition costs more than the serial
+    // assignment passes it parallelizes (measured at the sf0.1 gate)
+    val bigEnough = sliced.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(64L << 20)
+    val train = (if (!bigEnough || sliced.rdd.getNumPartitions >= target) sliced
+                 else sliced.repartition(target))
       .as[(Long, Array[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

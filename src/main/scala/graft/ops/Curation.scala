@@ -168,14 +168,18 @@ object Curation {
     if (!cfg.nearDup) exact.select(outCols: _*)
     else {
       val exactP = exact.persist(cfg.storage)
-      // minhashLshPairs is eager (materializes its verified pairs), so the
-      // persist above is populated here and the anti-join below reads it
-      // from storage instead of re-deriving the window + projections
-      val pairs = Dedup.minhashLshPairs(exactP, textCol, idCol,
-        cfg.minhashHashes, cfg.minhashBands, cfg.jaccardThreshold, cfg.shingleSize)
+      // LAZY pairs (the curateDelta fold pattern): the band self-join +
+      // verify fold into keepClusterRepresentatives' edges checkpoint, so
+      // the pipeline pays ONE pair-shaped materialization instead of two
+      // (pairs checkpoint + edges checkpoint were sequential barriers);
+      // the shingle cache is released once the edges job has run
+      val (pairs, releaseSh) = Dedup.minhashLshPairsLazy(exactP, textCol,
+        idCol, cfg.minhashHashes, cfg.minhashBands, cfg.jaccardThreshold,
+        cfg.shingleSize)
       val out = Dedup.keepClusterRepresentatives(exactP, pairs, idCol)
         .select(outCols: _*)
         .localCheckpoint(true)
+      releaseSh()
       exactP.unpersist(false)
       out
     }
@@ -245,10 +249,14 @@ object Curation {
     // exact-dup check: prefer a persisted `content_hash` column on
     // corpusExact (column-pruned 32-byte scan) over recomputing md5 from
     // the corpus TEXT (which drags the full text column through the scan)
+    // NOT distinct'd: corpusExact is keep-first output, so content hashes
+    // are unique by construction — and the consumer is a LEFT ANTI join,
+    // indifferent to duplicate build rows anyway. The distinct cost a full
+    // corpus-hash exchange per fold for a semantic no-op.
     val corpusHashes =
-      (if (corpusExact.columns.contains("content_hash"))
+      if (corpusExact.columns.contains("content_hash"))
         corpusExact.select(col("content_hash").as("__corpus_hash"))
-      else corpusExact.select(md5(col(textCol)).as("__corpus_hash"))).distinct()
+      else corpusExact.select(md5(col(textCol)).as("__corpus_hash"))
     val fresh = deltaExact.join(corpusHashes,
       md5(col(textCol)) === col("__corpus_hash"), "left_anti")
     if (!cfg.nearDup) {

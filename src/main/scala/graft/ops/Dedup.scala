@@ -86,12 +86,51 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       shingleSize: Int = 3,
       eager: Boolean = true): DataFrame = {
+    val (verified, release) = batchPairsCore(df, textCol, idCol, numHashes,
+      bands, jaccardThreshold, shingleSize, cacheShingles = eager)
+    if (!eager) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      release()
+      out
+    }
+  }
+
+  /** [[minhashLshPairs]] with the verified pair frame left LAZY and the
+    * shingle table cached — the batch twin of
+    * [[minhashLshPairsIncrementalLazy]]: the caller folds the pair
+    * pipeline into its own single materialization (e.g.
+    * [[keepClusterRepresentatives]]' edges checkpoint evaluates band join +
+    * verify exactly once — one job instead of pairs-checkpoint +
+    * edges-checkpoint). Call `release()` after the frame's one consumer
+    * has materialized (drops the shingle cache).
+    */
+  def minhashLshPairsLazy(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.5,
+      shingleSize: Int = 3): (DataFrame, () => Unit) =
+    batchPairsCore(df, textCol, idCol, numHashes, bands, jaccardThreshold,
+      shingleSize, cacheShingles = true)
+
+  private def batchPairsCore(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      jaccardThreshold: Double,
+      shingleSize: Int,
+      cacheShingles: Boolean): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = df.sparkSession
     import spark.implicits._
 
     val shingled0 = shingleTable(df, textCol, idCol, shingleSize)
-    val shingled = if (eager) shingled0.cache() else shingled0
+    val shingled = if (cacheShingles) shingled0.cache() else shingled0
 
     val banded = bandTable(shingled, numHashes, bands)
 
@@ -111,12 +150,7 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= jaccardThreshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
-    if (!eager) verified
-    else {
-      val out = verified.localCheckpoint(true)
-      shingled.unpersist(false)
-      out
-    }
+    (verified, () => if (cacheShingles) { shingled.unpersist(false); () })
   }
 
   /** LSH band index of a corpus: one (band, band_hash, id) row per band of
@@ -657,10 +691,13 @@ object Dedup {
         grams.unpersist()
         l
       } else losersPlan
+    // NOT distinct'd: overlapping loser spans cover positions repeatedly,
+    // but the consumer is a LEFT ANTI join — duplicate build rows change
+    // nothing, and the distinct cost a full extra exchange of the covered
+    // set (≤ k× loser volume, loser-sized either way)
     val covered = losers
       .select(col(idCol).as("__cid"),
         explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__cp"))
-      .distinct()
     val wordRows = words
       .select(col(idCol), posexplode(col("__ws")).as(Seq("__wp", "__word")))
     wordRows

@@ -144,7 +144,15 @@ object Search {
     // query-term-first: restrict the token stream before ANY aggregation
     val tf = tok.join(broadcast(qterms.select("term").distinct()), Seq("term"))
       .groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
-    val dlen = tok.groupBy("field", "id").agg(count(lit(1)).as("dl"))
+    // doc length as a per-row PROJECTION (size of the filtered token
+    // array), not a second explode + corpus-wide (field, id) aggregation —
+    // identical values (rows exist exactly for fields with ≥ 1 token), one
+    // full tokenize-exchange pass less per query batch
+    val dlen = fields.map { f =>
+      docs.select(col(idCol).as("id"), lit(f.name).as("field"),
+        size(filter(split(lower(col(f.name)), " "),
+          t => length(t) > 0)).as("dl"))
+    }.reduce(_ unionAll _).filter(col("dl") > 0)
     val avgl = dlen.groupBy("field").agg(avg(col("dl")).as("avgdl"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
@@ -277,7 +285,12 @@ object Search {
 
     val tf = tok.join(broadcast(pterms.select("term").distinct()), Seq("term"))
       .groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
-    val dlen = tok.groupBy("field", "id").agg(count(lit(1)).as("dl"))
+    // projection-form doc length over the canonical field view (see
+    // bm25Scored): same values as the former explode + aggregation
+    val dlen = fieldsLong
+      .select(col("id"), col("field"),
+        size(filter(split(col("txt"), " "), t => length(t) > 0)).as("dl"))
+      .filter(col("dl") > 0)
     val avgl = dlen.groupBy("field").agg(avg(col("dl")).as("avgdl"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
@@ -498,6 +511,34 @@ object Search {
     swap("dlen", out => dlen.write.parquet(out))
   }
 
+  /** Read the field-count-sized meta table ONCE on the driver and return
+    * (avgl, nDocs) as local relations, enforcing the bucket guard from the
+    * same rows. A probe's meta needs are a handful of scalars; deriving
+    * them as three separate parquet subplans cost three jobs/AQE stages
+    * per probe call.
+    */
+  private def metaLocal(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, termBuckets: Int, caller: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexPath/meta")
+    val cols = meta.columns.toSet
+    val rows = meta.select(col("field"), col("avgdl"), col("n"),
+      (if (cols.contains("term_buckets")) col("term_buckets")
+       else lit(-1)).as("term_buckets")).collect()
+    rows.foreach { r =>
+      val stored = r.getInt(3)
+      require(stored == -1 || stored == termBuckets,
+        s"$caller: index was written with termBuckets=$stored, called with $termBuckets")
+    }
+    val avgl = rows.toSeq.map(r => (r.getString(0), r.getDouble(1)))
+      .toDF("field", "avgdl")
+    // empty meta = empty-corpus index; tf is empty too, so any n works —
+    // 0 keeps the probe well-defined instead of throwing on max()
+    val nDocs = Seq(if (rows.isEmpty) 0L else rows.map(_.getLong(2)).max).toDF("n")
+    (avgl, nDocs)
+  }
+
   /** The bucket count is PERSISTED in meta (term_buckets): a probe or
     * append run with a different count would silently hash query terms
     * into the wrong partitions — fail loudly instead.
@@ -561,10 +602,11 @@ object Search {
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val dlen = spark.read.parquet(s"$indexPath/dlen")
       .select("field", "id", "dl")
-    val meta = spark.read.parquet(s"$indexPath/meta")
-    requireBuckets(meta, termBuckets, "bm25TopKIndexed")
-    val avgl = meta.select("field", "avgdl")
-    val nDocs = meta.select(col("n")).limit(1)
+    // meta is one row per FIELD — collect it once and feed avgdl/n back as
+    // local relations: the former three meta subplans (bucket-guard head(),
+    // avgl scan, nDocs limit scan) each cost their own job/AQE stage per
+    // probe for a handful of values
+    val (avgl, nDocs) = metaLocal(spark, indexPath, termBuckets, "bm25TopKIndexed")
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
     val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
 
@@ -620,10 +662,9 @@ object Search {
     require(dlenFull.columns.contains("txt"),
       "bm25PhraseTopKIndexed needs an index written withText = true")
     val dlen = dlenFull.select("field", "id", "dl")
-    val meta = spark.read.parquet(s"$indexPath/meta")
-    requireBuckets(meta, termBuckets, "bm25PhraseTopKIndexed")
-    val avgl = meta.select("field", "avgdl")
-    val nDocs = meta.select(col("n")).limit(1)
+    // one driver-side meta read (see bm25TopKIndexed)
+    val (avgl, nDocs) = metaLocal(spark, indexPath, termBuckets,
+      "bm25PhraseTopKIndexed")
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
     val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
 
