@@ -672,7 +672,11 @@ object SparkEntry {
       val fresh = ids.select((col("doc_id") + 30000000L).as("doc_id"))
         .select(col("doc_id"), freshText.as("text"))
       val delta = exactCopies.union(nearCopies).union(fresh).localCheckpoint(true)
-      Curation.curateDelta(corpusExact, index, delta, "doc_id", "text", cfgC)
+      // deltaDocsBound: the delta is three copies of the ≤ 4000-id fixture
+      // (≤ 12000 rows at any SF) — the bound removes the fold's per-call
+      // delta count job; gate-only, survivors identical on either route
+      Curation.curateDelta(corpusExact, index, delta, "doc_id", "text", cfgC,
+        deltaDocsBound = Some(100000L))
         .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
     }),
 

@@ -361,9 +361,19 @@ object Search {
     val tok = fieldsLong
       .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    tok.groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/tf")
+    // the three corpus passes (tf write, dlen write, the doc count for
+    // meta.n) are independent — run them as concurrent jobs so the build
+    // pays one wave of cluster time, not three sequential job latencies
+    // (guide §2.6: overlap independent jobs); meta then derives from the
+    // written dlen alone
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fTf = Future {
+      tok.groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/tf")
+    }
     val dlenCols =
       if (withText) Seq(col("field"), col("id"), col("dl"), col("txt"))
       else Seq(col("field"), col("id"), col("dl"))
@@ -371,18 +381,24 @@ object Search {
     // content tail) are DROPPED: the tokenize path has no dlen row for an
     // empty field, and keeping zeros here would deflate avgdl vs the
     // direct path (observed: every indexed score off by ~0.3%)
-    fieldsLong
-      .withColumn("dl",
-        size(filter(split(col("txt"), " "), t => length(t) > 0)))
-      .filter(col("dl") > 0)
-      .select(dlenCols: _*)
-      .write.mode("overwrite").parquet(s"$path/dlen")
+    val fDlen = Future {
+      fieldsLong
+        .withColumn("dl",
+          size(filter(split(col("txt"), " "), t => length(t) > 0)))
+        .filter(col("dl") > 0)
+        .select(dlenCols: _*)
+        .write.mode("overwrite").parquet(s"$path/dlen")
+    }
+    val fN = Future { docs.count() }
     val spark = docs.sparkSession
+    Await.result(fDlen, Duration.Inf)
+    val nDocs = Await.result(fN, Duration.Inf)
+    Await.result(fTf, Duration.Inf)
     writeMeta(spark, path,
       spark.read.parquet(s"$path/dlen")
         .groupBy("field").agg(sum(col("dl")).as("sum_dl"),
           count(lit(1)).as("cnt")),
-      docs.count(), termBuckets, withText)
+      nDocs, termBuckets, withText)
   }
 
   /** Meta = one row per field: (field, avgdl, sum_dl, cnt, n). The RUNNING

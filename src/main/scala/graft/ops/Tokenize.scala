@@ -165,10 +165,19 @@ object Tokenize {
       case None => docs.withColumn("__toks", col("token_ids"))
     }
     // phase 1: exact global offsets over the narrow (id, n) projection.
+    // The projection is checkpointed BEFORE the range repartition:
+    // repartitionByRange SAMPLES its child for split boundaries and then
+    // shuffles it, so a live `encoded` pipeline (explode + vocab join +
+    // reassembly) would be evaluated twice here and a third time by the
+    // phase-2 join — with the narrow checkpoint the sampling and shuffle
+    // read (id, n) rows and the input pipeline runs once for phase 1.
+    val narrow0 = withToks
+      .select(col(idCol), size(col("__toks")).cast("long").as("__n"))
+      .localCheckpoint(true)
     // localCheckpoint pins the range bucketing so the totals job and the
     // window job cannot disagree on spark_partition_id (correctness does
     // not depend on the split points, but the two uses must share them).
-    val narrow = withToks.select(col(idCol), size(col("__toks")).cast("long").as("__n"))
+    val narrow = narrow0
       .repartitionByRange(prefixBuckets, col(idCol))
       .withColumn("__b", spark_partition_id())
       .localCheckpoint(true)

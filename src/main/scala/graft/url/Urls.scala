@@ -230,8 +230,16 @@ object Urls extends Serializable {
 
   private val HexChars = "0123456789abcdef".toCharArray
 
+  // one digest instance per thread: getInstance() allocates (provider
+  // lookup + object) on every call, and urlKey runs once per discovered
+  // outlink on the crawl hot path; digest() leaves the instance reset
+  private val Sha = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-256")
+  }
+
   def sha256Hex(s: String): String = {
-    val md = MessageDigest.getInstance("SHA-256")
+    val md = Sha.get()
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     // manual hex loop: an f"%02x" interpolator here costs a
     // java.util.Formatter instantiation PER BYTE — 32 per key, measured as
