@@ -52,6 +52,60 @@ object SparkEntry {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 lowercase-hex chars of md5(s) — bit-identical to Spark's
+    * `substring(md5(s), 1, 8)` and DuckDB's `substr(md5(s), 1, 8)`
+    * (FunctionsSpec pins the equivalence against the Spark expression).
+    */
+  private def md5Hex8(sIn: String): String = {
+    val d = Md5Local.get()
+      .digest(sIn.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](8)
+    var i = 0
+    while (i < 4) {
+      val v = d(i) & 0xff
+      out(i * 2) = hex.charAt(v >>> 4)
+      out(i * 2 + 1) = hex.charAt(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The constructed-corpus text of one doc id: 40 md5-derived 8-char
+    * tokens, space-joined — `md5(id + seed + j).substr(0, 8)` for j in
+    * 0..39, exactly the string the curate-family DuckDB oracles rebuild.
+    */
+  private[graft] def forestText(id: Long, seed: String): String = {
+    val sb = new java.lang.StringBuilder(40 * 9)
+    var j = 0
+    while (j < 40) {
+      if (j > 0) sb.append(' ')
+      sb.append(md5Hex8(id.toString + seed + j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** (doc_id, text) forest corpus over `ids` (single bigint column),
+    * shifted by `offset` — a TYPED map instead of the former
+    * `transform(sequence(0, 39), j => substring(md5(concat(...)), 1, 8))`
+    * expression: nested higher-order functions run interpreted and the
+    * forest measured ~4 ms/row (≈18 CPU-seconds per 4000-row checkpoint);
+    * the typed twin computes the identical strings at ~40 µs/row.
+    */
+  private def forestDf(s: SparkSession, ids: DataFrame, offset: Long,
+      seed: String): DataFrame = {
+    import s.implicits._
+    ids.as[Long]
+      .map { id0 => val id = id0 + offset; (id, forestText(id, seed)) }
+      .toDF("doc_id", "text")
+  }
+
   /** documents table doubled with offset ids — guarantees exact duplicates
     * for the dedup operators (same construction in the oracle SQL).
     */
@@ -589,15 +643,10 @@ object SparkEntry {
       val ids = scalarMapInput(s, t(s, dir, "orders")
         .filter(col("o_orderkey") < 4000)
         .select(col("o_orderkey").cast("long").as("doc_id")))
-      val text = array_join(transform(sequence(lit(0), lit(39)),
-        j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
-          j.cast("string"))), 1, 8)), " ")
-      // materialize the constructed corpus ONCE: the 40-md5-per-row
-      // expression forest is interpreted (nested higher-order functions) and
-      // every downstream stage re-inlines it otherwise — judge-measured 6x
-      // on the whole pipeline. Copies derive from the materialized text, so
-      // the forest is evaluated exactly once per base row.
-      val d = ids.select(col("doc_id"), text.as("text")).localCheckpoint(true)
+      // corpus materialized ONCE via the typed forest map (see forestDf):
+      // copies derive from the checkpointed text, so construction runs
+      // exactly once per base row
+      val d = forestDf(s, ids, 0L, "-").localCheckpoint(true)
       val exactCopies = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val nearCopies = d.select((col("doc_id") + 20000000L).as("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text"))
@@ -619,10 +668,7 @@ object SparkEntry {
       val ids = scalarMapInput(s, t(s, dir, "orders")
         .filter(col("o_orderkey") < 4000)
         .select(col("o_orderkey").cast("long").as("doc_id")))
-      val text = array_join(transform(sequence(lit(0), lit(39)),
-        j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
-          j.cast("string"))), 1, 8)), " ")
-      val d = ids.select(col("doc_id"), text.as("text")).localCheckpoint(true)
+      val d = forestDf(s, ids, 0L, "-").localCheckpoint(true)
       val exactCopies = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val doubled = d.select((col("doc_id") + 20000000L).as("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text"))
@@ -652,10 +698,7 @@ object SparkEntry {
       val ids = scalarMapInput(s, t(s, dir, "orders")
         .filter(col("o_orderkey") < 4000)
         .select(col("o_orderkey").cast("long").as("doc_id")))
-      val text = array_join(transform(sequence(lit(0), lit(39)),
-        j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
-          j.cast("string"))), 1, 8)), " ")
-      val d = ids.select(col("doc_id"), text.as("text")).localCheckpoint(true)
+      val d = forestDf(s, ids, 0L, "-").localCheckpoint(true)
       val cfgC = Curation.Config(langs = Set("latin"), minTokens = 10,
         maxTokens = 200, jaccardThreshold = 0.9)
       val corpusExact = Curation.dedupBase(d, "doc_id", "text", cfgC)
@@ -666,11 +709,7 @@ object SparkEntry {
       val exactCopies = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val nearCopies = d.select((col("doc_id") + 20000000L).as("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text"))
-      val freshText = array_join(transform(sequence(lit(0), lit(39)),
-        j => substring(md5(concat(col("doc_id").cast("string"), lit("-f-"),
-          j.cast("string"))), 1, 8)), " ")
-      val fresh = ids.select((col("doc_id") + 30000000L).as("doc_id"))
-        .select(col("doc_id"), freshText.as("text"))
+      val fresh = forestDf(s, ids, 30000000L, "-f-")
       val delta = exactCopies.union(nearCopies).union(fresh).localCheckpoint(true)
       // deltaDocsBound: the delta is three copies of the ≤ 4000-id fixture
       // (≤ 12000 rows at any SF) — the bound removes the fold's per-call
@@ -693,21 +732,15 @@ object SparkEntry {
       val ids = scalarMapInput(s, t(s, dir, "orders")
         .filter(col("o_orderkey") < 2000)
         .select(col("o_orderkey").cast("long").as("doc_id")))
-      def forest(seed: String) = array_join(transform(sequence(lit(0), lit(39)),
-        j => substring(md5(concat(col("doc_id").cast("string"), lit(seed),
-          j.cast("string"))), 1, 8)), " ")
-      val b0 = ids.select(col("doc_id"), forest("-").as("text"))
-        .localCheckpoint(true)
-      val fresh = ids.select((col("doc_id") + 30000000L).as("doc_id"))
-        .select(col("doc_id"), forest("-f-").as("text")).localCheckpoint(true)
+      val b0 = forestDf(s, ids, 0L, "-").localCheckpoint(true)
+      val fresh = forestDf(s, ids, 30000000L, "-f-").localCheckpoint(true)
       val b1 = b0.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
         .union(b0.select((col("doc_id") + 20000000L).as("doc_id"),
           concat(col("text"), lit(" "), col("text")).as("text")))
         .union(fresh)
       val b2 = fresh
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-        .union(ids.select((col("doc_id") + 50000000L).as("doc_id"))
-          .select(col("doc_id"), forest("-g-").as("text")))
+        .union(forestDf(s, ids, 50000000L, "-g-"))
       val cfgC = Curation.Config(langs = Set("latin"), minTokens = 10,
         maxTokens = 200, jaccardThreshold = 0.9)
       val store = s"${System.getProperty("java.io.tmpdir")}/graft_curate_stream"
@@ -825,11 +858,8 @@ object SparkEntry {
       val ids = scalarMapInput(s, t(s, dir, "orders")
         .filter(col("o_orderkey") < 4000)
         .select(col("o_orderkey").cast("long").as("doc_id")))
-      val gen = array_join(transform(sequence(lit(0), lit(39)),
-        j => substring(md5(concat(col("doc_id").cast("string"), lit("-"),
-          j.cast("string"))), 1, 8)), " ")
       val suffix = (0 until 10).map(j => s"boiler$j").mkString(" ")
-      val d = ids.select(col("doc_id"), gen.as("text")).localCheckpoint(true)
+      val d = forestDf(s, ids, 0L, "-").localCheckpoint(true)
         .withColumn("text", when(col("doc_id") % 2 === 0,
           concat(col("text"), lit(" " + suffix))).otherwise(col("text")))
       val exactCopies = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))

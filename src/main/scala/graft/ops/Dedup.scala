@@ -303,7 +303,12 @@ object Dedup {
     val deltaSh0 = shingleTable(delta, textCol, idCol, shingleSize)
     val deltaSh = if (cacheDelta) deltaSh0.cache() else deltaSh0
 
-    val deltaBanded = bandTable(deltaSh, numHashes, bands)
+    // cached alongside the shingles: the band table has TWO distribution
+    // shapes downstream (the broadcast probe side and the shuffled
+    // within-delta self-join — exchange reuse covers l/r but not the
+    // broadcast), so uncached the minhash flatMap runs twice per fold
+    val deltaBanded0 = bandTable(deltaSh, numHashes, bands)
+    val deltaBanded = if (cacheDelta) deltaBanded0.cache() else deltaBanded0
 
     // delta vs index: broadcast the batch-sized delta bands — the
     // corpus-sized index side stays exchange-free. The hint is GATED on
@@ -376,7 +381,9 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= jaccardThreshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
-    (verified, () => if (cacheDelta) { deltaSh.unpersist(false); () })
+    (verified, () => if (cacheDelta) {
+      deltaSh.unpersist(false); deltaBanded.unpersist(false); ()
+    })
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash per doc (typed map),

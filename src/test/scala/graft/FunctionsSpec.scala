@@ -78,4 +78,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getString(1) == direct.answer && direct.answer == "پاسخ نمونه")
     assert(r.getString(2) == direct.content)
   }
+
+  test("SparkEntry.forestText == the md5 HOF expression it replaced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the curate-family gate corpora are built by the typed forest map;
+    // this pins it to the original declarative construction (and hence to
+    // the DuckDB oracles' substr(md5(...), 1, 8) chain) byte-for-byte
+    val seeds = Seq("-", "-f-", "-g-")
+    val ids = Seq(0L, 7L, 3999L, 50000123L)
+    for (seed <- seeds) {
+      val expr = array_join(transform(sequence(lit(0), lit(39)),
+        j => substring(md5(concat(col("doc_id").cast("string"), lit(seed),
+          j.cast("string"))), 1, 8)), " ")
+      val expected = ids.toDF("doc_id").select(col("doc_id"), expr.as("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      ids.foreach { id =>
+        assert(SparkEntry.forestText(id, seed) == expected(id),
+          s"forestText($id, $seed) diverged from the expression form")
+      }
+    }
+  }
 }
