@@ -30,6 +30,22 @@ object Search {
     */
   final case class Field(name: String, boost: Double)
 
+  /** (id, field, txt) long view of the per-field columns in ONE corpus
+    * scan: explode over an array of (field, text) structs, instead of the
+    * former |fields|-branch unionAll — which re-scanned the corpus once
+    * per field (3 full scans per pass at 100 TB). `txtOf` is the per-site
+    * normalization (lower for the direct scorer, canonText for the
+    * phrase/index paths) — identical per-row values to the union form,
+    * row order aside.
+    */
+  private def fieldsLongOf(docs: DataFrame, fields: Seq[Field],
+      idCol: String, txtOf: Column => Column): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array(fields.map(f =>
+          struct(lit(f.name).as("field"), txtOf(col(f.name)).as("txt"))): _*))
+          .as("__fx"))
+      .select(col("id"), col("__fx.field").as("field"), col("__fx.txt").as("txt"))
+
   /** BM25-scored top-k per query over multi-field documents.
     *
     * score(q, d) = Σ_fields Σ_{t ∈ q} boost_f · idf_f(t) · tf-sat_f(t, d)
@@ -131,11 +147,11 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // long-format token stream: one row per (field, doc, token occurrence)
-    val tok = fields.map { f =>
-      docs.select(col(idCol).as("id"), lit(f.name).as("field"),
-        explode(split(lower(col(f.name)), " ")).as("term"))
-    }.reduce(_ unionAll _).filter(length(col("term")) > 0)
+    // long-format token stream: one row per (field, doc, token occurrence),
+    // derived from the single-scan field view
+    val tok = fieldsLongOf(docs, fields, idCol, lower)
+      .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
 
     val qterms = queries.select(col(queryIdCol).as("qid"),
         explode(split(lower(col(queryTextCol)), " ")).as("term"))
@@ -148,11 +164,10 @@ object Search {
     // array), not a second explode + corpus-wide (field, id) aggregation —
     // identical values (rows exist exactly for fields with ≥ 1 token), one
     // full tokenize-exchange pass less per query batch
-    val dlen = fields.map { f =>
-      docs.select(col(idCol).as("id"), lit(f.name).as("field"),
-        size(filter(split(lower(col(f.name)), " "),
-          t => length(t) > 0)).as("dl"))
-    }.reduce(_ unionAll _).filter(col("dl") > 0)
+    val dlen = fieldsLongOf(docs, fields, idCol, lower)
+      .select(col("id"), col("field"),
+        size(filter(split(col("txt"), " "), t => length(t) > 0)).as("dl"))
+      .filter(col("dl") > 0)
     val avgl = dlen.groupBy("field").agg(avg(col("dl")).as("avgdl"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
@@ -261,11 +276,9 @@ object Search {
       .filter(length(col("phrase")) > 0)
       .distinct()
 
-    // canonical per-field long view — both the gate and the tokenizer read it
-    val fieldsLong = fields.map { f =>
-      docs.select(col(idCol).as("id"), lit(f.name).as("field"),
-        canonText(col(f.name)).as("txt"))
-    }.reduce(_ unionAll _)
+    // canonical per-field long view — both the gate and the tokenizer read
+    // it; single corpus scan (see fieldsLongOf)
+    val fieldsLong = fieldsLongOf(docs, fields, idCol, canonText)
 
     // match_phrase gate: consecutive-term containment, broadcast to the scan
     val matched = fieldsLong
@@ -354,10 +367,7 @@ object Search {
       idCol: String = "doc_id",
       termBuckets: Int = 64,
       withText: Boolean = true): Unit = {
-    val fieldsLong = fields.map { f =>
-      docs.select(col(idCol).as("id"), lit(f.name).as("field"),
-        canonText(col(f.name)).as("txt"))
-    }.reduce(_ unionAll _)
+    val fieldsLong = fieldsLongOf(docs, fields, idCol, canonText)
     val tok = fieldsLong
       .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -454,10 +464,7 @@ object Search {
     val oldMeta = spark.read.parquet(s"$path/meta")
     requireBuckets(oldMeta, termBuckets, "bm25IndexAppend")
     requireWithText(oldMeta, withText, "bm25IndexAppend")
-    val fieldsLong = fields.map { f =>
-      newDocs.select(col(idCol).as("id"), lit(f.name).as("field"),
-        canonText(col(f.name)).as("txt"))
-    }.reduce(_ unionAll _)
+    val fieldsLong = fieldsLongOf(newDocs, fields, idCol, canonText)
     val tok = fieldsLong
       .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
       .filter(length(col("term")) > 0)
