@@ -361,9 +361,12 @@ object Dedup {
 
     // shingles for candidate ids only: delta side from the cache, index side
     // re-derived from the corpus slice the candidates name (left_semi keeps
-    // the corpus scan pruned to candidate ids)
+    // the corpus scan pruned to candidate ids). NOT distinct'd: both
+    // consumers (the delta-id anti-join and the corpus semi-join) are
+    // duplicate-indifferent, and the distinct cost an exchange of the
+    // candidate-id set per fold
     val candIds = candidates
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
     val indexIds = candIds.join(deltaSh.select("id"), Seq("id"), "left_anti")
     val prunedCorpus = corpus
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
