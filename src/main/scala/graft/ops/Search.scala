@@ -147,60 +147,77 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // long-format token stream: one row per (field, doc, token occurrence),
-    // derived from the single-scan field view
-    val tok = fieldsLongOf(docs, fields, idCol, lower)
-      .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+    // long-format token stream carrying the per-(field, doc) length: dl
+    // rides every token row, so the tf aggregation keeps it (max of a
+    // constant) and the former corpus-sized dlen join disappears — Spark
+    // does not share the fieldsLong subtree between consumers, so that
+    // join was a THIRD corpus scan, not a reuse
+    val tok = tokensWithDl(fieldsLongOf(docs, fields, idCol, lower))
 
     val qterms = queries.select(col(queryIdCol).as("qid"),
         explode(split(lower(col(queryTextCol)), " ")).as("term"))
       .filter(length(col("term")) > 0)
 
     // query-term-first: restrict the token stream before ANY aggregation
-    val tf = tok.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
-    // doc length as a per-row PROJECTION (size of the filtered token
-    // array), not a second explode + corpus-wide (field, id) aggregation —
-    // identical values (rows exist exactly for fields with ≥ 1 token), one
-    // full tokenize-exchange pass less per query batch
-    val dlen = fieldsLongOf(docs, fields, idCol, lower)
-      .select(col("id"), col("field"),
+    val tfd = tfWithDf(tok.join(
+      broadcast(qterms.select("term").distinct()), Seq("term")))
+    // avgdl still needs every doc (not just query matches): one scan whose
+    // only shuffle is |fields| partial-aggregated rows
+    val avgl = fieldsLongOf(docs, fields, idCol, lower)
+      .select(col("field"),
         size(filter(split(col("txt"), " "), t => length(t) > 0)).as("dl"))
       .filter(col("dl") > 0)
-    val avgl = dlen.groupBy("field").agg(avg(col("dl")).as("avgdl"))
+      .groupBy("field").agg(avg(col("dl")).as("avgdl"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
 
-    // df over the already-restricted tf — identical values, query-sized input
-    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
-
-    scoreJoined(tf, qterms, qstats, dlen, avgl, boosts, nDocs, k1, b)
+    scoreFromTf(tfd, qterms, avgl, boosts, nDocs, k1, b)
   }
 
-  /** The BM25 join+score tail shared by the direct and indexed paths:
-    * tf (restricted to query terms) × query terms × per-term df × doc
-    * lengths × field stats → (qid, id, score).
+  /** (id, field, dl, term) token stream from a (id, field, txt) long view:
+    * one row per token occurrence, each carrying its field's total token
+    * count — same term set as explode-then-filter (the array is filtered
+    * of empties before the explode), dl identical to the former dlen
+    * projection (`size(filter(split(txt)))`).
     */
-  private def scoreJoined(
-      tf: DataFrame,
+  private def tokensWithDl(fieldsLong: DataFrame): DataFrame =
+    fieldsLong
+      .select(col("id"), col("field"),
+        filter(split(col("txt"), " "), t => length(t) > 0).as("__toks"))
+      .select(col("id"), col("field"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+
+  /** (field, id, term) → (tf, dl, df): the tf aggregation plus docfreq as
+    * a WINDOW over the aggregated rows. The former `tf.groupBy(field,
+    * term)` qstats frame re-evaluated the whole tf subtree (Spark plans
+    * the lazy frame twice — at the direct paths that was a second corpus
+    * tokenize, at the indexed probes a second pruned-index scan); the
+    * window computes identical counts over the one materialized tf stream
+    * for a candidate-sized exchange.
+    */
+  private def tfWithDf(tokRestricted: DataFrame): DataFrame =
+    tokRestricted
+      .groupBy("field", "id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("field"), col("term"))))
+
+  /** The BM25 join+score tail: tf rows already carrying (dl, df) × query
+    * terms × per-field stats → (qid, id, score).
+    */
+  private def scoreFromTf(
+      tfd: DataFrame,
       qterms: DataFrame,
-      qstats: DataFrame,
-      dlen: DataFrame,
       avgl: DataFrame,
       boosts: DataFrame,
       nDocs: DataFrame,
       k1: Double,
       b: Double): DataFrame = {
-    val joined = tf
+    tfd
       .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(qstats), Seq("field", "term"))
-      .join(dlen, Seq("field", "id"))
       .join(broadcast(avgl), Seq("field"))
       .join(broadcast(boosts), Seq("field"))
       .crossJoin(broadcast(nDocs))
-
-    joined
       .withColumn("ts", col("boost") * idfCol * tfSatCol(k1, b))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("ts")).as("score_raw"))
@@ -292,22 +309,20 @@ object Search {
         explode(split(col("phrase"), " ")).as("term"))
       .filter(length(col("term")) > 0)
 
-    val tok = fieldsLong
-      .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+    // token stream carrying dl + docfreq window over tf: the former dlen
+    // join and qstats frame each re-evaluated a full corpus subtree (see
+    // bm25Scored)
+    val tok = tokensWithDl(fieldsLong)
 
-    val tf = tok.join(broadcast(pterms.select("term").distinct()), Seq("term"))
-      .groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
-    // projection-form doc length over the canonical field view (see
-    // bm25Scored): same values as the former explode + aggregation
-    val dlen = fieldsLong
-      .select(col("id"), col("field"),
+    val tfd = tfWithDf(tok.join(
+      broadcast(pterms.select("term").distinct()), Seq("term")))
+    val avgl = fieldsLong
+      .select(col("field"),
         size(filter(split(col("txt"), " "), t => length(t) > 0)).as("dl"))
       .filter(col("dl") > 0)
-    val avgl = dlen.groupBy("field").agg(avg(col("dl")).as("avgdl"))
+      .groupBy("field").agg(avg(col("dl")).as("avgdl"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
-    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
 
     // matched clause × its phrase's term occurrences → scoreable rows;
     // a gated clause implies tf >= 1 for every term, so the inner joins
@@ -315,9 +330,7 @@ object Search {
     val clauseTerms = matched.join(broadcast(pterms), Seq("qid", "phrase"))
 
     val joined = clauseTerms
-      .join(tf, Seq("field", "id", "term"))
-      .join(broadcast(qstats), Seq("field", "term"))
-      .join(dlen, Seq("field", "id"))
+      .join(tfd, Seq("field", "id", "term"))
       .join(broadcast(avgl), Seq("field"))
       .join(broadcast(boosts), Seq("field"))
       .crossJoin(broadcast(nDocs))
@@ -368,9 +381,12 @@ object Search {
       termBuckets: Int = 64,
       withText: Boolean = true): Unit = {
     val fieldsLong = fieldsLongOf(docs, fields, idCol, canonText)
-    val tok = fieldsLong
-      .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+    // tf rows carry the doc-field length (dl rides the token stream into
+    // the aggregation): +8 denormalized bytes per posting buys the probes
+    // out of the per-call corpus-sized dlen join — at 100 TB the
+    // bag-of-terms probe then never touches dlen at all (avgdl/n come
+    // from meta)
+    val tok = tokensWithDl(fieldsLong)
     // the three corpus passes (tf write, dlen write, the doc count for
     // meta.n) are independent — run them as concurrent jobs so the build
     // pays one wave of cluster time, not three sequential job latencies
@@ -380,7 +396,8 @@ object Search {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val fTf = Future {
-      tok.groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
+      tok.groupBy("field", "id", "term")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
         .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$path/tf")
     }
@@ -465,10 +482,16 @@ object Search {
     requireBuckets(oldMeta, termBuckets, "bm25IndexAppend")
     requireWithText(oldMeta, withText, "bm25IndexAppend")
     val fieldsLong = fieldsLongOf(newDocs, fields, idCol, canonText)
-    val tok = fieldsLong
-      .select(col("id"), col("field"), explode(split(col("txt"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    tok.groupBy("field", "id", "term").agg(count(lit(1)).as("tf"))
+    // delta tf rows carry dl exactly like the build's (see bm25Index) —
+    // unless the standing index predates the dl column: appending mixed
+    // layouts would read back null dl for old rows, so match what's there
+    val tok = tokensWithDl(fieldsLong)
+    val tfAgg = tok.groupBy("field", "id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val tfOut =
+      if (spark.read.parquet(s"$path/tf").columns.contains("dl")) tfAgg
+      else tfAgg.drop("dl")
+    tfOut
       .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("append").partitionBy("tb").parquet(s"$path/tf")
     val dlenCols =
@@ -620,20 +643,30 @@ object Search {
     val buckets = qterms.select(
         pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("tb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val tf = spark.read.parquet(s"$indexPath/tf")
+    val tfRaw = spark.read.parquet(s"$indexPath/tf")
+    val tf = tfRaw
       .filter(col("tb").isin(buckets: _*))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-    val dlen = spark.read.parquet(s"$indexPath/dlen")
-      .select("field", "id", "dl")
     // meta is one row per FIELD — collect it once and feed avgdl/n back as
     // local relations: the former three meta subplans (bucket-guard head(),
     // avgl scan, nDocs limit scan) each cost their own job/AQE stage per
     // probe for a handful of values
     val (avgl, nDocs) = metaLocal(spark, indexPath, termBuckets, "bm25TopKIndexed")
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
-    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+    // docfreq as a window over the pruned tf slice (the former qstats
+    // frame re-scanned the pruned index partitions a second time) — the
+    // index stores one row per (field, id, term), so the window count is
+    // exact df. dl is read straight off the posting when the index carries
+    // it; only a pre-dl index still pays the corpus-sized dlen join
+    val tfd0 = tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("field"), col("term"))))
+    val tfd =
+      if (tfRaw.columns.contains("dl")) tfd0
+      else tfd0.join(spark.read.parquet(s"$indexPath/dlen")
+        .select("field", "id", "dl"), Seq("field", "id"))
 
-    val scored = scoreJoined(tf, qterms, qstats, dlen, avgl, boosts, nDocs, k1, b)
+    val scored = scoreFromTf(tfd, qterms, avgl, boosts, nDocs, k1, b)
       .filter(col("score") >= minScore)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     scored
@@ -678,18 +711,26 @@ object Search {
     val buckets = pterms.select(
         pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("tb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val tf = spark.read.parquet(s"$indexPath/tf")
+    val tfRaw = spark.read.parquet(s"$indexPath/tf")
+    val tf = tfRaw
       .filter(col("tb").isin(buckets: _*))
       .join(broadcast(pterms.select("term").distinct()), Seq("term"))
     val dlenFull = spark.read.parquet(s"$indexPath/dlen")
     require(dlenFull.columns.contains("txt"),
       "bm25PhraseTopKIndexed needs an index written withText = true")
-    val dlen = dlenFull.select("field", "id", "dl")
     // one driver-side meta read (see bm25TopKIndexed)
     val (avgl, nDocs) = metaLocal(spark, indexPath, termBuckets,
       "bm25PhraseTopKIndexed")
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
-    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+    // docfreq as a window over the pruned tf slice; dl straight off the
+    // posting when the index carries it (see bm25TopKIndexed) — dlen here
+    // then only serves the candidate-text gate below
+    val tfd0 = tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("field"), col("term"))))
+    val tfd =
+      if (tfRaw.columns.contains("dl")) tfd0
+      else tfd0.join(dlenFull.select("field", "id", "dl"), Seq("field", "id"))
 
     // candidate (field, doc) keys from the pruned postings → stored text →
     // the containment gate runs over candidates only
@@ -704,9 +745,7 @@ object Search {
     val clauseTerms = matched.join(broadcast(pterms), Seq("qid", "phrase"))
 
     val joined = clauseTerms
-      .join(tf, Seq("field", "id", "term"))
-      .join(broadcast(qstats), Seq("field", "term"))
-      .join(dlen, Seq("field", "id"))
+      .join(tfd, Seq("field", "id", "term"))
       .join(broadcast(avgl), Seq("field"))
       .join(broadcast(boosts), Seq("field"))
       .crossJoin(broadcast(nDocs))
