@@ -99,4 +99,116 @@ class FunctionsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("TextStats langId/repetition == the regex/HOF expressions they replaced") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextStats
+    import spark.implicits._
+    // adversarial fixtures: mixed scripts, Persian-specific letters,
+    // supplementary code points, tab/CR/VT whitespace (Spark trim strips
+    // only 0x20 — a Java String.trim twin would diverge on these),
+    // trailing newlines (split keeps trailing empties), null, empty,
+    // digits-only, single-word, repeated lines/words/grams
+    val texts = Seq(
+      "hello world this is plain english text",
+      "سلام دنیا این یک متن فارسی است که پژوهش می‌کند",
+      "مرحبا بالعالم هذا نص عربي بسيط",
+      "你好世界这是中文文本",
+      "Привет мир это русский текст",
+      "12345 !!!", "", " ", "\n\n\n", "one",
+      "same line here\nother text\n\n  same line here  \nfinal bit same",
+      "spam spam spam spam",
+      "tab\tline\nline with\ttab\ncr line\r\ncr line\r",
+      "vtline\nvtline",
+      "MiXeD CaSe WORDS mixed case words",
+      "😀 emoji 𝐀 math-bold-A 𐹠 and more",
+      "a-b c_d e.f g,h", "word‌joined‌by‌zwnj",
+      null, "läuft grüße STRASSE ß", "٠١٢٣٤ ارقام عربية ١٢٣")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    // the original regexp_count langId chain, verbatim
+    def langExpr(text: org.apache.spark.sql.Column, minRatio: Double = 0.5) = {
+      val nLetters = regexp_count(text, lit("\\p{L}"))
+      val total = greatest(nLetters, lit(1)).cast("double")
+      val arabicN = regexp_count(text, lit("\\p{IsArabic}")).cast("double")
+      val latinN = regexp_count(text, lit("\\p{IsLatin}")).cast("double")
+      val cyrN = regexp_count(text, lit("\\p{IsCyrillic}")).cast("double")
+      val hanN = regexp_count(text, lit("\\p{IsHan}")).cast("double")
+      when(nLetters === 0, lit("unknown"))
+        .when(arabicN / total >= minRatio,
+          when(text.rlike("[پچژگی]"), lit("fa")).otherwise(lit("ar")))
+        .when(hanN / total >= minRatio, lit("zh"))
+        .when(cyrN / total >= minRatio, lit("ru"))
+        .when(latinN / total >= minRatio, lit("latin"))
+        .otherwise(lit("unknown"))
+    }
+    // the original pure-HOF repetition chain, verbatim
+    def repExpr(text: org.apache.spark.sql.Column) = {
+      val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+      val nLines = size(lines)
+      val dupLineFrac = when(nLines > 0,
+        lit(1.0) - size(array_distinct(lines)).cast("double") / nLines.cast("double"))
+        .otherwise(lit(0.0))
+      val words = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+      val nWords = size(words)
+      val sorted = array_sort(words)
+      val topCount = aggregate(sorted,
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (s, w) => {
+          val run = when(w === s.getField("prev"), s.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(w.as("prev"), run.as("run"),
+            greatest(s.getField("best"), run).as("best"))
+        },
+        s => s.getField("best"))
+      val topWordFrac = when(nWords > 0,
+        topCount.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+      val grams = TextStats.wordNgrams(words, 3)
+      val nGrams = size(grams)
+      val dupGramFrac = when(nGrams > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / nGrams.cast("double"))
+        .otherwise(lit(0.0))
+      struct(
+        round(dupLineFrac, 6).as("dup_line_frac"),
+        round(topWordFrac, 6).as("top_word_frac"),
+        round(dupGramFrac, 6).as("dup_3gram_frac"))
+    }
+
+    // the original qualityFeatures expression chain, verbatim
+    def qfExpr(text: org.apache.spark.sql.Column) = {
+      val n = greatest(length(text), lit(1)).cast("double")
+      val toks = TextStats.wsTokensLower(text)
+      val nToks = greatest(size(toks), lit(1)).cast("double")
+      val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+      val stopN = size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("double")
+      val punctN = (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+      val digitN = (length(text) - length(regexp_replace(text, "[\\p{Nd}]", ""))).cast("double")
+      val meanWordLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks
+      struct(
+        length(text).as("n_chars"),
+        size(toks).as("n_tokens"),
+        round(meanWordLen, 6).as("mean_word_len"),
+        round(punctN / n, 6).as("punct_ratio"),
+        round(digitN / n, 6).as("digit_ratio"),
+        round(stopN / nToks, 6).as("stopword_ratio"))
+    }
+
+    val rows = df.select(col("doc_id"),
+        TextStats.langIdByScript(col("text")).as("lang_new"),
+        langExpr(col("text")).as("lang_old"),
+        TextStats.repetitionSignals(col("text")).as("rep_new"),
+        repExpr(col("text")).as("rep_old"),
+        TextStats.qualityFeatures(col("text")).as("qf_new"),
+        qfExpr(col("text")).as("qf_old"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"langId diverged on doc ${r.getLong(0)}: new=${r.getString(1)} old=${r.getString(2)}")
+      assert(r.getStruct(3) == r.getStruct(4),
+        s"repetition diverged on doc ${r.getLong(0)}: new=${r.getStruct(3)} old=${r.getStruct(4)}")
+      assert(r.getStruct(5) == r.getStruct(6),
+        s"qualityFeatures diverged on doc ${r.getLong(0)}: new=${r.getStruct(5)} old=${r.getStruct(6)}")
+    }
+  }
 }
