@@ -24,17 +24,44 @@ object CharLm {
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** All overlapping character n-grams of `t` AS-IS (no canonicalization;
-    * empty array when shorter than n). `t` MUST be a plain attribute
-    * column: expressions captured inside a higher-order lambda are
-    * re-evaluated per array element, so passing e.g. the canon()
-    * regexp directly turns a linear scan into O(len²) regexp work
-    * (measured 50x on the gate corpus). train/score project canon once
-    * and pass the attribute.
+    * empty array when shorter than n; null text yields the empty array,
+    * exactly like the expression form's otherwise branch). One rolling
+    * pass over CODE POINTS — bit-identical to the former
+    * `transform(sequence(1, length-n+1), i => substr(i, n))` expression
+    * (FunctionsSpec pins the parity: Spark length()/substr() count code
+    * points, so the window walks a precomputed code-point offset table,
+    * not UTF-16 units), which evaluated one interpreted substr per array
+    * element (~len per row per pass).
     */
-  def charNgrams(t: Column, n: Int): Column =
-    when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+  def charNgrams(t: Column, n: Int): Column = charNgramsUdf(n)(t)
+
+  private[graft] def charNgramsUdf(n: Int) = udf((s: String) => {
+    if (s == null) Array.empty[String]
+    else {
+      // code-point start offsets: off(i) = UTF-16 index of the i-th code
+      // point; nCp+1 entries so gram i spans off(i)..off(i+n)
+      val len = s.length
+      var nCp = 0
+      var i = 0
+      while (i < len) { nCp += 1; i += Character.charCount(s.codePointAt(i)) }
+      if (nCp < n) Array.empty[String]
+      else {
+        val off = new Array[Int](nCp + 1)
+        i = 0; var c = 0
+        while (i < len) {
+          off(c) = i; c += 1; i += Character.charCount(s.codePointAt(i))
+        }
+        off(nCp) = len
+        val out = new Array[String](nCp - n + 1)
+        var g = 0
+        while (g < out.length) {
+          out(g) = s.substring(off(g), off(g + n))
+          g += 1
+        }
+        out
+      }
+    }
+  })
 
   /** Train an MLE char-n-gram model over `docs`:
     * P(c_n | c_1..c_{n-1}) = count(ngram) / count(prefix over ngram

@@ -408,12 +408,18 @@ object Search {
     // content tail) are DROPPED: the tokenize path has no dlen row for an
     // empty field, and keeping zeros here would deflate avgdl vs the
     // direct path (observed: every indexed score off by ~0.3%)
+    // meta's per-field running sums RIDE the write as an observation —
+    // the former shape re-read the written dlen and re-aggregated it, one
+    // extra job per build (and a dlen-sized read at scale) for sums the
+    // write job already streams past
+    val obs = new org.apache.spark.sql.Observation()
     val fDlen = Future {
       fieldsLong
         .withColumn("dl",
           size(filter(split(col("txt"), " "), t => length(t) > 0)))
         .filter(col("dl") > 0)
         .select(dlenCols: _*)
+        .observe(obs, metaObsCols(fields).head, metaObsCols(fields).tail: _*)
         .write.mode("overwrite").parquet(s"$path/dlen")
     }
     val fN = Future { docs.count() }
@@ -422,10 +428,39 @@ object Search {
     val nDocs = Await.result(fN, Duration.Inf)
     Await.result(fTf, Duration.Inf)
     writeMeta(spark, path,
-      spark.read.parquet(s"$path/dlen")
-        .groupBy("field").agg(sum(col("dl")).as("sum_dl"),
-          count(lit(1)).as("cnt")),
+      observedSums(spark, obs, fields).getOrElse(
+        // unsupported-runtime fallback: the old re-read + re-aggregate
+        spark.read.parquet(s"$path/dlen")
+          .groupBy("field").agg(sum(col("dl")).as("sum_dl"),
+            count(lit(1)).as("cnt"))),
       nDocs, termBuckets, withText)
+  }
+
+  /** Per-field (sum_dl, cnt) observation columns for a dlen write — one
+    * pair per field, read back by [[observedSums]].
+    */
+  private def metaObsCols(fields: Seq[Field]): Seq[Column] =
+    fields.zipWithIndex.flatMap { case (f, i) => Seq(
+      sum(when(col("field") === f.name, col("dl"))).as(s"__s$i"),
+      count(when(col("field") === f.name, lit(1))).as(s"__c$i")) }
+
+  /** The (field, sum_dl, cnt) frame from a completed [[metaObsCols]]
+    * observation — None when the runtime never delivers observed metrics
+    * (callers then fall back to re-aggregating). Fields with zero dlen
+    * rows are dropped, exactly like the groupBy they replace.
+    */
+  private def observedSums(spark: org.apache.spark.sql.SparkSession,
+      obs: org.apache.spark.sql.Observation,
+      fields: Seq[Field]): Option[DataFrame] = {
+    import spark.implicits._
+    val vals = fields.indices.map { i =>
+      (graft.ObservedMetrics.longField(obs, s"__s$i")(Long.MinValue),
+        graft.ObservedMetrics.longField(obs, s"__c$i")(Long.MinValue))
+    }
+    if (vals.exists(v => v._1 == Long.MinValue || v._2 == Long.MinValue)) None
+    else Some(fields.zip(vals).collect {
+      case (f, (s, c)) if c > 0 => (f.name, s, c)
+    }.toDF("field", "sum_dl", "cnt"))
   }
 
   /** Meta = one row per field: (field, avgdl, sum_dl, cnt, n). The RUNNING
@@ -491,9 +526,6 @@ object Search {
     val tfOut =
       if (spark.read.parquet(s"$path/tf").columns.contains("dl")) tfAgg
       else tfAgg.drop("dl")
-    tfOut
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
-      .write.mode("append").partitionBy("tb").parquet(s"$path/tf")
     val dlenCols =
       if (withText) Seq(col("field"), col("id"), col("dl"), col("txt"))
       else Seq(col("field"), col("id"), col("dl"))
@@ -501,11 +533,34 @@ object Search {
       .withColumn("dl",
         size(filter(split(col("txt"), " "), t => length(t) > 0)))
       .filter(col("dl") > 0)
-    deltaDlen.select(dlenCols: _*)
-      .write.mode("append").parquet(s"$path/dlen")
+    // the three delta passes (tf append, dlen append, the doc count for
+    // meta.n) are independent — concurrent jobs, mirroring bm25Index; the
+    // delta's per-field sums RIDE the dlen append as an observation (the
+    // former separate deltaSums aggregation re-evaluated the whole
+    // fieldsLong pipeline — a second full delta pass per append)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fTf = Future {
+      tfOut
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+        .write.mode("append").partitionBy("tb").parquet(s"$path/tf")
+    }
+    val obs = new org.apache.spark.sql.Observation()
+    val fDlen = Future {
+      deltaDlen.select(dlenCols: _*)
+        .observe(obs, metaObsCols(fields).head, metaObsCols(fields).tail: _*)
+        .write.mode("append").parquet(s"$path/dlen")
+    }
+    val fN = Future { newDocs.count() }
+    Await.result(fDlen, Duration.Inf)
+    Await.result(fTf, Duration.Inf)
+    val nNew = Await.result(fN, Duration.Inf)
     // meta: old sums + delta sums (both tiny) — never re-reads dlen
-    val deltaSums = deltaDlen.groupBy("field")
-      .agg(sum(col("dl")).as("d_sum"), count(lit(1)).as("d_cnt"))
+    val deltaSums = observedSums(spark, obs, fields)
+      .getOrElse(deltaDlen.groupBy("field")
+        .agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("cnt")))
+      .withColumnRenamed("sum_dl", "d_sum").withColumnRenamed("cnt", "d_cnt")
     val merged = oldMeta.select("field", "sum_dl", "cnt")
       .join(deltaSums, Seq("field"), "full_outer")
       .select(col("field"),
@@ -513,7 +568,7 @@ object Search {
           .as("sum_dl"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as("cnt"))
-    val nTotal = oldMeta.select(max(col("n"))).head().getLong(0) + newDocs.count()
+    val nTotal = oldMeta.select(max(col("n"))).head().getLong(0) + nNew
     writeMeta(spark, path, merged, nTotal, termBuckets, withText)
   }
 

@@ -211,4 +211,57 @@ class FunctionsSpec extends SparkTestBase {
         s"qualityFeatures diverged on doc ${r.getLong(0)}: new=${r.getStruct(5)} old=${r.getStruct(6)}")
     }
   }
+
+  test("Dedup.gramMd5sUdf == transform(wordNgrams, md5); cluster dup-pair neutrality") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextStats}
+    import spark.implicits._
+    val texts = Seq(
+      "one two three four five six seven eight nine ten eleven",
+      "exactly eight words in this very sentence here",
+      "short", "", "a b c d e f g h a b c d e f g h",
+      "کلمات فارسی برای آزمون گرم های کلمه ای متن تکراری متن تکراری")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), w => length(w) > 0).as("ws"))
+    for (k <- Seq(2, 3, 8)) {
+      val rows = df.select(col("doc_id"),
+          Dedup.gramMd5sUdf(k)(col("ws")).as("fast"),
+          transform(TextStats.wordNgrams(col("ws"), k), g => md5(g)).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"gram md5 diverged for k=$k doc ${r.getLong(0)}")
+      }
+    }
+    // charNgrams: the rolling code-point window == the former
+    // transform(sequence)/substr expression, incl. supplementary chars
+    // (substr counts code points, not UTF-16 units) and null/short texts
+    val ngramTexts = Seq("hello world", "ab", "", null, "😀a😀b😀c",
+      "سلام دنیا", "ab\ncd e")
+    val ndf = ngramTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "t")
+    for (n <- Seq(2, 3)) {
+      val ref = when(length(col("t")) >= n,
+        transform(sequence(lit(1), length(col("t")) - (n - 1)),
+          i => col("t").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+      graft.ops.CharLm // touch
+      ndf.select(col("doc_id"),
+          graft.ops.CharLm.charNgrams(col("t"), n).as("fast"), ref.as("slow"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"charNgrams diverged n=$n doc ${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+        }
+    }
+
+    // duplicated pairs must not change cluster assignments (edgesOf no
+    // longer distincts — consumers are duplicate-indifferent by design)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val dup = pairs.union(pairs).union(pairs)
+    def asMap(dfr: org.apache.spark.sql.DataFrame) = dfr.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(Dedup.clusterAssign(dup)) == asMap(Dedup.clusterAssign(pairs)))
+  }
 }
