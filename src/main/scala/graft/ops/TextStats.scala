@@ -277,24 +277,45 @@ object TextStats {
       round(dupGramFrac, 6).as("dup_3gram_frac"))
   }
 
-  /** Word n-grams via chained zip_with over shifted copies of the word
-    * array. zip_with ARGUMENTS are evaluated once per row, whereas a
-    * slice(words, i, n) inside a transform lambda re-evaluates the
-    * captured word split per element — O(len²) in doc length (measured
-    * 50x on the char-gram analog, CharLm.charNgrams). zip_with pads the
-    * shorter side with null and concat propagates it, so the trailing
-    * partial windows drop in one null filter. Empty when < n words.
+  /** Word n-grams — space-joined windows of n consecutive words, empty
+    * below n words (and for a null array). One rolling StringBuilder pass;
+    * bit-identical to the former chained-zip_with construction
+    * (FunctionsSpec pins the parity), which evaluated n-1 interpreted
+    * lambda passes over the array per row: a window containing a null
+    * word drops, exactly as concat's null propagation + the null filter
+    * dropped it there.
     */
   def wordNgrams(words: Column, n: Int): Column = {
     require(n >= 2, s"wordNgrams needs n >= 2 (got $n); n = 1 is the word array")
-    val sz = size(words)
-    val joined = (1 until n).foldLeft(words) { (acc, k) =>
-      zip_with(acc, slice(words, lit(k + 1), greatest(sz - k, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    when(sz >= n, filter(joined, g => g.isNotNull))
-      .otherwise(array().cast("array<string>"))
+    wordNgramsUdf(n)(words)
   }
+
+  private[graft] def wordNgramsUdf(n: Int) = udf((ws: Seq[String]) => {
+    if (ws == null || ws.length < n) Array.empty[String]
+    else {
+      val arr = ws.toArray
+      val out = new scala.collection.mutable.ArrayBuffer[String](arr.length - n + 1)
+      val sb = new java.lang.StringBuilder(n * 12)
+      var i = 0
+      while (i + n <= arr.length) {
+        var ok = true
+        var j = 0
+        sb.setLength(0)
+        while (j < n && ok) {
+          val w = arr(i + j)
+          if (w == null) ok = false
+          else {
+            if (j > 0) sb.append(' ')
+            sb.append(w)
+          }
+          j += 1
+        }
+        if (ok) out += sb.toString
+        i += 1
+      }
+      out.toArray
+    }
+  })
 
   private[ops] def wordTriGrams(words: Column): Column = wordNgrams(words, 3)
 

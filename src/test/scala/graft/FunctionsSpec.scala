@@ -100,6 +100,21 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  /** The original chained-zip_with ngram construction, verbatim — the
+    * production wordNgrams is now a rolling-window UDF, so the old
+    * expression lives here as the parity reference.
+    */
+  private def wordNgramsExpr(words: org.apache.spark.sql.Column, n: Int) = {
+    import org.apache.spark.sql.functions._
+    val sz = size(words)
+    val joined = (1 until n).foldLeft(words) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k + 1), greatest(sz - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(sz >= n, filter(joined, g => g.isNotNull))
+      .otherwise(array().cast("array<string>"))
+  }
+
   test("TextStats langId/repetition == the regex/HOF expressions they replaced") {
     import org.apache.spark.sql.functions._
     import graft.ops.TextStats
@@ -164,7 +179,7 @@ class FunctionsSpec extends SparkTestBase {
         s => s.getField("best"))
       val topWordFrac = when(nWords > 0,
         topCount.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
-      val grams = TextStats.wordNgrams(words, 3)
+      val grams = wordNgramsExpr(words, 3)
       val nGrams = size(grams)
       val dupGramFrac = when(nGrams > 0,
         lit(1.0) - size(array_distinct(grams)).cast("double") / nGrams.cast("double"))
@@ -228,12 +243,26 @@ class FunctionsSpec extends SparkTestBase {
     for (k <- Seq(2, 3, 8)) {
       val rows = df.select(col("doc_id"),
           Dedup.gramMd5sUdf(k)(col("ws")).as("fast"),
-          transform(TextStats.wordNgrams(col("ws"), k), g => md5(g)).as("ref"))
+          transform(wordNgramsExpr(col("ws"), k), g => md5(g)).as("ref"),
+          TextStats.wordNgrams(col("ws"), k).as("ng_fast"),
+          wordNgramsExpr(col("ws"), k).as("ng_ref"))
         .collect()
       rows.foreach { r =>
         assert(r.getSeq[String](1) == r.getSeq[String](2),
           s"gram md5 diverged for k=$k doc ${r.getLong(0)}")
+        assert(r.getSeq[String](3) == r.getSeq[String](4),
+          s"wordNgrams diverged for k=$k doc ${r.getLong(0)}")
       }
+    }
+    // a null ELEMENT inside the word array: the old concat null
+    // propagation dropped every window touching it — the UDF must too
+    val nullArr = Seq(Tuple1(Seq("a", "b", null, "c", "d", "e")))
+      .toDF("ws")
+    for (k <- Seq(2, 3)) {
+      val r = nullArr.select(TextStats.wordNgrams(col("ws"), k).as("f"),
+        wordNgramsExpr(col("ws"), k).as("s")).collect().head
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"wordNgrams null-element diverged for k=$k: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
     }
     // charNgrams: the rolling code-point window == the former
     // transform(sequence)/substr expression, incl. supplementary chars
