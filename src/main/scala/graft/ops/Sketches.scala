@@ -30,9 +30,15 @@ object Sketches extends Serializable {
     mix(h)
   }
 
-  /** Lowercased \W+ word tokens. */
+  /** Lowercased \W+ word tokens. The Pattern is compiled once —
+    * `String.split` with a multi-char regex recompiles it per call, a
+    * per-document cost on every shingle/simhash/jaccard path
+    * (`Pattern.split` is the method String.split delegates to, so the
+    * token stream is unchanged).
+    */
+  private val TokenPattern = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
   def tokenize(text: String): Array[String] =
-    text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    TokenPattern.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   /** Distinct word k-shingles. */
   def shingles(text: String, k: Int): Array[String] = {
