@@ -94,11 +94,6 @@ object TextStats {
       .otherwise(lit("unknown"))
   }
 
-  /** Quality features struct: n_chars, n_tokens, mean word length,
-    * punctuation ratio, digit ratio (any Unicode decimal digit — Persian
-    * ۰-۹ included), stopword-ish ratio (English function words as a crude
-    * proxy).
-    */
   /** The pipeline-unified lowercased whitespace tokenizer (`\s+` split,
     * empties dropped) — ONE definition shared by quality features and the
     * NB classifier so model scores can never drift from the tokens the
@@ -158,6 +153,11 @@ object TextStats {
   private[ops] val stopSet = Set("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "it")
 
+  /** Quality features struct: n_chars, n_tokens, mean word length,
+    * punctuation ratio, digit ratio (any Unicode decimal digit — Persian
+    * ۰-۹ included), stopword-ish ratio (English function words as a crude
+    * proxy).
+    */
   def qualityFeatures(text: Column): Column = {
     val c = qualityCountsUdf(text)
     val n = greatest(c.getField("_1"), lit(1)).cast("double")
