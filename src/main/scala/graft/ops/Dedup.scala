@@ -694,37 +694,45 @@ object Dedup {
   }
   private val HexChars = "0123456789abcdef".toCharArray
   private[graft] def gramMd5sUdf(k: Int) = udf((ws: Seq[String]) => {
-    if (ws == null) null
-    else if (ws.length < k) Array.empty[String]
+    if (ws == null || ws.length < k) Array.empty[String]
     else {
       val words = ws.toArray
       val n = words.length - k + 1
-      val out = new Array[String](n)
+      val out = new scala.collection.mutable.ArrayBuffer[String](n)
       val md = Md5Local.get()
       val sb = new java.lang.StringBuilder(k * 12)
       var i = 0
       while (i < n) {
         sb.setLength(0)
+        var ok = true
         var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
+        while (j < k && ok) {
+          val w = words(i + j)
+          // a null word nulls every gram touching it in the reference
+          // concat chain — drop those windows, like wordNgramsUdf
+          if (w == null) ok = false
+          else {
+            if (j > 0) sb.append(' ')
+            sb.append(w)
+          }
           j += 1
         }
-        val d = md.digest(
-          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val hx = new Array[Char](32)
-        var b = 0
-        while (b < 16) {
-          val v = d(b) & 0xff
-          hx(b * 2) = HexChars(v >>> 4)
-          hx(b * 2 + 1) = HexChars(v & 0xf)
-          b += 1
+        if (ok) {
+          val d = md.digest(
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hx = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            val v = d(b) & 0xff
+            hx(b * 2) = HexChars(v >>> 4)
+            hx(b * 2 + 1) = HexChars(v & 0xf)
+            b += 1
+          }
+          out += new String(hx)
         }
-        out(i) = new String(hx)
         i += 1
       }
-      out
+      out.toArray
     }
   })
 

@@ -147,31 +147,43 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // long-format token stream carrying the per-(field, doc) length: dl
-    // rides every token row, so the tf aggregation keeps it (max of a
-    // constant) and the former corpus-sized dlen join disappears — Spark
-    // does not share the fieldsLong subtree between consumers, so that
-    // join was a THIRD corpus scan, not a reuse
-    val tok = tokensWithDl(fieldsLongOf(docs, fields, idCol, lower))
-
     val qterms = queries.select(col(queryIdCol).as("qid"),
         explode(split(lower(col(queryTextCol)), " ")).as("term"))
       .filter(length(col("term")) > 0)
 
-    // query-term-first: restrict the token stream before ANY aggregation
-    val tfd = tfWithDf(tok.join(
-      broadcast(qterms.select("term").distinct()), Seq("term")))
-    // avgdl still needs every doc (not just query matches): one scan whose
-    // only shuffle is |fields| partial-aggregated rows
-    val avgl = fieldsLongOf(docs, fields, idCol, lower)
-      .select(col("field"),
-        size(filter(split(col("txt"), " "), t => length(t) > 0)).as("dl"))
-      .filter(col("dl") > 0)
-      .groupBy("field").agg(avg(col("dl")).as("avgdl"))
-    val nDocs = docs.agg(count(lit(1)).as("n"))
+    // ONE corpus tokenize per call: the dl-carrying restricted tf
+    // aggregation is CHECKPOINTED (candidate-sized) while per-field
+    // avgdl and the doc count run CONCURRENTLY with it and come back as
+    // local relations (the metaLocal pattern), so the wall stays one
+    // corpus-pass wave; docfreq is [[withDf]] over the checkpoint. The
+    // former fused lazy plan re-tokenized the corpus for docfreq and
+    // joined a third corpus scan for doc length (see withDf for the
+    // rejected window alternative).
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
-
-    scoreFromTf(tfd, qterms, avgl, boosts, nDocs, k1, b)
+    def fieldsLong = fieldsLongOf(docs, fields, idCol, lower)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fTf = Future {
+      tokensWithDl(fieldsLong)
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("field", "id", "term")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .localCheckpoint(true)
+    }
+    val fAvgl = Future {
+      fieldsLong
+        .select(col("field"),
+          size(filter(split(col("txt"), " "), t => length(t) > 0)).as("dl"))
+        .filter(col("dl") > 0)
+        .groupBy("field").agg(avg(col("dl")).as("avgdl"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    val fN = Future { docs.count() }
+    val tfC = Await.result(fTf, Duration.Inf)
+    val avgl = Await.result(fAvgl, Duration.Inf).toDF("field", "avgdl")
+    val nDocs = Seq(Await.result(fN, Duration.Inf)).toDF("n")
+    scoreFromTf(withDf(tfC), qterms, avgl, boosts, nDocs, k1, b)
   }
 
   /** (id, field, dl, term) token stream from a (id, field, txt) long view:
@@ -187,20 +199,22 @@ object Search {
       .select(col("id"), col("field"), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("term"))
 
-  /** (field, id, term) → (tf, dl, df): the tf aggregation plus docfreq as
-    * a WINDOW over the aggregated rows. The former `tf.groupBy(field,
-    * term)` qstats frame re-evaluated the whole tf subtree (Spark plans
-    * the lazy frame twice — at the direct paths that was a second corpus
-    * tokenize, at the indexed probes a second pruned-index scan); the
-    * window computes identical counts over the one materialized tf stream
-    * for a candidate-sized exchange.
+  /** Docfreq attach over a tf frame (one row per (field, id, term)):
+    * map-side-combined per-(field, term) count, broadcast back — over a
+    * CHECKPOINTED tf this evaluates the corpus once; over a lazy tf it
+    * re-plans the subtree (the fused small-input branch's accepted
+    * second scan). A `count over (partition by field, term)` WINDOW was
+    * measured and rejected (ProfileDfShapes): it evaluates once but
+    * colocates every posting of a term in ONE task — the hot-reducer
+    * shape AQE skew handling cannot split (it only applies to joins),
+    * i.e. a 10^9-posting stop word becomes a single-task sort at scale;
+    * the groupBy's partial aggregation reduces a hot term to one row per
+    * partition before its exchange.
     */
-  private def tfWithDf(tokRestricted: DataFrame): DataFrame =
-    tokRestricted
-      .groupBy("field", "id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("field"), col("term"))))
+  private def withDf(tf: DataFrame): DataFrame = {
+    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(qstats), Seq("field", "term"))
+  }
 
   /** The BM25 join+score tail: tf rows already carrying (dl, df) × query
     * terms × per-field stats → (qid, id, score).
@@ -293,36 +307,51 @@ object Search {
       .filter(length(col("phrase")) > 0)
       .distinct()
 
-    // canonical per-field long view — both the gate and the tokenizer read
-    // it; single corpus scan (see fieldsLongOf)
-    val fieldsLong = fieldsLongOf(docs, fields, idCol, canonText)
-
-    // match_phrase gate: consecutive-term containment, broadcast to the scan
-    val matched = fieldsLong
-      .crossJoin(broadcast(phrases))
-      .filter(F.contains(concat(lit(" "), col("txt"), lit(" ")),
-        concat(lit(" "), col("phrase"), lit(" "))))
-      .select(col("qid"), col("phrase"), col("field"), col("id"))
+    // canonical per-field long view — the gate and the tokenizer each
+    // scan it once (see fieldsLongOf)
+    def fieldsLong = fieldsLongOf(docs, fields, idCol, canonText)
 
     val pterms = phrases
       .select(col("qid"), col("phrase"),
         explode(split(col("phrase"), " ")).as("term"))
       .filter(length(col("term")) > 0)
 
-    // token stream carrying dl + docfreq window over tf: the former dlen
-    // join and qstats frame each re-evaluated a full corpus subtree (see
-    // bm25Scored)
-    val tok = tokensWithDl(fieldsLong)
-
-    val tfd = tfWithDf(tok.join(
-      broadcast(pterms.select("term").distinct()), Seq("term")))
-    val avgl = fieldsLong
+    def matchedGate = fieldsLong
+      .crossJoin(broadcast(phrases))
+      .filter(F.contains(concat(lit(" "), col("txt"), lit(" ")),
+        concat(lit(" "), col("phrase"), lit(" "))))
+      .select(col("qid"), col("phrase"), col("field"), col("id"))
+    def tfAgg = tokensWithDl(fieldsLong)
+      .join(broadcast(pterms.select("term").distinct()), Seq("term"))
+      .groupBy("field", "id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    def avglAgg = fieldsLong
       .select(col("field"),
         size(filter(split(col("txt"), " "), t => length(t) > 0)).as("dl"))
       .filter(col("dl") > 0)
       .groupBy("field").agg(avg(col("dl")).as("avgdl"))
-    val nDocs = docs.agg(count(lit(1)).as("n"))
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
+
+    // FOUR independent corpus-shaped jobs as one concurrent wave (the
+    // bm25Scored pattern): match_phrase gate and tf aggregation
+    // checkpointed (candidate-sized), avgdl/count as local relations —
+    // the corpus is gated and tokenized exactly once per call
+    val (matched, tfd, avgl, nDocs) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fMatched = Future { matchedGate.localCheckpoint(true) }
+      val fTf = Future { tfAgg.localCheckpoint(true) }
+      val fAvgl = Future {
+        avglAgg.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      }
+      val fN = Future { docs.count() }
+      val m = Await.result(fMatched, Duration.Inf)
+      val t = withDf(Await.result(fTf, Duration.Inf))
+      val a = Await.result(fAvgl, Duration.Inf).toDF("field", "avgdl")
+      val n = Seq(Await.result(fN, Duration.Inf)).toDF("n")
+      (m, t, a, n)
+    }
 
     // matched clause × its phrase's term occurrences → scoreable rows;
     // a gated clause implies tf >= 1 for every term, so the inner joins
@@ -413,14 +442,20 @@ object Search {
     // extra job per build (and a dlen-sized read at scale) for sums the
     // write job already streams past
     val obs = new org.apache.spark.sql.Observation()
+    val obsCols = metaObsCols(fields)
     val fDlen = Future {
-      fieldsLong
+      val base = fieldsLong
         .withColumn("dl",
           size(filter(split(col("txt"), " "), t => length(t) > 0)))
         .filter(col("dl") > 0)
         .select(dlenCols: _*)
-        .observe(obs, metaObsCols(fields).head, metaObsCols(fields).tail: _*)
-        .write.mode("overwrite").parquet(s"$path/dlen")
+      // observe() needs >= 1 metric — a fields-less build (degenerate but
+      // formerly legal) skips it; observedSums then returns the empty
+      // frame without touching the observation
+      val observed =
+        if (obsCols.isEmpty) base
+        else base.observe(obs, obsCols.head, obsCols.tail: _*)
+      observed.write.mode("overwrite").parquet(s"$path/dlen")
     }
     val fN = Future { docs.count() }
     val spark = docs.sparkSession
@@ -433,7 +468,7 @@ object Search {
         spark.read.parquet(s"$path/dlen")
           .groupBy("field").agg(sum(col("dl")).as("sum_dl"),
             count(lit(1)).as("cnt"))),
-      nDocs, termBuckets, withText)
+      nDocs, termBuckets, withText, withDl = true)
   }
 
   /** Per-field (sum_dl, cnt) observation columns for a dlen write — one
@@ -466,20 +501,24 @@ object Search {
   /** Meta = one row per field: (field, avgdl, sum_dl, cnt, n). The RUNNING
     * SUMS are stored alongside the derived avgdl so [[bm25IndexAppend]]
     * can update the averages from the delta alone — O(delta), never a
-    * corpus re-aggregation. Written temp-then-rename (atomic on
-    * local/HDFS) because append rewrites it in place.
+    * corpus re-aggregation. `with_dl` records whether tf postings carry
+    * the dl column, so an append learns the standing layout from the meta
+    * it already reads instead of listing the whole tf directory for one
+    * schema bit. Written temp-then-rename (atomic on local/HDFS) because
+    * append rewrites it in place.
     */
   private def writeMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, sums: DataFrame, nDocs: Long, termBuckets: Int,
-      withText: Boolean): Unit = {
+      withText: Boolean, withDl: Boolean): Unit = {
     val tmp = s"$path/_tmp_meta"
     sums
       .withColumn("avgdl", col("sum_dl").cast("double") / col("cnt"))
       .withColumn("n", lit(nDocs))
       .withColumn("term_buckets", lit(termBuckets))
       .withColumn("with_text", lit(withText))
+      .withColumn("with_dl", lit(withDl))
       .select("field", "avgdl", "sum_dl", "cnt", "n", "term_buckets",
-        "with_text")
+        "with_text", "with_dl")
       .write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -523,9 +562,15 @@ object Search {
     val tok = tokensWithDl(fieldsLong)
     val tfAgg = tok.groupBy("field", "id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val tfOut =
-      if (spark.read.parquet(s"$path/tf").columns.contains("dl")) tfAgg
-      else tfAgg.drop("dl")
+    // standing layout from the meta this append already read (one small
+    // parquet, no tf-directory listing); indexes predating the with_dl
+    // bit fall back to the tf schema check once — and this append then
+    // records the answer in the meta it rewrites
+    val standingDl =
+      if (oldMeta.columns.contains("with_dl"))
+        oldMeta.select(max(col("with_dl"))).head().getBoolean(0)
+      else spark.read.parquet(s"$path/tf").columns.contains("dl")
+    val tfOut = if (standingDl) tfAgg else tfAgg.drop("dl")
     val dlenCols =
       if (withText) Seq(col("field"), col("id"), col("dl"), col("txt"))
       else Seq(col("field"), col("id"), col("dl"))
@@ -547,10 +592,13 @@ object Search {
         .write.mode("append").partitionBy("tb").parquet(s"$path/tf")
     }
     val obs = new org.apache.spark.sql.Observation()
+    val obsCols = metaObsCols(fields)
     val fDlen = Future {
-      deltaDlen.select(dlenCols: _*)
-        .observe(obs, metaObsCols(fields).head, metaObsCols(fields).tail: _*)
-        .write.mode("append").parquet(s"$path/dlen")
+      val base = deltaDlen.select(dlenCols: _*)
+      val observed =
+        if (obsCols.isEmpty) base
+        else base.observe(obs, obsCols.head, obsCols.tail: _*)
+      observed.write.mode("append").parquet(s"$path/dlen")
     }
     val fN = Future { newDocs.count() }
     Await.result(fDlen, Duration.Inf)
@@ -569,7 +617,8 @@ object Search {
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as("cnt"))
     val nTotal = oldMeta.select(max(col("n"))).head().getLong(0) + nNew
-    writeMeta(spark, path, merged, nTotal, termBuckets, withText)
+    writeMeta(spark, path, merged, nTotal, termBuckets, withText,
+      withDl = standingDl)
   }
 
   /** Maintenance compaction for an append-grown [[bm25Index]]: every
@@ -708,14 +757,18 @@ object Search {
     // probe for a handful of values
     val (avgl, nDocs) = metaLocal(spark, indexPath, termBuckets, "bm25TopKIndexed")
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
-    // docfreq as a window over the pruned tf slice (the former qstats
-    // frame re-scanned the pruned index partitions a second time) — the
-    // index stores one row per (field, id, term), so the window count is
-    // exact df. dl is read straight off the posting when the index carries
-    // it; only a pre-dl index still pays the corpus-sized dlen join
-    val tfd0 = tf
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("field"), col("term"))))
+    // docfreq as a map-side-combined groupBy over the pruned tf slice,
+    // broadcast back — skew-safe (a window over (field, term) would
+    // single-task a hot term's postings; see withDf). The qstats
+    // derivation re-evaluates the tb-PRUNED scan (termBuckets⁻¹ of the
+    // index — bounded, unlike the direct path's corpus re-tokenize), the
+    // price of keeping the probe's tb PartitionFilters visible in its
+    // own plan (spec-asserted; a checkpoint would bury the scan in a
+    // construction job). dl is read straight off the posting when the
+    // index carries it; only a pre-dl index still pays the corpus-sized
+    // dlen join
+    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+    val tfd0 = tf.join(broadcast(qstats), Seq("field", "term"))
     val tfd =
       if (tfRaw.columns.contains("dl")) tfd0
       else tfd0.join(spark.read.parquet(s"$indexPath/dlen")
@@ -777,19 +830,20 @@ object Search {
     val (avgl, nDocs) = metaLocal(spark, indexPath, termBuckets,
       "bm25PhraseTopKIndexed")
     val boosts = fields.map(f => (f.name, f.boost)).toDF("field", "boost")
-    // docfreq as a window over the pruned tf slice; dl straight off the
-    // posting when the index carries it (see bm25TopKIndexed) — dlen here
-    // then only serves the candidate-text gate below
-    val tfd0 = tf
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("field"), col("term"))))
+    // the pruned tf slice is CHECKPOINTED once: docfreq and the
+    // candidate-key projection below both read it (each used to
+    // re-derive the pruned scan); dl straight off the posting when the
+    // index carries it (see bm25TopKIndexed) — dlen here then only
+    // serves the candidate-text gate
+    val tfC = tf.localCheckpoint(true)
+    val tfd0 = withDf(tfC)
     val tfd =
       if (tfRaw.columns.contains("dl")) tfd0
       else tfd0.join(dlenFull.select("field", "id", "dl"), Seq("field", "id"))
 
     // candidate (field, doc) keys from the pruned postings → stored text →
     // the containment gate runs over candidates only
-    val candText = tf.select("field", "id").distinct()
+    val candText = tfC.select("field", "id").distinct()
       .join(dlenFull.select(col("field"), col("id"), col("txt")),
         Seq("field", "id"))
     val matched = candText

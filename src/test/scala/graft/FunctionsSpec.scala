@@ -255,14 +255,18 @@ class FunctionsSpec extends SparkTestBase {
       }
     }
     // a null ELEMENT inside the word array: the old concat null
-    // propagation dropped every window touching it — the UDF must too
+    // propagation dropped every window touching it — both UDFs must too
     val nullArr = Seq(Tuple1(Seq("a", "b", null, "c", "d", "e")))
       .toDF("ws")
     for (k <- Seq(2, 3)) {
       val r = nullArr.select(TextStats.wordNgrams(col("ws"), k).as("f"),
-        wordNgramsExpr(col("ws"), k).as("s")).collect().head
+        wordNgramsExpr(col("ws"), k).as("s"),
+        Dedup.gramMd5sUdf(k)(col("ws")).as("gf"),
+        transform(wordNgramsExpr(col("ws"), k), g => md5(g)).as("gs")).collect().head
       assert(r.getSeq[String](0) == r.getSeq[String](1),
         s"wordNgrams null-element diverged for k=$k: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"gramMd5s null-element diverged for k=$k: ${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
     }
     // charNgrams: the rolling code-point window == the former
     // transform(sequence)/substr expression, incl. supplementary chars
