@@ -2,10 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scratch A/B of the BM25 docfreq derivation shapes (round-6 tooling):
-  * window-over-tf vs qstats-groupBy + broadcast join over the SAME lazy
-  * tf frame — prints the FINAL adaptive plan after execution so AQE
-  * stage reuse (or its absence) is observable, plus wall time.
+/** A/B of the BM25 docfreq derivation shapes (round-6 tooling): lazy
+  * qstats groupBy+broadcast over the SAME lazy tf frame vs a
+  * checkpointed tf. Captures the EXECUTED plan via a
+  * QueryExecutionListener (a `df.write` creates its own QueryExecution,
+  * so `df.queryExecution` would show the never-executed initial plan)
+  * and times every shape end-to-end INCLUDING construction-time
+  * checkpoint jobs, so the comparison answers the two questions that
+  * matter: does AQE reuse the tf exchange between the two lazy
+  * consumers at runtime, and what does each shape cost wall-clock.
   */
 object ProfileDfShapes {
   def main(args: Array[String]): Unit = {
@@ -14,55 +19,64 @@ object ProfileDfShapes {
     val spark = Bench.benchSession(cpus, localDirName = "graft-dfshapes")
     import spark.implicits._
 
+    @volatile var lastPlan: String = ""
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          lastPlan = qe.executedPlan.toString
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    // a three-field view like searchDocs3
-    val fl = docs.select(col("doc_id").as("id"),
+    def fl = docs.select(col("doc_id").as("id"),
         explode(array(
           struct(lit("question").as("field"), lower(col("text")).as("txt")),
           struct(lit("answer").as("field"), lower(col("text")).as("txt")),
           struct(lit("content").as("field"), lower(col("text")).as("txt")))).as("f"))
       .select(col("id"), col("f.field").as("field"), col("f.txt").as("txt"))
-    val tok = fl
+    def tok = fl
       .select(col("id"), col("field"),
         filter(split(col("txt"), " "), t => length(t) > 0).as("__toks"))
       .select(col("id"), col("field"), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("term"))
     val qterms = Seq("spark", "shuffle", "hash", "join", "table", "the",
       "data").toDF("term")
-    val tf = tok.join(broadcast(qterms), Seq("term"))
+    def tfLazy = tok.join(broadcast(qterms), Seq("term"))
       .groupBy("field", "id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
-    def run(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      df.write.format("noop").mode("overwrite").save() // warm
+    // build() constructs the WHOLE frame (including any eager
+    // checkpoint) inside the timed region
+    def run(label: String, build: () => org.apache.spark.sql.DataFrame): Unit = {
+      build().write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
+      val df = build()
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      val fin = df.queryExecution.executedPlan.toString
+      Thread.sleep(300) // listener delivery
+      val fin = lastPlan
       val scans = fin.linesIterator.count(_.contains("Scan parquet"))
       val reused = fin.linesIterator.count(l =>
-        l.contains("ReusedExchange") || l.contains("TableCacheQueryStage") ||
-          l.contains("ReusedQueryStage"))
-      println(f"[dfshapes] $label%-28s wall=$dt%6.3fs scansInFinalPlan=$scans reusedNodes=$reused")
+        l.contains("ReusedExchange") || l.contains("ReusedQueryStage") ||
+          l.contains("reused"))
+      println(f"[dfshapes] $label%-28s wall=$dt%6.3fs executedScans=$scans reusedNodes=$reused")
     }
 
-    // A: window form
-    val a = tf.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("field"), col("term"))))
-    run("A window df", a)
-
-    // B: qstats groupBy + broadcast join over the same lazy tf
-    val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
-    val b = tf.join(broadcast(qstats), Seq("field", "term"))
-    run("B qstats bcast join", b)
-
-    // C: qstats over a checkpointed tf (explicit single evaluation)
-    val tfC = tf.localCheckpoint(true)
-    val qstatsC = tfC.groupBy("field", "term").agg(count(lit(1)).as("df"))
-    val c = tfC.join(broadcast(qstatsC), Seq("field", "term"))
-    run("C checkpointed tf", c)
-
+    run("B lazy qstats bcast join", () => {
+      val tf = tfLazy
+      val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(qstats), Seq("field", "term"))
+    })
+    run("C checkpointed tf", () => {
+      val tfC = tfLazy.localCheckpoint(true)
+      val qstats = tfC.groupBy("field", "term").agg(count(lit(1)).as("df"))
+      tfC.join(broadcast(qstats), Seq("field", "term"))
+    })
     spark.stop()
   }
 }

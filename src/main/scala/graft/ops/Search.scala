@@ -201,15 +201,16 @@ object Search {
 
   /** Docfreq attach over a tf frame (one row per (field, id, term)):
     * map-side-combined per-(field, term) count, broadcast back — over a
-    * CHECKPOINTED tf this evaluates the corpus once; over a lazy tf it
-    * re-plans the subtree (the fused small-input branch's accepted
-    * second scan). A `count over (partition by field, term)` WINDOW was
-    * measured and rejected (ProfileDfShapes): it evaluates once but
-    * colocates every posting of a term in ONE task — the hot-reducer
-    * shape AQE skew handling cannot split (it only applies to joins),
-    * i.e. a 10^9-posting stop word becomes a single-task sort at scale;
-    * the groupBy's partial aggregation reduces a hot term to one row per
-    * partition before its exchange.
+    * CHECKPOINTED tf this evaluates the corpus once; over a lazy tf the
+    * subtree re-plans and AQE exchange reuse recovers at most part of it
+    * (ProfileDfShapes, executed-plan listener: the lazy form measured
+    * ~1.5x the checkpointed wall END-TO-END, checkpoint job included).
+    * A `count over (partition by field, term)` WINDOW was measured and
+    * rejected: it evaluates once but colocates every posting of a term
+    * in ONE task — the hot-reducer shape AQE skew handling cannot split
+    * (it only applies to joins), i.e. a 10^9-posting stop word becomes
+    * a single-task sort at scale; the groupBy's partial aggregation
+    * reduces a hot term to one row per partition before its exchange.
     */
   private def withDf(tf: DataFrame): DataFrame = {
     val qstats = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
@@ -409,6 +410,9 @@ object Search {
       idCol: String = "doc_id",
       termBuckets: Int = 64,
       withText: Boolean = true): Unit = {
+    // a fields-less index is meaningless and would only fail later,
+    // deep inside the long-view analysis — fail at the API edge instead
+    require(fields.nonEmpty, "bm25Index needs at least one field")
     val fieldsLong = fieldsLongOf(docs, fields, idCol, canonText)
     // tf rows carry the doc-field length (dl rides the token stream into
     // the aggregation): +8 denormalized bytes per posting buys the probes
@@ -449,13 +453,8 @@ object Search {
           size(filter(split(col("txt"), " "), t => length(t) > 0)))
         .filter(col("dl") > 0)
         .select(dlenCols: _*)
-      // observe() needs >= 1 metric — a fields-less build (degenerate but
-      // formerly legal) skips it; observedSums then returns the empty
-      // frame without touching the observation
-      val observed =
-        if (obsCols.isEmpty) base
-        else base.observe(obs, obsCols.head, obsCols.tail: _*)
-      observed.write.mode("overwrite").parquet(s"$path/dlen")
+      base.observe(obs, obsCols.head, obsCols.tail: _*)
+        .write.mode("overwrite").parquet(s"$path/dlen")
     }
     val fN = Future { docs.count() }
     val spark = docs.sparkSession
@@ -547,6 +546,7 @@ object Search {
       idCol: String = "doc_id",
       termBuckets: Int = 64,
       withText: Boolean = true): Unit = {
+    require(fields.nonEmpty, "bm25IndexAppend needs at least one field")
     val spark = newDocs.sparkSession
     // validate BEFORE the first write: a mismatched bucket count appended
     // tf rows into partitions probes never read (silently-missing docs)
@@ -594,11 +594,9 @@ object Search {
     val obs = new org.apache.spark.sql.Observation()
     val obsCols = metaObsCols(fields)
     val fDlen = Future {
-      val base = deltaDlen.select(dlenCols: _*)
-      val observed =
-        if (obsCols.isEmpty) base
-        else base.observe(obs, obsCols.head, obsCols.tail: _*)
-      observed.write.mode("append").parquet(s"$path/dlen")
+      deltaDlen.select(dlenCols: _*)
+        .observe(obs, obsCols.head, obsCols.tail: _*)
+        .write.mode("append").parquet(s"$path/dlen")
     }
     val fN = Future { newDocs.count() }
     Await.result(fDlen, Duration.Inf)
